@@ -1,0 +1,77 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation, zero
+serialization to the driver) after a warm-up of the session on a trivial
+action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from data_lakes_tp2_student_spark.catalog import REGISTRY  # noqa: E402
+from data_lakes_tp2_student_spark.session import get_spark  # noqa: E402
+
+# Headline set: flagship + the heaviest operators per group (only ids that
+# exist in the registry are run, so this list can lead implementation).
+HEADLINE = [
+    "flagship_summary",
+    "d3_group_sizes",
+    "d7_d8_length_stats",
+    "e2_stratified_split",
+    "e3_window_functions",
+    "j1_tokenize",
+    "x1_exact_dedup",
+    "x2_minhash_pairs",
+    "x3_knn_bruteforce",
+    "x6_tpch_q1",
+    "x6_tpch_q3",
+    "i1_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = get_spark(app_name="bench", cpus=cpus)
+    # Warm up JVM/codegen paths outside the timed region.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,9 @@
+"""Query catalog: importing this package registers every implemented query
+(with its DuckDB oracle SQL) into ``registry.REGISTRY``.
+
+One module per SURVEY.md §2 operator group.
+"""
+
+from ..registry import REGISTRY, Query  # noqa: F401
+
+from . import stats  # noqa: F401,E402

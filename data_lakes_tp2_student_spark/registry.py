@@ -1,0 +1,64 @@
+"""Query registry: the bridge between the operator library and the driver
+harness (``__spark_entry__.py``).
+
+Each registered query is a ``(spark, sf_dir) -> DataFrame`` callable keyed by
+a stable operator id from SURVEY.md §2, optionally paired with ANSI SQL that
+DuckDB can run against the same parquet tables (pre-registered views:
+region nation customer supplier part orders lineitem events documents
+embeddings). Queries without oracle SQL get a weaker rows-only check.
+
+Naming rule (driver contract): the compare sorts columns by NAME before value
+hashing, so every computed column must carry the SAME alias in the Spark plan
+and the oracle SQL. Floating aggregates are rounded identically on both sides
+so double bit-patterns match.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: Optional[str]
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn`` under ``name`` with optional oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query id: {name}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one driver testdata table (parquet scan; pushdown/pruning apply)."""
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")

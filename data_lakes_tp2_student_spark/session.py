@@ -1,0 +1,59 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference executes eagerly in one pandas process (no parallelism, JIT
+disabled — /root/reference/src/preprocess_to_staging.py:13). Here a single
+lazy SparkSession replaces the whole zoo: AQE re-plans at runtime (coalesce
+small shuffle partitions, skew-join split), session timezone is pinned to UTC
+so results are portable to the DuckDB oracle, and Arrow is on for any
+pandas-UDF path.
+
+Local mode is the test bed; on a real cluster only ``master`` and the memory
+knobs change — every operator in this package is written shuffle- and
+partition-aware so the same plans hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data-lakes-tp2-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | str | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the session.
+
+    Note: ``getOrCreate`` returns an existing session unchanged, so configs
+    only apply to the first call in a process.
+    """
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "*"))
+    shuffle_partitions = str(
+        shuffle_partitions or os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32")
+    )
+    driver_memory = driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # ~cores, not the 200 default; AQE coalesces further at runtime.
+        .config("spark.sql.shuffle.partitions", shuffle_partitions)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # UTC so timestamps hash identically in the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
