@@ -1,0 +1,83 @@
+"""Fixed-width sequence tokenization (SURVEY.md §2 j1 / b5).
+
+Reference behavior (/root/reference/src/process_to_curated.py:22-29): a
+HuggingFace ``AutoTokenizer`` (ESM2 — character-per-amino-acid vocab) applied
+row-at-a-time via ``df[col].apply``, padded/truncated to 1024, then exploded
+into 1024 physical ``token_i`` int columns.
+
+Spark-first rebuild:
+- The hot path is a pure JVM expression pipeline — ``transform(sequence(...))``
+  over codepoints with pad via ``array_repeat`` — no Python in the loop at
+  all (the reference pays per-row Python + tokenizer overhead).
+- Tokens live in ONE ``ArrayType(IntegerType())`` column internally; the
+  1024-wide physical layout (which would knock Spark off whole-stage codegen,
+  default ``spark.sql.codegen.maxFields=100``) exists only as an export
+  projection (``widen_tokens``).
+- An optional HuggingFace path via ``mapInPandas`` (tokenizer loaded once per
+  partition, Arrow-batched — fixing the reference's per-row overhead) is
+  gated on ``transformers`` being importable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tokenize_chars(
+    df: DataFrame,
+    text_col: str,
+    max_len: int = 1024,
+    pad_id: int = 0,
+    out_col: str = "tokens",
+) -> DataFrame:
+    """j1 — deterministic char→codepoint tokenization, padded/truncated to
+    ``max_len``. Codepoint ids keep the operator dependency-free and
+    oracle-portable; swapping in any fixed char→id map is a one-expression
+    change."""
+    body = F.expr(
+        f"transform(sequence(1, least(length({text_col}), {max_len})), "
+        f"i -> ascii(substr({text_col}, i, 1)))"
+    )
+    padded = F.concat(
+        body,
+        F.array_repeat(
+            F.lit(pad_id), F.lit(max_len) - F.least(F.length(text_col), F.lit(max_len))
+        ),
+    )
+    return df.withColumn(out_col, padded.cast("array<int>"))
+
+
+def widen_tokens(df: DataFrame, tokens_col: str = "tokens", width: int = 1024) -> DataFrame:
+    """b5 — export-only wide projection token_0..token_{width-1} (the
+    reference's curated layout). Keep arrays internally; this is for final
+    export parity only."""
+    return df.select(
+        "*", *[F.col(tokens_col)[i].alias(f"token_{i}") for i in range(width)]
+    )
+
+
+def tokenize_hf(df: DataFrame, text_col: str, model: str, max_len: int = 1024):
+    """Optional HuggingFace tokenizer path (parity with the reference's
+    ESM2 default, /root/reference/src/process_to_curated.py:85), batched via
+    mapInPandas with one tokenizer load per partition.
+
+    Raises ImportError when `transformers` is absent (not in this image).
+    """
+    import transformers  # noqa: F401 — gate; raises if unavailable
+
+    schema = df.schema.add("tokens", "array<int>")
+
+    def run(batches):
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(model)
+        for pdf in batches:
+            enc = tok(
+                list(pdf[text_col]),
+                padding="max_length",
+                truncation=True,
+                max_length=max_len,
+            )["input_ids"]
+            yield pdf.assign(tokens=list(enc))
+
+    return df.mapInPandas(run, schema=schema)
