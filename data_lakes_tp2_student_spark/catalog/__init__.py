@@ -7,4 +7,5 @@ One module per SURVEY.md §2 operator group.
 from ..registry import REGISTRY, Query  # noqa: F401
 
 from . import pipeline_ops  # noqa: F401,E402
+from . import relational  # noqa: F401,E402
 from . import stats  # noqa: F401,E402

@@ -60,5 +60,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Read one driver testdata table (parquet scan; pushdown/pruning apply)."""
+    """Read one driver testdata table (parquet scan; pushdown/pruning apply).
+
+    `events.parquet` stores TIMESTAMP(NANOS), which Spark's reader rejects
+    outright; read nanos as long and truncate to microseconds — exactly what
+    DuckDB (microsecond timestamps) does, so oracle values agree.
+    """
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
