@@ -33,10 +33,16 @@ HEADLINE = [
     "j1_tokenize",
     "x1_exact_dedup",
     "x2_minhash_pairs",
+    "x2b_jaccard_verify",
     "x3_knn_bruteforce",
+    "x3b_knn_lsh",
+    "x4_quality_score",
     "x6_tpch_q1",
     "x6_tpch_q3",
+    "x6_tpch_q5",
+    "c7_asof_join",
     "i1_tumbling_window",
+    "i3_session_window",
 ]
 
 
@@ -58,6 +64,7 @@ def main() -> None:
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()  # drop per-query persists between runs
 
     total = round(sum(timings.values()), 3)
     print(

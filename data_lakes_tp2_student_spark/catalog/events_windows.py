@@ -1,0 +1,101 @@
+"""Catalog entries for event-time windows (i1-i3 batch, i4-i5 streaming)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from ..registry import load, register
+from ..streaming.jobs import stream_dedup, stream_tumbling_agg
+
+_TUMBLING_ORACLE = """
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+    FROM events GROUP BY window_start, event_type
+"""
+
+
+@register("i1_tumbling_window", oracle=_TUMBLING_ORACLE)
+def i1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i1 — 10-minute tumbling windows by event_type."""
+    ev = load(spark, sf_dir, "events")
+    return tumbling_window_agg(ev, "ts", ["event_type"])
+
+
+@register(
+    "i2_sliding_window",
+    oracle="""
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+               event_type, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+                   AS window_start,
+               event_type, value
+        FROM events
+    )
+    SELECT window_start, event_type, count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+    FROM assigned GROUP BY window_start, event_type
+    """,
+)
+def i2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i2 — 10-minute windows sliding by 5 (each event in 2 windows; the
+    oracle materializes the two bucket assignments with UNION ALL)."""
+    ev = load(spark, sf_dir, "events")
+    return sliding_window_agg(ev, "ts", ["event_type"])
+
+
+@register(
+    "i3_session_window",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL '5 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '5 minutes' AS session_end,
+           count(*) AS n
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def i3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i3 — per-user session windows (5-minute gap); the oracle is the
+    classic gaps-and-islands rewrite (lag + running sum), window end =
+    last event + gap ([start, end), Spark semantics)."""
+    ev = load(spark, sf_dir, "events")
+    return session_window_agg(ev, "ts", "user_id")
+
+
+@register("i4_stream_tumbling", oracle=_TUMBLING_ORACLE)
+def i4_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i4 — Structured Streaming tumbling agg with watermark, drained via
+    memory sink in complete mode — batch-equivalent, so the i1 oracle
+    applies verbatim."""
+    return stream_tumbling_agg(spark, sf_dir)
+
+
+@register("i5_stream_dedup", oracle="SELECT DISTINCT event_id FROM events")
+def i5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i5 — stateful streaming dropDuplicates on event_id (append mode);
+    the emitted set is the distinct ids regardless of arrival order."""
+    return stream_dedup(spark, sf_dir)

@@ -1,0 +1,393 @@
+"""Catalog entries for the LLM-data-pipeline extensions (SURVEY.md §2 group X):
+dedup (x1/x2), similarity search (x3), text analysis (x4), multimodal (x5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from ..operators.multimodal import attach_fake_media, extract_features
+from ..operators.similarity import (
+    hyperplane_coefficients,
+    knn_bruteforce,
+    knn_lsh,
+)
+from ..operators.textops import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_counts,
+)
+from ..registry import load, register
+
+# ------------------------------------------------------------------ x1 dedup
+
+
+@register(
+    "x1_exact_dedup",
+    oracle="""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x1 — exact dedup on text (keep lowest doc_id per md5(text))."""
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "source")
+
+
+# ------------------------------------------------- x2 near-dup: MinHash + LSH
+
+# DuckDB CTE chain mirroring dedup.with_shingles/minhash_signatures/
+# lsh_candidate_pairs (16 rotated hashes, 8 bands × 2 rows). The signature
+# definition (one md5 per shingle, k left-rotations as the hash family) must
+# stay in lockstep with operators/dedup.py.
+_N_HASHES = 16
+_N_BANDS = 8
+_ROWS_PER_BAND = 2
+
+
+def _sql_rotation(j: int) -> str:
+    if j == 0:
+        return "h"
+    return f"concat(substr(h, {j + 1}, {32 - j}), substr(h, 1, {j}))"
+
+
+_SIG_AGGS = ",\n               ".join(
+    f"min({_sql_rotation(j)}) AS s{j}" for j in range(_N_HASHES)
+)
+_BAND_SELECTS = "\n        UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5(concat({cols})) AS band_hash FROM sigw".format(
+        b=b,
+        cols=", '|', ".join(
+            f"s{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        ),
+    )
+    for b in range(_N_BANDS)
+)
+
+_MINHASH_CTE = f"""
+    WITH words AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) < 3 THEN [text]
+                    ELSE list_transform(range(0, len(w) - 2),
+                                        i -> array_to_string(w[i+1:i+3], ' '))
+               END AS shingles
+        FROM words
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hs AS (SELECT doc_id, md5(s) AS h FROM ex),
+    sigw AS (
+        SELECT doc_id,
+               {_SIG_AGGS}
+        FROM hs GROUP BY doc_id
+    ),
+    bands AS (
+        {_BAND_SELECTS}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register("x2_minhash_pairs", oracle=_MINHASH_CTE + "SELECT id_a, id_b FROM pairs")
+def x2_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x2 — MinHash(16) + LSH(8 bands × 2) near-dup candidate pairs
+    (collision threshold ≈ (1/8)^(1/2) ≈ 0.35 Jaccard)."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=_N_HASHES)
+    return lsh_candidate_pairs(
+        sigs, "doc_id", bands=_N_BANDS, rows_per_band=_ROWS_PER_BAND
+    )
+
+
+@register(
+    "x2b_jaccard_verify",
+    oracle=_MINHASH_CTE
+    + """
+    , dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
+    SELECT p.id_a, p.id_b,
+           round(CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM pairs p
+    JOIN dsh a ON a.doc_id = p.id_a
+    JOIN dsh b ON b.doc_id = p.id_b
+    """,
+)
+def x2b_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x2 — exact shingle-Jaccard verification of the LSH candidates (the
+    cheap-filter-then-exact-verify shape; only candidates pay set costs)."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=_N_HASHES)
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", bands=_N_BANDS, rows_per_band=_ROWS_PER_BAND
+    )
+    return jaccard_verify(pairs, docs, "doc_id", "text")
+
+
+@register(
+    "x2c_simhash",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_transform(range(0, 32), b ->
+             CASE WHEN list_sum(list_transform(string_split(text, ' '), w ->
+               CASE WHEN ((strpos('0123456789abcdef',
+                                  substr(md5(w), CAST(b // 4 AS INT) + 1, 1)) - 1)
+                  // (CASE CAST(b % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4
+                                              WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+               THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END), '') AS simhash
+    FROM documents
+    """,
+)
+def x2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x2 — 32-bit SimHash fingerprint per document (near-dup via small
+    hamming distance; banding reuses the x2 LSH shape)."""
+    docs = load(spark, sf_dir, "documents")
+    return simhash(docs, "text").select("doc_id", "simhash")
+
+
+# ------------------------------------------------------- x3 similarity search
+
+def _sql_cos(a: str, b: str) -> str:
+    dot = (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    na = (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)))"
+    )
+    nb = (
+        f"list_sum(list_transform(range(1, len({b}) + 1), "
+        f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    return f"round({dot} / (sqrt({na}) * sqrt({nb})), 7)"
+
+
+@register(
+    "x3_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < 3),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {_sql_cos('e.embedding', 'q.qe')} AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rn <= 5
+    """,
+)
+def x3_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x3 — exact cosine top-5 for queries vec_id<3 (broadcast queries ×
+    linear corpus scan; the exact baseline)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_bruteforce(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
+def _sql_bucket(vec: str, planes: int = 6, dim: int = 64) -> str:
+    coefs = hyperplane_coefficients(planes, dim)
+    bits = []
+    for row in coefs:
+        lits = ", ".join(f"{c:.1f}" for c in row)
+        proj = (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ([{lits}])[i]))"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+@register(
+    "x3b_knn_lsh",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM bucketed
+          WHERE vec_id < 3),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {_sql_cos('e.embedding', 'q.qe')} AS cos_sim
+        FROM bucketed e JOIN q USING (bucket)
+        WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rn <= 5
+    """,
+)
+def x3b_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x3 scale path — sign-LSH bucketed ANN: equi-join on the hyperplane
+    sign bucket prunes candidates before the exact cosine."""
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_lsh(emb, emb.filter(F.col("vec_id") < 3), k=5, planes=6, dim=64)
+
+
+# ----------------------------------------------------------- x4 text analysis
+
+_MARKER_SQL = {
+    "s_en": "('the', 'a', 'of')",
+    "s_fr": "('le', 'la', 'de')",
+    "s_de": "('der', 'die', 'das')",
+}
+_SCORES = ",\n".join(
+    f"list_sum(list_transform(string_split(text, ' '), "
+    f"w -> CASE WHEN w IN {v} THEN 1 ELSE 0 END)) AS {k}"
+    for k, v in _MARKER_SQL.items()
+)
+
+
+@register(
+    "x4_lang_id",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, lang, {_SCORES} FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en'
+                WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred_lang
+    FROM s
+    """,
+)
+def x4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x4 — marker-word language-ID heuristic (argmax of per-language
+    occurrence scores, deterministic tie order)."""
+    docs = load(spark, sf_dir, "documents")
+    return lang_id(docs, "text").select("doc_id", "lang", "pred_lang")
+
+
+@register(
+    "x4_quality_score",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               list_sum(list_transform(string_split(text, ' '),
+                 w -> CASE WHEN w IN ('the','a','of','and','to','in')
+                           THEN 1 ELSE 0 END)) AS stop_count
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_words,
+               round(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6)
+                   AS avg_word_len,
+               round(CAST(stop_count AS DOUBLE) / n_words, 6) AS stopword_ratio
+        FROM f
+    )
+    SELECT doc_id, n_words, avg_word_len, stopword_ratio,
+           round(CAST(0.4 AS DOUBLE) * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+                 + CAST(0.4 AS DOUBLE) * (1.0 - stopword_ratio)
+                 + CAST(0.2 AS DOUBLE) * least(avg_word_len / 10.0, 1.0), 6)
+               AS quality_score
+    FROM r
+    """,
+)
+def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x4 — document quality features + bounded composite score."""
+    docs = load(spark, sf_dir, "documents")
+    return quality_features(docs, "text").select(
+        "doc_id", "n_words", "avg_word_len", "stopword_ratio", "quality_score"
+    )
+
+
+@register(
+    "x4_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                AS BIGINT) AS regex_tokens,
+           CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)
+               AS est_bpe_tokens
+    FROM documents
+    """,
+)
+def x4_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x4 — whitespace / BPE-ish-regex / chars-per-4 token counting."""
+    docs = load(spark, sf_dir, "documents")
+    return token_counts(docs, "text").select(
+        "doc_id", "ws_tokens", "regex_tokens", "est_bpe_tokens"
+    )
+
+
+@register(
+    "x4_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x4 — md5 fingerprint over normalized text."""
+    docs = load(spark, sf_dir, "documents")
+    return fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+# -------------------------------------------------------------- x5 multimodal
+
+
+@register(
+    "x5_multimodal_join",
+    oracle=f"""
+    SELECT d.source, count(*) AS n,
+           round(avg(sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.source
+    """,
+)
+def x5_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x5 — typed array column joined to the doc table by id; array exprs
+    stay first-class through the join + agg."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select("source", F.sqrt(sq_sum).alias("_norm"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("_norm"), 6).alias("avg_norm"),
+        )
+    )
+
+
+@register("x5b_media_features")  # mapInPandas stub decode: rows-only check
+def x5b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x5 — binary media column + metadata struct + mapInPandas feature
+    extraction (decode is a deterministic stub; plumbing is real)."""
+    docs = load(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    return extract_features(media)

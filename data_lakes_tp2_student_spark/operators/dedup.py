@@ -1,0 +1,181 @@
+"""Deduplication operators (SURVEY.md §2 x1/x2) — the LLM-training-data
+pipeline surface: exact dedup, MinHash+LSH near-dup candidates, exact
+n-gram-Jaccard verification, and SimHash fingerprints.
+
+All hashing is md5-based: portable across engines (the DuckDB oracle computes
+identical signatures), stable under any repartitioning, with no driver-side
+state.
+
+Scale & execution design:
+- exact dedup groups on md5(text) rather than the text itself, so the shuffle
+  carries 32-byte keys instead of documents;
+- MinHash is computed as explode(shingles) → ONE md5 per shingle → k
+  codegen'd `min` aggregations over a rotated-hash family. Spark evaluates
+  higher-order-function lambdas interpreted (no whole-stage codegen), so the
+  naive `transform(seq(k), j -> array_min(transform(shingles, md5(j||s))))`
+  shape is ~k× more md5 calls AND interpreted — measured ~30× slower at
+  sf0.1. The explode/groupBy shape is also the 100 TB shape: partial min
+  aggregation collapses map-side, the shuffle carries k strings per doc;
+- LSH banding is the classic trick: the only join is an equi-join on
+  (band_index, band_hash) — fan-out controlled by band width, never O(n²);
+- candidate pairs are verified with exact shingle Jaccard only on the
+  (small) candidate set, against a persisted shingle table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.compute import spread
+
+# Word-shingle width for MinHash/Jaccard (3-word shingles).
+SHINGLE_W = 3
+
+
+def exact_dedup(df: DataFrame, text_col: str, tiebreak_col: str) -> DataFrame:
+    """x1 — keep the first row (lowest tiebreak) per exact text; hash-groupBy
+    on md5(text) so the shuffle key is fixed-width."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(tiebreak_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def with_shingles(df: DataFrame, text_col: str, out_col: str = "shingles") -> DataFrame:
+    """Word shingles (width SHINGLE_W); whole text as the single shingle for
+    very short docs (keeps null-free semantics portable to the oracle).
+
+    The split() is materialized once per row (`_words` projection — Catalyst
+    keeps non-cheap multiply-referenced aliases un-inlined) instead of once
+    per shingle."""
+    shingles = F.when(
+        F.size("_words") < SHINGLE_W, F.array(F.col(text_col))
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(0, size(_words) - {SHINGLE_W}), "
+            f"i -> concat_ws(' ', slice(_words, i + 1, {SHINGLE_W})))"
+        )
+    )
+    return (
+        df.withColumn("_words", F.split(F.col(text_col), " "))
+        .withColumn(out_col, shingles)
+        .drop("_words")
+    )
+
+
+def rotation(h: Column, j: int) -> Column:
+    """The j-th hash of the family: the md5 hex string rotated left by j
+    chars. One real md5 per shingle; rotations give k distinct uniform-ish
+    orderings at substr cost (a cheap-hash-family trick; fully portable)."""
+    if j == 0:
+        return h
+    return F.concat(F.substring(h, j + 1, 32 - j), F.substring(h, 1, j))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    out_col: str = "sig",
+) -> DataFrame:
+    """x2 — MinHash signature per row: position j holds
+    min over shingles of rotate_j(md5(shingle)).
+
+    Hex strings compare lexicographically — a valid uniform hash order,
+    identical in every engine. Shape: explode → md5 → k min-aggs (codegen,
+    map-side partial aggregation; see module docstring).
+    """
+    ex = with_shingles(spread(df), text_col).select(
+        F.col(id_col), F.explode("shingles").alias("_s")
+    )
+    h = ex.select(id_col, F.md5("_s").alias("_h"))
+    aggs = [F.min(rotation(F.col("_h"), j)).alias(f"_s{j}") for j in range(num_hashes)]
+    wide = h.groupBy(id_col).agg(*aggs)
+    return wide.select(
+        id_col, F.array(*[F.col(f"_s{j}") for j in range(num_hashes)]).alias(out_col)
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    sig_col: str = "sig",
+) -> DataFrame:
+    """x2 — band the signatures and emit candidate pairs (id_a < id_b) that
+    collide in at least one band. Equi-join on (band, band_hash) only.
+
+    The banded side is persisted: it feeds both sides of the self-join, and
+    without persistence Spark would recompute the full signature pipeline
+    twice."""
+    band_hashes = F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> md5(concat_ws('|', slice({sig_col}, b * {rows_per_band} + 1, {rows_per_band}))))"
+    )
+    banded = sig_df.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band", "band_hash")
+    ).persist()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """x2 — exact shingle-set Jaccard for candidate pairs (the verify stage
+    after LSH; only candidates pay the set-intersection cost). The shingle
+    table is persisted — it is joined once per pair side."""
+    sh = (
+        with_shingles(spread(df), text_col)
+        .select(F.col(id_col), F.array_distinct("shingles").alias("sh"))
+        .persist()
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """x2 — 32-bit SimHash over words as a bit string: bit b is 1 when the
+    word-population's b-th md5 bit majority is positive.
+
+    Bit b of a word = bit (3 - b%4) of hex digit b//4 of md5(word), extracted
+    with pure integer arithmetic (locate on a hex alphabet + div/mod) so the
+    oracle reproduces it exactly.
+    """
+    expr = f"""
+    array_join(transform(sequence(0, 31), b ->
+      CASE WHEN aggregate(split({text_col}, ' '), 0, (acc, w) ->
+        acc + (CASE WHEN (
+            (locate(substr(md5(w), CAST(b div 4 AS int) + 1, 1), '0123456789abcdef') - 1)
+            div (CASE CAST(b % 4 AS int) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)
+          ) % 2 = 1 THEN 1 ELSE -1 END)
+      ) > 0 THEN '1' ELSE '0' END), '')
+    """
+    return spread(df).withColumn(out_col, F.expr(expr))

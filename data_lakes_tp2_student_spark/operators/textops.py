@@ -1,0 +1,98 @@
+"""Text-analysis operators (SURVEY.md §2 x4): language-ID heuristic, quality
+scoring, token counting, document fingerprinting.
+
+All are built-in expression pipelines (split / regexp / aggregate) — the hot
+path never leaves the JVM, unlike the reference's row-wise `.apply` habit
+(/root/reference/data_analysis.ipynb:259, src/process_to_curated.py:24-26).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.compute import spread
+
+# Tiny marker lists for the n-gram/stopword language heuristic. Real
+# pipelines plug in bigger tables; the operator shape (per-language
+# occurrence scores + argmax) is what matters.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of"],
+    "fr": ["le", "la", "de"],
+    "de": ["der", "die", "das"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def _occurrence_score(words_expr: str, markers: list[str]) -> str:
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"aggregate({words_expr}, 0, (acc, w) -> "
+        f"acc + (CASE WHEN w IN ({quoted}) THEN 1 ELSE 0 END))"
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, out_col: str = "pred_lang") -> DataFrame:
+    """x4 — marker-word language ID: per-language occurrence counts, argmax
+    (ties resolved in en > fr > de order, deterministically)."""
+    words = f"split({text_col}, ' ')"
+    scores = {
+        lang: F.expr(_occurrence_score(words, m)) for lang, m in LANG_MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (scores["en"] >= scores["fr"]) & (scores["en"] >= scores["de"]), "en"
+        )
+        .when(scores["fr"] >= scores["de"], "fr")
+        .otherwise("de")
+    )
+    return spread(df).withColumn(out_col, pred)
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """x4 — quality features + composite score:
+    word count, average word length, stopword ratio, and a bounded score
+    favoring long documents with low stopword density."""
+    n_words = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    n_chars = F.length(text_col).cast("bigint")
+    avg_wlen = F.round(
+        (n_chars - (n_words - 1)).cast("double") / n_words, 6
+    )
+    stop_count = F.expr(_occurrence_score(f"split({text_col}, ' ')", STOPWORDS))
+    stop_ratio = F.round(stop_count.cast("double") / n_words, 6)
+    score = F.round(
+        F.lit(0.4) * F.least(n_words.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.4) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.2) * F.least(avg_wlen / 10.0, F.lit(1.0)),
+        6,
+    )
+    return spread(df).select(
+        "*",
+        n_words.alias("n_words"),
+        avg_wlen.alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """x4 — token counting three ways: whitespace tokens, BPE-ish regex
+    tokens (letter runs / digit runs / single other), chars/4 estimate."""
+    ws = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    re_toks = F.size(
+        F.expr(f"regexp_extract_all({text_col}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")
+    ).cast("bigint")
+    est = F.ceil(F.length(text_col) / F.lit(4.0)).cast("bigint")
+    return df.select(
+        "*",
+        ws.alias("ws_tokens"),
+        re_toks.alias("regex_tokens"),
+        est.alias("est_bpe_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    """x4 — content fingerprint: md5 over whitespace-normalized lowercase
+    text (the exact-dup key); pairs with x2's MinHash for near-dup."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.withColumn(out_col, F.md5(F.trim(norm)))

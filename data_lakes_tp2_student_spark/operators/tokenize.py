@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.compute import spread
+
 
 def tokenize_chars(
     df: DataFrame,
@@ -44,7 +46,8 @@ def tokenize_chars(
             F.lit(pad_id), F.lit(max_len) - F.least(F.length(text_col), F.lit(max_len))
         ),
     )
-    return df.withColumn(out_col, padded.cast("array<int>"))
+    # per-char substr runs interpreted — spread so one input file ≠ one task
+    return spread(df).withColumn(out_col, padded.cast("array<int>"))
 
 
 def widen_tokens(df: DataFrame, tokens_col: str = "tokens", width: int = 1024) -> DataFrame:

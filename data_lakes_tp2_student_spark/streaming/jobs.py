@@ -1,0 +1,104 @@
+"""Structured Streaming jobs over the events table (SURVEY.md §2 i4/i5).
+
+The reference is batch-only; these give the engine a real streaming path:
+file-source → watermarked event-time transform → memory sink, driven to
+completion synchronously (processAllAvailable) so results are inspectable
+as a DataFrame. In production the source/sink swap for Kafka/Delta without
+touching the transform (the same `operators.windows` aggregations apply).
+
+The events parquet stores TIMESTAMP(NANOS); the stream reads ts as long
+(nanosAsLong) and converts to microseconds, same as `registry.load`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+# Spark's file stream source requires a *directory*; testdata is one parquet
+# file per table, so stage a symlink dir (no data copy) under the repo tmp.
+_STAGE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".tmp",
+    "stream_stage",
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos; converted below
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stage_dir(sf_dir: str, table: str) -> str:
+    src = os.path.abspath(f"{sf_dir}/{table}.parquet")
+    d = os.path.join(_STAGE_ROOT, hashlib.md5(src.encode()).hexdigest()[:12])
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(_stage_dir(sf_dir, "events"))
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
+    """Start the streaming query into a memory sink, drain all available
+    input synchronously, and return the sink table."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return result.sparkSession.table(name)
+
+
+def stream_tumbling_agg(
+    spark: SparkSession, sf_dir: str, duration: str = "10 minutes"
+) -> DataFrame:
+    """i4 — watermarked tumbling-window aggregation, complete mode (the
+    memory sink then holds exactly the batch-equivalent result, so the same
+    SQL oracle applies)."""
+    from ..functions.money import dec2
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("value")).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i5 — stateful streaming dedup on event_id within the watermark
+    horizon; emits each id once (append mode)."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    deduped = ev.dropDuplicates(["event_id"]).select("event_id")
+    return _run_to_memory(deduped, "append")
