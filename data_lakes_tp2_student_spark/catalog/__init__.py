@@ -8,6 +8,7 @@ from ..registry import REGISTRY, Query  # noqa: F401
 
 from . import events_windows  # noqa: F401,E402
 from . import extras  # noqa: F401,E402
+from . import extras2  # noqa: F401,E402
 from . import ingest  # noqa: F401,E402
 from . import llm_ops  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402

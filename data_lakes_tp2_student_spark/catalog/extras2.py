@@ -1,0 +1,95 @@
+"""Second coverage sweep: stateful streaming (i6), JSON/ORC sources (a-group
+format coverage), unpivot, and explode-based term frequency (j3 analog)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import load, register
+from ..streaming.jobs import read_events_stream, _run_to_memory
+from ..streaming.stateful import running_totals_per_user
+
+_TMP = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".tmp",
+    "ingest",
+)
+
+
+@register(
+    "i6_stateful_running_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(sum(value), 6) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def i6_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i6 — applyInPandasWithState per-user running totals; with the whole
+    file in one micro-batch the emitted state equals the batch aggregation,
+    so the plain grouped SQL is the oracle."""
+    ev = read_events_stream(spark, sf_dir)
+    out = _run_to_memory(running_totals_per_user(ev), "update")
+    return out.select("user_id", "n", F.round("total", 6).alias("total"))
+
+
+@register("a8_json_roundtrip", oracle="SELECT * FROM nation")
+def a8_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a-group format coverage — JSON lines sink + schema-imposed source."""
+    from .ingest import NATION_SCHEMA
+
+    path = f"{_TMP}/a8_nation_json"
+    load(spark, sf_dir, "nation").write.mode("overwrite").json(path)
+    return spark.read.schema(NATION_SCHEMA).json(path)
+
+
+@register("a9_orc_roundtrip", oracle="SELECT * FROM nation")
+def a9_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a-group format coverage — ORC sink + source (columnar alternative;
+    pushdown/pruning apply as with parquet)."""
+    path = f"{_TMP}/a9_nation_orc"
+    load(spark, sf_dir, "nation").write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@register(
+    "x6_unpivot",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric,
+           CAST(c_nationkey AS DOUBLE) AS val FROM customer
+    """,
+)
+def x6_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x6 — unpivot via stack() (wide → long; the inverse of x6_pivot)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal, "
+            "'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)"
+        ),
+    )
+
+
+@register(
+    "x4_term_frequency",
+    oracle="""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    SELECT word, count(*) AS tf FROM w
+    GROUP BY word ORDER BY tf DESC, word LIMIT 20
+    """,
+)
+def x4_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x4/j3 — corpus term frequency: explode (the UDTF analog) + hash agg +
+    deterministic top-k."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), "word")
+        .limit(20)
+    )

@@ -36,9 +36,14 @@ def tokenize_chars(
     ``max_len``. Codepoint ids keep the operator dependency-free and
     oracle-portable; swapping in any fixed char→id map is a one-expression
     change."""
-    body = F.expr(
-        f"transform(sequence(1, least(length({text_col}), {max_len})), "
-        f"i -> ascii(substr({text_col}, i, 1)))"
+    # sequence(1, 0) DESCENDS in Spark (auto step -1) — guard the empty case.
+    body = F.when(
+        F.length(text_col) == 0, F.expr("cast(array() AS array<int>)")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(1, least(length({text_col}), {max_len})), "
+            f"i -> ascii(substr({text_col}, i, 1)))"
+        )
     )
     padded = F.concat(
         body,
