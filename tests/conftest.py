@@ -16,12 +16,16 @@ SF_ORACLE = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     s = get_spark(
         app_name="tests",
         cpus=os.environ.get("SPARK_GRAFT_CPUS", "4"),
         shuffle_partitions=8,
         driver_memory="4g",
+        extra_conf={
+            # static conf: must be set at session creation (bucketing tests)
+            "spark.sql.warehouse.dir": str(tmp_path_factory.mktemp("spark_wh")),
+        },
     )
     yield s
 
