@@ -75,6 +75,31 @@ def x6_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "h5_math_functions",
+    oracle="""
+    SELECT p_partkey,
+           round(p_retailprice, 1) AS price_r1,
+           abs(p_size - 25) AS size_dist,
+           round(power(CAST(p_size AS DOUBLE), 2.0), 6) AS size_sq,
+           round(sqrt(CAST(p_size AS DOUBLE)), 6) AS size_sqrt,
+           CAST(p_size % 7 AS INT) AS size_mod
+    FROM part
+    """,
+)
+def h5_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h5 — math scalar set: round/abs/pow/sqrt/mod (all codegen'd)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_r1"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.round(F.pow(F.col("p_size").cast("double"), 2.0), 6).alias("size_sq"),
+        F.round(F.sqrt(F.col("p_size").cast("double")), 6).alias("size_sqrt"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod"),
+    )
+
+
+@register(
     "x4_term_frequency",
     oracle="""
     WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

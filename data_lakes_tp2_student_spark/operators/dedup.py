@@ -65,6 +65,38 @@ def with_shingles(df: DataFrame, text_col: str, out_col: str = "shingles") -> Da
     )
 
 
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingle) rows — the fully-codegen shingle shape.
+
+    The array form (`with_shingles`) pays an interpreted lambda per shingle,
+    and Catalyst inlines the words alias into the lambda so `split()` re-runs
+    PER SHINGLE (measured: 8 copies of split() in the physical plan, seconds
+    of wall time at sf0.1). Here: split once → posexplode → window `lead`
+    stitches each 3-word shingle — every operator whole-stage-codegen'd; the
+    one shuffle (hash by id for the window) is the same partitioning the
+    downstream signature aggregation needs anyway. Short docs (<SHINGLE_W
+    words) contribute their whole text, matching `with_shingles`."""
+    words = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "_w")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    lead1, lead2 = F.lead("_w", 1).over(w), F.lead("_w", 2).over(w)
+    long_sh = (
+        words.select(
+            F.col(id_col),
+            F.concat_ws(" ", "_w", lead1, lead2).alias("s"),
+            lead2.alias("_l2"),
+        )
+        .filter(F.col("_l2").isNotNull())
+        .drop("_l2")
+    )
+    short = (
+        df.filter(F.size(F.split(F.col(text_col), " ")) < SHINGLE_W)
+        .select(F.col(id_col), F.col(text_col).alias("s"))
+    )
+    return long_sh.unionByName(short)
+
+
 def rotation(h: Column, j: int) -> Column:
     """The j-th hash of the family: the md5 hex string rotated left by j
     chars. One real md5 per shingle; rotations give k distinct uniform-ish
@@ -88,10 +120,8 @@ def minhash_signatures(
     identical in every engine. Shape: explode → md5 → k min-aggs (codegen,
     map-side partial aggregation; see module docstring).
     """
-    ex = with_shingles(spread(df), text_col).select(
-        F.col(id_col), F.explode("shingles").alias("_s")
-    )
-    h = ex.select(id_col, F.md5("_s").alias("_h"))
+    ex = exploded_shingles(spread(df), id_col, text_col)
+    h = ex.select(id_col, F.md5("s").alias("_h"))
     aggs = [F.min(rotation(F.col("_h"), j)).alias(f"_s{j}") for j in range(num_hashes)]
     wide = h.groupBy(id_col).agg(*aggs)
     return wide.select(
@@ -139,24 +169,38 @@ def jaccard_verify(
     pairs: DataFrame, df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """x2 — exact shingle-set Jaccard for candidate pairs (the verify stage
-    after LSH; only candidates pay the set-intersection cost). The shingle
-    table is persisted — it is joined once per pair side."""
-    sh = (
-        with_shingles(spread(df), text_col)
-        .select(F.col(id_col), F.array_distinct("shingles").alias("sh"))
-        .persist()
-    )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    after LSH; only candidates pay set costs), join-based: intersection =
+    equi-join of the two exploded distinct-shingle sides on (pair, shingle),
+    union = |A| + |B| − |A∩B|. No per-pair array materialization; every stage
+    codegen'd; LSH false positives with zero overlap keep jaccard 0 via the
+    left join. The distinct-shingle table and the pairs table are persisted —
+    each feeds two branches of the join tree."""
+    pairs = pairs.persist()
+    sh = exploded_shingles(spread(df), id_col, text_col).distinct().persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "s")
+    b = sh.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
         pairs.join(a, "id_a")
-        .join(b, "id_b")
+        .join(b, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("_nb"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"_inter": 0})
+        .join(na, "id_a")
+        .join(nb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+                6,
+            ).alias("jaccard"),
         )
     )
 

@@ -68,6 +68,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros builds an instant rendered in the SESSION tz at
+        # collect time; pin UTC so values match the (naive-UTC) oracle even
+        # under a caller session configured differently. (The TPC-H tables
+        # read as timestamp_ntz and are immune.)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")

@@ -51,6 +51,7 @@ def _stage_dir(sf_dir: str, table: str) -> str:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see registry.load
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
