@@ -17,6 +17,7 @@ from ..operators.multimodal import attach_fake_media, extract_features
 from ..operators.similarity import (
     hyperplane_coefficients,
     knn_bruteforce,
+    knn_ivf,
     knn_lsh,
 )
 from ..operators.textops import (
@@ -250,6 +251,47 @@ def x3b_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(emb, emb.filter(F.col("vec_id") < 3), k=5, planes=6, dim=64)
 
 
+@register(
+    "x3c_knn_ivf",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS centroid, embedding AS cvec
+                  FROM embeddings WHERE vec_id < 16),
+    assigned AS (
+        SELECT e.vec_id, e.embedding, c.centroid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_sql_cos('e.embedding', 'c.cvec')} DESC, c.centroid
+               ) AS crn
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, embedding, centroid FROM assigned WHERE crn = 1),
+    probes AS (SELECT vec_id AS query_id, embedding AS qe, centroid
+               FROM assigned WHERE vec_id < 3 AND crn <= 2),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               {_sql_cos('c.embedding', 'p.qe')} AS cos_sim
+        FROM cells c JOIN probes p USING (centroid)
+        WHERE c.vec_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rn <= 5
+    """,
+)
+def x3c_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x3 scale path (IVF): 16 deterministic centroid cells, nprobe=2 —
+    candidates ∝ corpus/16 × 2 per query instead of the full corpus; exact
+    cosine only within probed cells. The inverted-file analog of x3b's LSH
+    bucketing (k-means would refine centroid positions; join shape equal)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_ivf(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, n_cells=16, nprobe=2
+    )
+
+
 # ----------------------------------------------------------- x4 text analysis
 
 _MARKER_SQL = {
@@ -391,3 +433,77 @@ def x5b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = attach_fake_media(docs, "doc_id", "text")
     return extract_features(media)
+
+
+# ------------------------------------------- x9 composite: corpus preparation
+
+
+@register(
+    "x9_corpus_prep",
+    oracle="""
+    WITH dedup AS (
+        SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    ),
+    f AS (
+        SELECT doc_id, source, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               list_sum(list_transform(string_split(text, ' '),
+                 w -> CASE WHEN w IN ('the','a','of','and','to','in')
+                           THEN 1 ELSE 0 END)) AS stop_count
+        FROM dedup
+    ),
+    r AS (
+        SELECT doc_id, source, text, n_words,
+               round(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6)
+                   AS avg_word_len,
+               round(CAST(stop_count AS DOUBLE) / n_words, 6) AS stopword_ratio
+        FROM f
+    ),
+    scored AS (
+        SELECT *,
+               round(CAST(0.4 AS DOUBLE) * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+                     + CAST(0.4 AS DOUBLE) * (1.0 - stopword_ratio)
+                     + CAST(0.2 AS DOUBLE) * least(avg_word_len / 10.0, 1.0), 6)
+                   AS quality_score
+        FROM r
+    ),
+    kept AS (
+        SELECT *, CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        FROM scored WHERE quality_score >= 0.5
+    )
+    SELECT source,
+           count(*) AS docs_kept,
+           sum(est_bpe_tokens) AS est_tokens,
+           round(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_quality
+    FROM kept
+    GROUP BY source
+    """,
+)
+def x9_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x9 — the end-to-end LLM corpus-prep composite: exact dedup (x1) →
+    quality scoring (x4) → threshold filter → per-source token accounting.
+    One pipeline, three shuffles (dedup window, final group-by; quality is
+    pure projection). The average is computed from an exact DECIMAL sum
+    divided in double — associative, so bit-stable under any partitioning."""
+    docs = load(spark, sf_dir, "documents")
+    kept = exact_dedup(docs, "text", "doc_id")
+    scored = quality_features(kept, "text").filter(
+        F.col("quality_score") >= 0.5
+    )
+    with_tokens = token_counts(scored, "text")
+    return with_tokens.groupBy("source").agg(
+        F.count("*").alias("docs_kept"),
+        F.sum("est_bpe_tokens").alias("est_tokens"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_quality"),
+    )

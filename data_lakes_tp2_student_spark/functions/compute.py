@@ -18,3 +18,17 @@ def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     parallelism) ahead of a compute-heavy stage."""
     n = parallelism or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n)
+
+
+def eager(df: DataFrame) -> DataFrame:
+    """Persist AND materialize now.
+
+    `persist()` alone is lazy; when the persisted subtree feeds several
+    broadcast-exchange builds, Spark launches those builds concurrently
+    (separate jobs) and each races to compute the not-yet-cached subtree —
+    a cache stampede that multiplies the most expensive pipeline stage
+    (measured 3-6× wall on the minhash→LSH→verify chain). One cheap count()
+    fills the cache before the fan-out, so every consumer reads blocks."""
+    df = df.persist()
+    df.count()
+    return df

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..functions.compute import spread
+from ..functions.compute import eager, spread
 
 # Word-shingle width for MinHash/Jaccard (3-word shingles).
 SHINGLE_W = 3
@@ -139,16 +139,19 @@ def lsh_candidate_pairs(
     """x2 — band the signatures and emit candidate pairs (id_a < id_b) that
     collide in at least one band. Equi-join on (band, band_hash) only.
 
-    The banded side is persisted: it feeds both sides of the self-join, and
-    without persistence Spark would recompute the full signature pipeline
-    twice."""
+    The banded side is persisted AND materialized (`eager`): it feeds both
+    sides of the self-join, and with a lazy persist the two join inputs (and
+    any downstream broadcast builds) race to compute the full signature
+    pipeline concurrently — each doing the whole work."""
     band_hashes = F.expr(
         f"transform(sequence(0, {bands - 1}), "
         f"b -> md5(concat_ws('|', slice({sig_col}, b * {rows_per_band} + 1, {rows_per_band}))))"
     )
-    banded = sig_df.select(
-        F.col(id_col), F.posexplode(band_hashes).alias("band", "band_hash")
-    ).persist()
+    banded = eager(
+        sig_df.select(
+            F.col(id_col), F.posexplode(band_hashes).alias("band", "band_hash")
+        )
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -173,10 +176,12 @@ def jaccard_verify(
     equi-join of the two exploded distinct-shingle sides on (pair, shingle),
     union = |A| + |B| − |A∩B|. No per-pair array materialization; every stage
     codegen'd; LSH false positives with zero overlap keep jaccard 0 via the
-    left join. The distinct-shingle table and the pairs table are persisted —
-    each feeds two branches of the join tree."""
-    pairs = pairs.persist()
-    sh = exploded_shingles(spread(df), id_col, text_col).distinct().persist()
+    left join. The distinct-shingle table and the pairs table are persisted
+    and materialized up front — each feeds two+ branches of the join tree,
+    several of them broadcast builds that would otherwise recompute the
+    whole upstream pipeline concurrently (see functions.compute.eager)."""
+    pairs = eager(pairs)
+    sh = eager(exploded_shingles(spread(df), id_col, text_col).distinct())
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "s")
     b = sh.select(F.col(id_col).alias("id_b"), "s")
