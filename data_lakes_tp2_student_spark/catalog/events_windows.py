@@ -99,3 +99,38 @@ def i5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """i5 — stateful streaming dropDuplicates on event_id (append mode);
     the emitted set is the distinct ids regardless of arrival order."""
     return stream_dedup(spark, sf_dir)
+
+
+@register(
+    "e3b_sessionize",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL '300 seconds'
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM s
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def e3b_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e3 — gap-based sessionization with stable 0-based session ids
+    (lag + running-sum-of-breaks over one partitioning by user); the
+    window-function dual of i3's session_window."""
+    from ..operators.windows import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    return sessionize(ev, "ts", "user_id", "event_id", gap_seconds=300)

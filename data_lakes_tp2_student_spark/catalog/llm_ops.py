@@ -507,3 +507,55 @@ def x9_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_quality"),
     )
+
+
+@register(
+    "x4b_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               [CAST(0 AS BIGINT)]
+                   || list_transform(string_split(text, ''),
+                                     c -> CAST(ascii(c) AS BIGINT)),
+               (acc, c) -> (acc * 31 + c) % 1000000007
+           ) AS rolling_hash
+    FROM documents
+    """,
+)
+def x4b_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x4 — polynomial (Rabin-Karp-style) rolling-hash fingerprint per
+    document; per-step mod keeps bigint arithmetic overflow-free and the
+    fold portable verbatim to the oracle."""
+    from ..operators.textops import rolling_fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    return rolling_fingerprint(docs, "text").select("doc_id", "rolling_hash")
+
+
+@register(
+    "x4c_pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '[0-9]+', '<NUM>', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def x4c_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x4 — PII scrubbing for training corpora: mask email-shaped tokens
+    then digit runs, pure `regexp_replace` (codegen, no UDF). Both regexes
+    stay in the common Java-regex/RE2 subset so the oracle is verbatim."""
+    docs = load(spark, sf_dir, "documents")
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.col("text"),
+            r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            "<EMAIL>",
+        ),
+        r"[0-9]+",
+        "<NUM>",
+    )
+    return docs.select("doc_id", scrub.alias("scrubbed"))

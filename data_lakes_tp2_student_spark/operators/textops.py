@@ -96,3 +96,21 @@ def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> D
     text (the exact-dup key); pairs with x2's MinHash for near-dup."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return df.withColumn(out_col, F.md5(F.trim(norm)))
+
+
+def rolling_fingerprint(
+    df: DataFrame, text_col: str, out_col: str = "rolling_hash"
+) -> DataFrame:
+    """x4 — polynomial rolling hash over characters:
+    ``h = fold(chars, 0, (acc, c) -> (acc*31 + ascii(c)) mod 1e9+7)``.
+
+    The per-step mod keeps the accumulator < 2^35, so bigint arithmetic is
+    overflow-free and the fold is portable to any engine verbatim (DuckDB:
+    `list_reduce`). Unlike md5 (`fingerprint`), the polynomial form extends
+    to windowed/rolling substring hashes (Rabin-Karp) — the building block
+    for content-defined chunking of long documents."""
+    expr = (
+        f"aggregate(split({text_col}, ''), 0L, "
+        f"(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"
+    )
+    return spread(df).withColumn(out_col, F.expr(expr))

@@ -14,7 +14,7 @@ plan a 1000-executor cluster wants (no global sort).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.money import dec2
 
@@ -50,6 +50,41 @@ def sliding_window_agg(
             F.sum(dec2("value")).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), *keys, "n", "sum_value")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    key: str,
+    tiebreak: str,
+    gap_seconds: int = 300,
+) -> DataFrame:
+    """e3 — explicit gap-based sessionization (the window-function dual of
+    `session_window_agg`, exposing a stable 0-based session id per key):
+    break where the gap to the previous event exceeds `gap_seconds`, then a
+    running sum of breaks numbers the sessions. Two window functions over
+    ONE hash partitioning by key — a single exchange, no global sort; skew
+    is bounded by the hottest key. Gap compare is in exact microseconds
+    (`unix_micros`), portable to the oracle's interval compare."""
+    order = [F.col(ts_col), F.col(tiebreak)]
+    w = Window.partitionBy(key).orderBy(*order)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+        F.lag(ts_col).over(w)
+    )
+    brk = F.when(gap_us > gap_seconds * 1_000_000, 1).otherwise(0)
+    run = Window.partitionBy(key).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        df.withColumn("_brk", brk)
+        .withColumn("session_id", F.sum("_brk").over(run))
+        .groupBy(key, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
     )
 
 
