@@ -134,3 +134,23 @@ def e3b_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return sessionize(ev, "ts", "user_id", "event_id", gap_seconds=300)
+
+
+@register(
+    "i7_stream_interval_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           v.ts AS view_ts, p.ts AS purchase_ts
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL '10 minutes'
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def i7_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i7 — watermarked stream-stream interval join; inner-join emission
+    makes the drained result equal the batch join (SQL oracle)."""
+    from ..streaming.jobs import stream_interval_join
+
+    return stream_interval_join(spark, sf_dir)

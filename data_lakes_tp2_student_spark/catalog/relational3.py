@@ -292,3 +292,52 @@ def f5_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.filter(F.md5(key) < "1").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@register(
+    "d13_conditional_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) FILTER (WHERE value > 50) AS n_high,
+           bool_or(value > 99) AS any_extreme,
+           bool_and(value >= 0) AS all_nonneg,
+           min_by(user_id, event_id) AS first_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def d13_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d13 — conditional/ordered aggregates: count_if, bool_or/bool_and,
+    min_by keyed on the unique event_id (deterministic). All are single-pass
+    hash aggregates with map-side partials."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50).alias("n_high"),
+        F.bool_or(F.col("value") > 99).alias("any_extreme"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.min_by("user_id", "event_id").alias("first_user"),
+    )
+
+
+@register(
+    "d14_stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(avg(l_quantity), 4) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d14_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d14 — statistical moment aggregates (sample stddev/variance/mean).
+    Double accumulation order differs across partitionings, so results are
+    rounded to 4 decimals — ~1e-9 absolute drift against a 0.5e-4 rounding
+    boundary keeps the oracle hash stable."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )

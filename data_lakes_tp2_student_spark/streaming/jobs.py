@@ -103,3 +103,40 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     deduped = ev.dropDuplicates(["event_id"]).select("event_id")
     return _run_to_memory(deduped, "append")
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i7 — stream-stream interval join (view → purchase attribution):
+    purchases join views of the same user within [view_ts, view_ts+10min).
+    Both sides carry watermarks so the join state is bounded (Spark evicts
+    buffered rows once the watermark passes the interval bound — the
+    property that makes this run forever on a real stream). Inner-join
+    results emit as soon as they match, so draining the file source yields
+    exactly the batch join — the SQL oracle applies."""
+    ev = read_events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = user_id AND purchase_ts >= view_ts "
+            "AND purchase_ts < view_ts + interval 10 minutes"
+        ),
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+    return _run_to_memory(joined, "append")
