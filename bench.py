@@ -43,7 +43,9 @@ HEADLINE = [
     "x6_tpch_q3",
     "x6_tpch_q5",
     "x6_tpch_q6",
+    "x6_tpch_q8",
     "x6_tpch_q19",
+    "x6_tpch_q21",
     "c7_asof_join",
     "i1_tumbling_window",
     "i3_session_window",

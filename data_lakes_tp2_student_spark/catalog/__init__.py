@@ -15,4 +15,5 @@ from . import pipeline_ops  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402
+from . import relational4  # noqa: F401,E402
 from . import stats  # noqa: F401,E402
