@@ -166,7 +166,7 @@ def x6_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN orders o ON o.o_orderkey = l.l_orderkey
         JOIN nation n ON s.s_nationkey = n.n_nationkey
-        WHERE p.p_name LIKE '%1%'
+        WHERE p.p_name LIKE '%r%'
     ) profit
     GROUP BY nation, o_year
     ORDER BY nation, o_year DESC
@@ -178,7 +178,7 @@ def x6_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same join arity minus one, same profit-expression shape: revenue minus
     cost*quantity, exact decimal). Groups profit by supplier nation and
     order year over a LIKE-filtered part subset."""
-    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%1%"))
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%r%"))
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     o = load(spark, sf_dir, "orders")
@@ -207,7 +207,7 @@ def x6_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, value FROM partvalue
     WHERE CAST(value AS DOUBLE) >
-          (SELECT CAST(sum(value) AS DOUBLE) * 0.001 FROM partvalue)
+          (SELECT CAST(sum(value) AS DOUBLE) * 0.0005 FROM partvalue)
     ORDER BY value DESC, l_partkey
     """,
 )
@@ -223,7 +223,7 @@ def x6_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = l.groupBy("l_partkey").agg(F.sum(disc_price()).alias("value"))
     pv = pv.persist()
     total = pv.agg(
-        (F.sum("value").cast("double") * F.lit(0.001)).alias("_threshold")
+        (F.sum("value").cast("double") * F.lit(0.0005)).alias("_threshold")
     )
     return (
         pv.crossJoin(F.broadcast(total))
@@ -433,7 +433,8 @@ def x6_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cntrycode, count(*) AS numcust, sum(bal) AS totacctbal
     FROM pool, threshold
     WHERE CAST(bal AS DOUBLE) > avg_bal
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pool.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pool.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     GROUP BY cntrycode
     ORDER BY cntrycode
     """,
@@ -445,9 +446,15 @@ def x6_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed as exact-decimal sum / count, divided in double once — the
     membership predicate is then bit-identical in both engines (a plain
     double avg() would drift with partitioning and could flip a borderline
-    customer). NOT EXISTS(orders) → left anti join."""
+    customer). NOT EXISTS(urgent orders) → left anti join (the priority
+    filter keeps the anti-join non-vacuous on the driver data, where every
+    customer has at least one order)."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     pool = c.filter((F.col("c_nationkey") % 10).isin(1, 2, 3, 4, 5, 6, 7)).select(
         "c_custkey",
         (F.col("c_nationkey") % 10).alias("cntrycode"),
