@@ -34,6 +34,7 @@ HEADLINE = [
     "x1_exact_dedup",
     "x2_minhash_pairs",
     "x2b_jaccard_verify",
+    "x2e_dup_clusters",
     "x3_knn_bruteforce",
     "x3b_knn_lsh",
     "x3c_knn_ivf",

@@ -11,9 +11,11 @@ from . import extras  # noqa: F401,E402
 from . import extras2  # noqa: F401,E402
 from . import ingest  # noqa: F401,E402
 from . import llm_ops  # noqa: F401,E402
+from . import llm_ops2  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402
 from . import relational4  # noqa: F401,E402
+from . import relational5  # noqa: F401,E402
 from . import stats  # noqa: F401,E402

@@ -1,0 +1,118 @@
+"""Catalog entries for the second batch of LLM-data-pipeline extensions
+(SURVEY.md §2 group X): near-dup cluster assignment (the step after x2's
+candidate pairs), TF-IDF characteristic terms, and sequence packing into
+fixed-token training chunks.
+
+The reference (sarafa19/Data-Lakes-tp2-student) has none of this surface —
+it is mandated by the driver's north star (dedup / text analysis at 100 TB
+scale); see SURVEY.md §2.X.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import dup_clusters, lsh_candidate_pairs, minhash_signatures
+from ..operators.textops import pack_sequences, tfidf_top_terms, token_counts
+from ..registry import load, register
+from .llm_ops import _MINHASH_CTE, _N_BANDS, _N_HASHES, _ROWS_PER_BAND
+
+# The recursive-CTE oracle needs RECURSIVE on the shared WITH list.
+_MINHASH_CTE_REC = _MINHASH_CTE.replace("WITH words", "WITH RECURSIVE words", 1)
+
+
+@register(
+    "x2e_dup_clusters",
+    oracle=_MINHASH_CTE_REC
+    + """
+    , nodes AS (
+        SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(id, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+    )
+    SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+    """,
+)
+def x2e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x2 — duplicate-cluster assignment: connected components over the LSH
+    candidate pairs (min-reachable-doc-id labeling). Closes the A~B, B~C
+    transitivity gap that pairwise dedup leaves open; "keep min doc_id per
+    cluster_id" is then the full near-dup dedup policy. The oracle computes
+    the same components via a recursive transitive-closure CTE."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=_N_HASHES)
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", bands=_N_BANDS, rows_per_band=_ROWS_PER_BAND
+    )
+    return dup_clusters(pairs)
+
+
+@register(
+    "x4d_tfidf_topk",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(CAST(tf.tf AS DOUBLE)
+                     * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+    """,
+)
+def x4d_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x4 — top-3 characteristic terms per document by TF-IDF (three hash
+    aggs + one term join + per-doc window top-k; corpus size joins in as a
+    broadcast 1-row crossJoin, no driver collect)."""
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "x10_pack_sequences",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)
+                   AS est_bpe_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id, source, est_bpe_tokens,
+               CAST(COALESCE(sum(est_bpe_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS token_offset
+        FROM toks
+    )
+    SELECT doc_id, source, est_bpe_tokens, token_offset,
+           token_offset // 4096 AS chunk_id
+    FROM placed
+    """,
+)
+def x10_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x10 — pack documents head-to-tail into 4096-token training chunks,
+    per source shard (per-group window prefix-sum; exact bigint)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = token_counts(docs, "text").select("doc_id", "source", "est_bpe_tokens")
+    return pack_sequences(
+        toks, "doc_id", "source", "est_bpe_tokens", budget=4096
+    )

@@ -210,6 +210,86 @@ def jaccard_verify(
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """x2 — connected components over near-dup candidate pairs: every doc in
+    a duplicate cluster gets ``cluster_id`` = the minimum doc id reachable
+    through candidate edges. This is the step between "pairs" and "keep one
+    per cluster" — pairwise dedup alone breaks on A~B, B~C chains where A~C
+    never collides.
+
+    Min-label propagation + pointer jumping (the Pregel/GraphX
+    connected-components algorithm with path-halving, as DataFrame joins):
+    each round every node takes the min of its own label, its neighbors'
+    labels, AND its label's label — the shortcut step turns O(diameter)
+    convergence into O(log diameter), which is what survives adversarial
+    duplicate chains (doc_i ~ doc_{i+1} series show up in real corpora).
+
+    Each round's result is `localCheckpoint`ed, not persisted: `persist`
+    reuses cached BLOCKS but leaves the logical plan intact, so an
+    iterative loop whose round references the previous round ~3× (the
+    propagate join, the shortcut join, the convergence check) builds a
+    3^k-node plan tree — Catalyst analysis alone OOMs the driver after ~10
+    rounds regardless of data size. Checkpointing truncates lineage to the
+    materialized partitions, keeping every round's plan O(1). (On a
+    multi-executor cluster with unreliable nodes, swap for
+    `sparkContext.setCheckpointDir` + `checkpoint()` — same contract,
+    HDFS-backed.) The driver loop only orchestrates and checks a scalar
+    convergence count; state is O(nodes-in-pairs), never O(corpus):
+    singleton docs never enter the graph."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("_nbr"))
+        )
+        prop = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))
+            ).alias("label"),
+        )
+        # Pointer jumping: label <- min(label, label(label)). Every label is
+        # itself a node id, so the self-join always hits; `left` is safety.
+        hop = prop.select(
+            F.col("id").alias("_pid"), F.col("label").alias("_plabel")
+        )
+        new = (
+            prop.join(hop, prop.label == hop._pid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("label", "_new")
+            .join(labels.withColumnRenamed("label", "_old"), "id")
+            .filter(F.col("_new") != F.col("_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
     """x2 — 32-bit SimHash over words as a bit string: bit b is 1 when the
     word-population's b-th md5 bit majority is positive.

@@ -91,6 +91,82 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """x4 — top-k characteristic terms per document by TF-IDF.
+
+    Three hash aggregations (term frequency per doc, document frequency per
+    term, corpus size), one join on term, one per-doc window for the top-k —
+    every stage shuffles on its natural key with map-side partial
+    aggregation; the 1-row corpus count joins in via broadcast crossJoin,
+    never a driver-side collect. Ranking compares the ROUNDED score (plus
+    term as tiebreak) so the ordering is deterministic across engines even
+    where libm `ln` differs in the last ulp."""
+    words = spread(df).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("_n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_col: str,
+    budget: int = 4096,
+) -> DataFrame:
+    """x4/x10 — concat-and-chunk sequence packing for LLM training: order
+    documents deterministically within each group, lay them head-to-tail,
+    and assign each to the training chunk (context window of `budget`
+    tokens) its first token lands in.
+
+    The running offset is a window prefix-sum PER GROUP (source shard) —
+    the scalable form of packing: a single global order would serialize
+    into one partition, while per-shard packing keeps every partition
+    independent (and matches how training data is actually sharded). Pure
+    bigint arithmetic — exact in any engine."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(token_col),
+        offset.alias("token_offset"),
+    ).withColumn(
+        "chunk_id", F.expr(f"token_offset div {budget}").cast("bigint")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
     """x4 — content fingerprint: md5 over whitespace-normalized lowercase
     text (the exact-dup key); pairs with x2's MinHash for near-dup."""

@@ -77,3 +77,51 @@ def test_label_encode_dense_codes(spark):
         for r in label_encode(df, "cls").select("cls", "class_encoded").collect()
     }
     assert codes == {"a": 0, "b": 1, "c": 2}
+
+
+def test_dup_clusters_transitive_chain(spark):
+    from data_lakes_tp2_student_spark.operators.dedup import dup_clusters
+
+    # A~B, B~C chain plus a disjoint D~E pair: components {1,2,3} and {7,8}.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a bigint, id_b bigint"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_dup_clusters_empty_pairs(spark):
+    from data_lakes_tp2_student_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert dup_clusters(pairs).count() == 0
+
+
+def test_pack_sequences_chunk_boundaries(spark):
+    from data_lakes_tp2_student_spark.operators.textops import pack_sequences
+
+    # budget 10: offsets 0,4,8,14 -> chunks 0,0,0,1; second group restarts.
+    df = spark.createDataFrame(
+        [(1, "g1", 4), (2, "g1", 4), (3, "g1", 6), (4, "g1", 2), (5, "g2", 25)],
+        "doc_id bigint, source string, est bigint",
+    )
+    out = {
+        r["doc_id"]: (r["token_offset"], r["chunk_id"])
+        for r in pack_sequences(df, "doc_id", "source", "est", budget=10).collect()
+    }
+    assert out == {1: (0, 0), 2: (4, 0), 3: (8, 0), 4: (14, 1), 5: (0, 0)}
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from data_lakes_tp2_student_spark.operators.textops import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "common rare"), (2, "common x"), (3, "common y")],
+        "doc_id bigint, text string",
+    )
+    top = {
+        r["doc_id"]: r["term"]
+        for r in tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    }
+    # 'common' appears in every doc -> idf 0; the unique term wins per doc.
+    assert top == {1: "rare", 2: "x", 3: "y"}
