@@ -236,11 +236,15 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     HDFS-backed.) The driver loop only orchestrates and checks a scalar
     convergence count; state is O(nodes-in-pairs), never O(corpus):
     singleton docs never enter the graph."""
+    # Edges hash-partitioned by the probe key ONCE; localCheckpoint keeps the
+    # partitioning in the LogicalRDD, so the per-round join re-shuffles only
+    # the (much smaller) label table, never the edge set.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
+        .repartition(F.col("dst"))
         .localCheckpoint()
     )
     labels = (
@@ -257,6 +261,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         prop = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
             "id",
+            F.col("label").alias("_old"),
             F.least(
                 F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))
             ).alias("label"),
@@ -273,16 +278,20 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("_plabel"), F.col("label")),
+                    )
+                    != F.col("_old")
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.withColumnRenamed("label", "_new")
-            .join(labels.withColumnRenamed("label", "_old"), "id")
-            .filter(F.col("_new") != F.col("_old"))
-            .count()
-        )
-        labels = new
+        # The old label rode along through the round, so convergence is a
+        # filter-count over the just-materialized blocks — no extra join job.
+        changed = new.filter(F.col("_changed")).count()
+        labels = new.drop("_changed")
         if changed == 0:
             break
     return labels.select(
