@@ -35,6 +35,7 @@ HEADLINE = [
     "x2_minhash_pairs",
     "x2b_jaccard_verify",
     "x2e_dup_clusters",
+    "x2f_simhash_pairs",
     "x3_knn_bruteforce",
     "x3b_knn_lsh",
     "x3c_knn_ivf",

@@ -143,9 +143,9 @@ def x2b_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify(pairs, docs, "doc_id", "text")
 
 
-@register(
-    "x2c_simhash",
-    oracle="""
+# Shared by x2c (fingerprints) and llm_ops2's x2f (hamming-banded pairs).
+_SIMHASH_CTE = """
+    WITH sh AS (
     SELECT doc_id,
            array_to_string(list_transform(range(0, 32), b ->
              CASE WHEN list_sum(list_transform(string_split(text, ' '), w ->
@@ -155,7 +155,13 @@ def x2b_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
                THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END), '') AS simhash
     FROM documents
-    """,
+    )
+"""
+
+
+@register(
+    "x2c_simhash",
+    oracle=_SIMHASH_CTE + "SELECT doc_id, simhash FROM sh",
 )
 def x2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x2 — 32-bit SimHash fingerprint per document (near-dup via small

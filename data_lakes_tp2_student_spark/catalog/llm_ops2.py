@@ -12,10 +12,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.dedup import dup_clusters, lsh_candidate_pairs, minhash_signatures
+from ..operators.dedup import (
+    dup_clusters,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_pairs,
+)
 from ..operators.textops import pack_sequences, tfidf_top_terms, token_counts
 from ..registry import load, register
-from .llm_ops import _MINHASH_CTE, _N_BANDS, _N_HASHES, _ROWS_PER_BAND
+from .llm_ops import _MINHASH_CTE, _N_BANDS, _N_HASHES, _ROWS_PER_BAND, _SIMHASH_CTE
 
 # The recursive-CTE oracle needs RECURSIVE on the shared WITH list.
 _MINHASH_CTE_REC = _MINHASH_CTE.replace("WITH words", "WITH RECURSIVE words", 1)
@@ -53,6 +59,39 @@ def x2e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs, "doc_id", bands=_N_BANDS, rows_per_band=_ROWS_PER_BAND
     )
     return dup_clusters(pairs)
+
+
+@register(
+    "x2f_simhash_pairs",
+    oracle=_SIMHASH_CTE
+    + """
+    , banded AS (
+        SELECT doc_id, simhash, t.b AS band, substr(simhash, t.b * 8 + 1, 8) AS bits
+        FROM sh, range(0, 4) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bits = b.bits
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           bit_count(xor(CAST(sa AS BIT), CAST(sb AS BIT))) AS hamming
+    FROM cand
+    WHERE bit_count(xor(CAST(sa AS BIT), CAST(sb AS BIT))) <= 3
+    """,
+)
+def x2f_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x2 — SimHash near-dup candidate pairs: band the 32-bit fingerprint
+    into 4 byte-slices, equi-join collisions, keep pairs within hamming ≤ 3
+    (pigeonhole: exact recall at that radius). The hamming filter is
+    bit_count(xor) on bigint forms — all codegen'd; the SimHash complement
+    to x2's MinHash banding, catching word-frequency-preserving edits that
+    shingle sets miss."""
+    docs = load(spark, sf_dir, "documents")
+    sh = simhash(docs, "text").select("doc_id", "simhash")
+    return simhash_pairs(sh, "doc_id", bands=4, max_hamming=3)
 
 
 @register(

@@ -299,6 +299,63 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     )
 
 
+def simhash_pairs(
+    sh_df: DataFrame,
+    id_col: str,
+    sim_col: str = "simhash",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """x2 — SimHash near-dup candidate pairs: band the 32-bit fingerprint
+    into `bands` slices and emit pairs (id_a < id_b) colliding on at least
+    one slice, then keep pairs within `max_hamming` exact bit flips.
+
+    Pigeonhole guarantee: two fingerprints differing in ≤ bands-1 bits MUST
+    agree on at least one band, so recall is exact for max_hamming ≤
+    bands-1 (the default 4 bands / ≤3 flips); the banded equi-join keeps
+    candidate generation O(collisions), never O(n²) — the same LSH shape
+    as MinHash banding, but on hamming space. The exact distance is
+    bit_count(xor) over the bigint forms — codegen'd integer ops, no
+    per-bit loops. The banded side is persisted+materialized: it feeds
+    both sides of the self-join (see `eager`)."""
+    nbits = 32
+    width = nbits // bands
+    band_arr = F.array(
+        *[
+            F.substring(F.col(sim_col), b * width + 1, width)
+            for b in range(bands)
+        ]
+    )
+    banded = eager(
+        sh_df.select(
+            F.col(id_col),
+            F.col(sim_col),
+            F.posexplode(band_arr).alias("band", "bits"),
+        )
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(sim_col).alias("_sa"), "band", "bits"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(sim_col).alias("_sb"), "band", "bits"
+    )
+    cand = (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.conv("_sa", 2, 10)
+        .cast("bigint")
+        .bitwiseXOR(F.conv("_sb", 2, 10).cast("bigint"))
+    ).cast("bigint")
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
     """x2 — 32-bit SimHash over words as a bit string: bit b is 1 when the
     word-population's b-th md5 bit majority is positive.

@@ -112,6 +112,27 @@ def test_pack_sequences_chunk_boundaries(spark):
     assert out == {1: (0, 0), 2: (4, 0), 3: (8, 0), 4: (14, 1), 5: (0, 0)}
 
 
+def test_simhash_pairs_identical_and_disjoint(spark):
+    from data_lakes_tp2_student_spark.operators.dedup import simhash, simhash_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely unrelated words about spark engines here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sh = simhash(df, "text").select("doc_id", "simhash")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(sh, "doc_id").collect()
+    }
+    # Identical texts -> identical fingerprints -> hamming 0; the unrelated
+    # doc must not pair with either at radius 3.
+    assert got == {(1, 2): 0}
+
+
 def test_tfidf_rare_term_outranks_common(spark):
     from data_lakes_tp2_student_spark.operators.textops import tfidf_top_terms
 
