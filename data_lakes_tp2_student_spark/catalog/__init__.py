@@ -6,6 +6,7 @@ One module per SURVEY.md §2 operator group.
 
 from ..registry import REGISTRY, Query  # noqa: F401
 
+from . import analytics  # noqa: F401,E402
 from . import events_windows  # noqa: F401,E402
 from . import extras  # noqa: F401,E402
 from . import extras2  # noqa: F401,E402
