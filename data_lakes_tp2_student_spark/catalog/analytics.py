@@ -210,9 +210,10 @@ def f6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning AND reproducible by any engine — the same portability trick
     as the e2 split shuffle key).
 
-    Scale shape: one hash exchange by stratum; row_number stops copying rows
-    after the filter (at scale prefer a per-partition top-k:
-    rank-within-partition then re-rank survivors, if strata are hot)."""
+    Scale shape: one hash exchange by stratum, and Catalyst inserts
+    WindowGroupLimit (verified in tests/test_plan_quality.py): each map task
+    keeps only its local top-k per stratum before shuffling, so the exchange
+    carries ~k·strata rows, never the table."""
     d = load(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"

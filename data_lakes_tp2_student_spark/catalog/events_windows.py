@@ -10,7 +10,7 @@ from ..operators.windows import (
     tumbling_window_agg,
 )
 from ..registry import load, register
-from ..streaming.jobs import stream_dedup, stream_tumbling_agg
+from ..streaming.jobs import stream_dedup, stream_session_agg, stream_tumbling_agg
 
 _TUMBLING_ORACLE = """
     SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
@@ -53,9 +53,7 @@ def i2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_window_agg(ev, "ts", ["event_type"])
 
 
-@register(
-    "i3_session_window",
-    oracle="""
+_SESSION_ORACLE = """
     WITH o AS (
         SELECT user_id, ts,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -76,8 +74,10 @@ def i2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(ts) + INTERVAL '5 minutes' AS session_end,
            count(*) AS n
     FROM s GROUP BY user_id, session_id
-    """,
-)
+    """
+
+
+@register("i3_session_window", oracle=_SESSION_ORACLE)
 def i3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """i3 — per-user session windows (5-minute gap); the oracle is the
     classic gaps-and-islands rewrite (lag + running sum), window end =
@@ -92,6 +92,14 @@ def i4_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink in complete mode — batch-equivalent, so the i1 oracle
     applies verbatim."""
     return stream_tumbling_agg(spark, sf_dir)
+
+
+@register("i8_stream_session", oracle=_SESSION_ORACLE)
+def i8_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i8 — Structured Streaming session windows (the merging stateful
+    aggregation), drained via memory sink in complete mode — batch-
+    equivalent, so the i3 gaps-and-islands oracle applies verbatim."""
+    return stream_session_agg(spark, sf_dir)
 
 
 @register("i5_stream_dedup", oracle="SELECT DISTINCT event_id FROM events")

@@ -9,7 +9,9 @@ partition pruning); CSV remains for export parity with the reference.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_parquet(
@@ -29,3 +31,30 @@ def write_parquet(
 def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
     """a4 — CSV with header (`to_csv(index=False)` parity)."""
     df.write.mode(mode).option("header", header).csv(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ceil(total_bytes / target_file_bytes) files of ~target size.
+
+    The small-files problem is the classic failure mode of streaming /
+    per-batch ingestion at scale: a 100 TB table written in 1M × 100 MB-ish
+    micro-batch files costs a scan 1M file-open round-trips and starves the
+    scheduler with tiny splits. Sizing is read from the filesystem via the
+    Hadoop FS API, so the same code paths work on local disk, HDFS, or s3a.
+    Round-robin ``repartition(n)`` (not ``coalesce``) is deliberate:
+    coalesce merges without a shuffle but inherits upstream skew — equal-size
+    output files need the exchange. Returns the output file count."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src)
+    fs = p.getFileSystem(hconf)
+    total = fs.getContentSummary(p).getLength()
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
+    return n

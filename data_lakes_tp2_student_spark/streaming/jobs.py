@@ -97,6 +97,23 @@ def stream_tumbling_agg(
     return _run_to_memory(agg, "complete")
 
 
+def stream_session_agg(
+    spark: SparkSession, sf_dir: str, gap: str = "5 minutes"
+) -> DataFrame:
+    """i8 — watermarked session-window aggregation on a stream (the merging
+    stateful operator: open sessions extend/merge as events arrive, close
+    after `gap` of event-time silence). Complete mode over the fully drained
+    file source equals the batch session_window result, so i3's
+    gaps-and-islands SQL is the oracle. On a real stream, append mode +
+    watermark emits each session once it can no longer merge — state is
+    bounded by the watermark horizon, not stream length."""
+    from ..operators.windows import session_window_agg
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = session_window_agg(ev, "ts", "user_id", gap)
+    return _run_to_memory(agg, "complete")
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """i5 — stateful streaming dedup on event_id within the watermark
     horizon; emits each id once (append mode)."""

@@ -69,3 +69,47 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compaction_sizes_output_files(spark, tmp_path):
+    """Small-files compaction: 32 tiny input files rewrite into the computed
+    file count with content intact (io/sinks.py:compact_parquet)."""
+    from data_lakes_tp2_student_spark.io.sinks import compact_parquet
+    import glob
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "fragmented")
+    docs.repartition(32).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 32
+
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_file_bytes=256 * 1024)
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) == n and n < 32
+    back = spark.read.parquet(dst)
+    assert back.count() == docs.count()
+    assert sorted(back.columns) == sorted(docs.columns)
+
+
+def test_resample_spine_join_is_broadcast(spark):
+    """x11 gap-fill: the dense spine (groups × hours) is the broadcast side;
+    the counts side never reshuffles for the join."""
+    from data_lakes_tp2_student_spark.registry import REGISTRY
+    import data_lakes_tp2_student_spark.catalog  # noqa: F401
+
+    df = REGISTRY["x11_resample_gapfill"].fn(spark, "/root/testdata/sf0.001")
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_stratified_sample_single_exchange(spark):
+    """f6: one hash exchange by stratum feeds the row_number window — the
+    filter prunes before anything else moves."""
+    from data_lakes_tp2_student_spark.registry import REGISTRY
+    import data_lakes_tp2_student_spark.catalog  # noqa: F401
+
+    df = REGISTRY["f6_stratified_sample"].fn(spark, "/root/testdata/sf0.001")
+    p = plan_of(df)
+    assert p.count("hashpartitioning(") == 1
+    # Spark's WindowGroupLimit keeps only k rows per stratum on the map side
+    # BEFORE the exchange — the shuffle carries ~k·strata rows, not the table.
+    assert "WindowGroupLimit" in p
