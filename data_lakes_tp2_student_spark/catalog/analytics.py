@@ -225,6 +225,155 @@ def f6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x16_pmi_cooccurrence",
+    oracle="""
+    WITH words AS (SELECT DISTINCT doc_id,
+                          unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+    dfreq AS (SELECT word, count(*) AS df FROM words GROUP BY word),
+    vocab AS (SELECT word, df FROM dfreq ORDER BY df DESC, word LIMIT 100),
+    w AS (SELECT words.doc_id, words.word, vocab.df
+          FROM words JOIN vocab USING (word)),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    pairs AS (SELECT a.word AS w1, b.word AS w2,
+                     a.df AS df1, b.df AS df2, count(*) AS n_ab
+              FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.word < b.word
+              GROUP BY a.word, b.word, a.df, b.df)
+    SELECT w1, w2, n_ab,
+           round(ln(CAST(n_ab AS DOUBLE) * n.n_docs / (df1 * df2)), 6) AS pmi
+    FROM pairs CROSS JOIN n
+    ORDER BY n_ab DESC, w1, w2 LIMIT 20
+    """,
+)
+def x16_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x16 — pointwise mutual information over word co-occurrence (the
+    collocation/phrase-mining primitive): top document-level co-occurring
+    pairs among the 100 highest-document-frequency words.
+
+    Scale shape: the quadratic blowup is tamed BEFORE the self-join — the
+    vocabulary is pruned to a bounded top-V (broadcast), so pair volume is
+    ≤ V²/2 per doc regardless of corpus size; the self-join shuffles on
+    doc_id only. PMI math stays in exact integers until one fixed-order
+    double divide + ln, so it is engine- and partitioning-portable."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    dfreq = words.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfreq.orderBy(F.desc("df"), "word").limit(100)
+    w = words.join(F.broadcast(vocab), "word")
+    wa = w.select("doc_id", F.col("word").alias("w1"), F.col("df").alias("df1"))
+    wb = w.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("word").alias("w2"),
+        F.col("df").alias("df2"),
+    )
+    pairs = (
+        wa.join(wb, (wa.doc_id == wb.doc_b) & (F.col("w1") < F.col("w2")))
+        .groupBy("w1", "w2", "df1", "df2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        pairs.crossJoin(n)
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("df1") * F.col("df2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("n_ab"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@register(
+    "x18_data_quality_audit",
+    oracle="""
+    WITH dup AS (SELECT count(*) AS v FROM (
+             SELECT doc_id FROM documents GROUP BY doc_id HAVING count(*) > 1)),
+    scan AS (SELECT
+        sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS null_doc_id,
+        sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)
+            AS empty_text,
+        sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END)
+            AS n_chars_mismatch,
+        sum(CASE WHEN lang IS NULL
+                      OR lang NOT IN ('de','en','es','fr','zh')
+                 THEN 1 ELSE 0 END) AS lang_unknown,
+        sum(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END) AS text_below_min
+        FROM documents)
+    SELECT 'null_doc_id' AS check_name, null_doc_id AS violations FROM scan
+    UNION ALL SELECT 'empty_text', empty_text FROM scan
+    UNION ALL SELECT 'n_chars_mismatch', n_chars_mismatch FROM scan
+    UNION ALL SELECT 'lang_unknown', lang_unknown FROM scan
+    UNION ALL SELECT 'text_below_min', text_below_min FROM scan
+    UNION ALL SELECT 'dup_doc_id', v FROM dup
+    """,
+)
+def x18_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x18 — declarative data-quality audit (the expectations/constraints
+    gate a lake pipeline runs before promoting a zone): null keys, duplicate
+    keys, empty payloads, derived-column consistency (n_chars==length(text)),
+    categorical domain, and minimum-length policy — one row per check with
+    its violation count.
+
+    Scale shape: all row-local checks ride ONE scan as conditional partial
+    aggregates (a single 1-row-per-partition shuffle); only the uniqueness
+    check needs a keyed exchange, and it aggregates to violating keys, not
+    rows. At 100 TB this is the cheapest possible full-table audit: no
+    second scan, no sort."""
+    d = load(spark, sf_dir, "documents")
+    one = F.lit(1)
+    zero = F.lit(0)
+    scan = d.agg(
+        F.sum(F.when(F.col("doc_id").isNull(), one).otherwise(zero)).alias(
+            "null_doc_id"
+        ),
+        F.sum(
+            F.when(
+                F.col("text").isNull() | (F.length("text") == 0), one
+            ).otherwise(zero)
+        ).alias("empty_text"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), one).otherwise(zero)
+        ).alias("n_chars_mismatch"),
+        F.sum(
+            F.when(
+                F.col("lang").isNull()
+                | ~F.col("lang").isin("de", "en", "es", "fr", "zh"),
+                one,
+            ).otherwise(zero)
+        ).alias("lang_unknown"),
+        F.sum(F.when(F.col("n_chars") < 50, one).otherwise(zero)).alias(
+            "text_below_min"
+        ),
+    )
+    long = scan.select(
+        F.expr(
+            "stack(5, 'null_doc_id', null_doc_id, 'empty_text', empty_text, "
+            "'n_chars_mismatch', n_chars_mismatch, 'lang_unknown', lang_unknown, "
+            "'text_below_min', text_below_min) AS (check_name, violations)"
+        )
+    )
+    dup = (
+        d.groupBy("doc_id")
+        .agg(F.count(one).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(one).alias("violations"))
+        .select(F.lit("dup_doc_id").alias("check_name"), "violations")
+    )
+    return long.unionByName(dup)
+
+
+@register(
     "x15_embedding_centroids",
     oracle="""
     WITH flat AS (SELECT label, CAST(t.pos AS INT) AS pos,
