@@ -51,6 +51,14 @@ HEADLINE = [
     "c7_asof_join",
     "i1_tumbling_window",
     "i3_session_window",
+    "x11_resample_gapfill",
+    "x12_funnel",
+    "x13_cohort_retention",
+    "x15_embedding_centroids",
+    "x16_pmi_cooccurrence",
+    "x18_data_quality_audit",
+    "e3c_ntile_buckets",
+    "f6_stratified_sample",
 ]
 
 

@@ -1,0 +1,63 @@
+"""ANN retrieval quality: recall@10 of the approximate paths (multi-table
+sign-LSH, IVF) against the exact brute-force ground truth.
+
+Correctness of each path vs its own oracle is the differential suite's job;
+this guards the RETRIEVAL quality — an ANN that is "correct" but returns
+near-nothing (the single-table trap: measured recall@10 ≈ 0.03) is a broken
+similarity search at any scale. Thresholds sit well under measured values
+(lsh 4×4 ≈ 0.40, ivf nprobe=2 ≈ 0.73) to stay robust to parameter noise.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lakes_tp2_student_spark.operators.similarity import (
+    knn_bruteforce,
+    knn_ivf,
+    knn_lsh,
+)
+
+K = 10
+N_QUERIES = 20
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+def _top_sets(df):
+    out: dict = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+@pytest.fixture(scope="module")
+def truth(corpus):
+    q = corpus.filter(F.col("vec_id") < N_QUERIES)
+    return _top_sets(knn_bruteforce(corpus, q, k=K))
+
+
+def _mean_recall(truth, approx):
+    return sum(
+        len(truth[q] & approx.get(q, set())) / len(truth[q]) for q in truth
+    ) / len(truth)
+
+
+def test_multitable_lsh_recall(corpus, truth):
+    q = corpus.filter(F.col("vec_id") < N_QUERIES)
+    multi = _top_sets(knn_lsh(corpus, q, k=K, planes=4, tables=4))
+    single = _top_sets(knn_lsh(corpus, q, k=K, planes=6, tables=1))
+    r_multi, r_single = _mean_recall(truth, multi), _mean_recall(truth, single)
+    assert r_multi >= 0.25, r_multi
+    # the multi-table union is the recall lever over one long code
+    assert r_multi > r_single + 0.15, (r_multi, r_single)
+
+
+def test_ivf_recall(corpus, truth):
+    q = corpus.filter(F.col("vec_id") < N_QUERIES)
+    r = _mean_recall(truth, _top_sets(knn_ivf(corpus, q, k=K, nprobe=2)))
+    assert r >= 0.5, r
