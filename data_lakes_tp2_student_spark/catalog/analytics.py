@@ -225,6 +225,61 @@ def f6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d8b_group_median",
+    oracle="""
+    SELECT o_orderpriority,
+           round(median(o_totalprice), 6) AS median_price,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d8b_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d8 extension — exact per-group median (the grouped form of the
+    notebook's global median, data_analysis.ipynb:261 in the reference).
+    Exact median sorts within groups; at 100 TB swap for
+    percentile_approx (d8x) — the API shape is identical."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 6).alias("median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "h5b_string_functions",
+    oracle="""
+    SELECT doc_id,
+           upper(source) AS src_up,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id_pad,
+           substring(text, 1, 10) AS prefix10,
+           concat_ws('|', lang, source) AS lang_src,
+           replace(substring(text, 1, 20), ' ', '_') AS snake20,
+           length(text) - length(replace(text, ' ', '')) AS n_spaces
+    FROM documents
+    """,
+)
+def h5b_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h5 — string scalar set: case, padding, substring, multi-column
+    concat, replace, and occurrence counting via length delta (all
+    JVM-side, whole-stage codegen — the reference does string work
+    row-at-a-time in Python, e.g. .apply(len))."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("source").alias("src_up"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("id_pad"),
+        F.substring("text", 1, 10).alias("prefix10"),
+        F.concat_ws("|", "lang", "source").alias("lang_src"),
+        F.replace(
+            F.substring("text", 1, 20), F.lit(" "), F.lit("_")
+        ).alias("snake20"),
+        (
+            F.length("text") - F.length(F.replace("text", F.lit(" "), F.lit("")))
+        ).alias("n_spaces"),
+    )
+
+
+@register(
     "x16_pmi_cooccurrence",
     oracle="""
     WITH words AS (SELECT DISTINCT doc_id,
