@@ -350,6 +350,37 @@ def x16_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x17_event_transitions",
+    oracle="""
+    WITH o AS (SELECT user_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events)
+    SELECT prev, event_type AS next, count(*) AS n
+    FROM o WHERE prev IS NOT NULL GROUP BY prev, next
+    """,
+)
+def x17_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x17 — event-type transition matrix (first-order Markov counts over
+    per-user event sequences): the behavioral-modeling / next-event-
+    prediction feature table.
+
+    Scale shape: one hash exchange by user feeds the lag window; the bigram
+    agg then reduces to |types|² rows with map-side partials. Ordering is
+    (ts, event_id) — a total order per user, so counts are partitioning-
+    and engine-stable."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    return (
+        o.groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "x18_data_quality_audit",
     oracle="""
     WITH dup AS (SELECT count(*) AS v FROM (

@@ -113,3 +113,47 @@ def test_stratified_sample_single_exchange(spark):
     # Spark's WindowGroupLimit keeps only k rows per stratum on the map side
     # BEFORE the exchange — the shuffle carries ~k·strata rows, not the table.
     assert "WindowGroupLimit" in p
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """overwrite_partitions replaces ONLY the partitions present in the
+    incoming frame: untouched date dirs keep their files byte-for-byte."""
+    import glob
+    import os
+
+    from data_lakes_tp2_student_spark.io.sinks import overwrite_partitions
+    from data_lakes_tp2_student_spark.registry import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    days = sorted(
+        os.path.basename(d).removeprefix("day=")
+        for d in glob.glob(f"{path}/day=*")
+    )
+    assert len(days) > 2
+    keep_day, redo_day = days[0], days[1]
+
+    def snapshot(day):
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(f"{path}/day={day}/part-*.parquet")
+        }
+
+    before_keep, before_redo = snapshot(keep_day), snapshot(redo_day)
+
+    patch = ev.filter(F.col("day") == redo_day).withColumn(
+        "value", F.col("value") * 2
+    )
+    overwrite_partitions(patch, path, ["day"])
+
+    assert snapshot(keep_day) == before_keep  # untouched partition intact
+    assert set(snapshot(redo_day)) != set(before_redo)  # target replaced
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    orig_sum = ev.filter(F.col("day") == redo_day).agg(F.sum("value")).first()[0]
+    new_sum = back.filter(F.col("day") == redo_day).agg(F.sum("value")).first()[0]
+    assert abs(new_sum - 2 * orig_sum) < 1e-6
