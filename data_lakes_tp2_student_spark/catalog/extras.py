@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.similarity import cosine, sign_lsh_bucket, hyperplane_coefficients
-from ..operators.skew import salted_group_count_sum
+from ..operators.skew import salted_group_count_sum, salted_join
 from ..operators.tokenize import tokenize_chars, widen_tokens
 from ..registry import load, register
 
@@ -143,6 +143,32 @@ def x7_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle IS the direct group-by)."""
     li = load(spark, sf_dir, "lineitem")
     return salted_group_count_sum(li, "l_returnflag", "l_quantity")
+
+
+@register(
+    "x7b_salted_join",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def x7b_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew pattern — salted equi-join (fact side salted, dim side
+    replicated per salt) followed by a group-agg; row-identical to the
+    plain join, so the oracle IS the plain join+agg. The explicit/portable
+    form of AQE's skew-join split for keys hot enough to straggle a
+    sort-merge join when the dim side cannot broadcast."""
+    from ..functions.money import dec2
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(li, o, "l_orderkey", "o_orderkey", salt_buckets=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec2("l_extendedprice")).alias("sum_price"),
+    )
 
 
 # Silence unused-import lints for the scale-path helpers referenced in docs.

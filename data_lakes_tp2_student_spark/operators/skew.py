@@ -36,3 +36,32 @@ def salted_group_count_sum(
         F.sum("_n").alias("n"),
         F.sum("_s").alias(f"sum_{sum_col}"),
     )
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: every fact row gets a pseudo-random salt in
+    [0, salt_buckets); the dim side is replicated once per salt value
+    (explode of a literal range — dim_rows × salt_buckets, fine for any
+    dimension you'd consider sort-merge-joining); the join key becomes
+    (key, salt), so one hot key's rows spread across `salt_buckets`
+    reducers instead of one.
+
+    Result is row-identical to `facts.join(dim, fact_key == dim_key)` —
+    salting only changes WHERE rows meet. Use when a key is hot enough to
+    straggle a sort-merge join and the dim side is too big to broadcast;
+    AQE's skew-join split handles moderate skew automatically, salting is
+    the explicit/portable form."""
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    f = facts.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return f.join(
+        d, (f["_salt"] == d["_salt"]) & (f[fact_key] == d[dim_key])
+    ).drop("_salt")

@@ -146,3 +146,42 @@ def test_tfidf_rare_term_outranks_common(spark):
     }
     # 'common' appears in every doc -> idf 0; the unique term wins per doc.
     assert top == {1: "rare", 2: "x", 3: "y"}
+
+
+# --------------------------------------------------- x10 packing properties
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1"]),
+            st.integers(min_value=0, max_value=900),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_pack_sequences_matches_prefix_sum_reference(spark, counts):
+    """Property: chunk assignment equals the Python prefix-sum reference —
+    offsets are the per-group cumulative token count in id order, chunks are
+    offset // budget, and no document's START crosses a chunk boundary."""
+    from data_lakes_tp2_student_spark.operators.textops import pack_sequences
+
+    budget = 256
+    rows = [(i, grp, n) for i, (grp, n) in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {
+        r["doc_id"]: (r["token_offset"], r["chunk_id"])
+        for r in pack_sequences(
+            df, "doc_id", "source", "n_tokens", budget=budget
+        ).collect()
+    }
+
+    running: dict = {}
+    for doc_id, grp, n in sorted(rows):
+        off = running.get(grp, 0)
+        assert got[doc_id] == (off, off // budget), (doc_id, got[doc_id], off)
+        running[grp] = off + n
