@@ -460,6 +460,91 @@ def x18_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x19_bm25_topk",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs,
+                     (SELECT avg(dl) FROM dl) AS avgdl
+              FROM documents),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    query AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 3),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                   ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+                   * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                      / (tf.tf + 1.2 * (0.25 + 0.75
+                         * (CAST(dl.dl AS DOUBLE) / s.avgdl))))
+                   * 1000000000.0) AS BIGINT) AS qs
+        FROM tf JOIN query q USING (term)
+               JOIN dl USING (doc_id)
+               CROSS JOIN stats s
+    )
+    SELECT doc_id, count(*) AS n_terms,
+           CAST(sum(qs) AS DOUBLE) / 1000000000.0 AS score
+    FROM contrib GROUP BY doc_id
+    ORDER BY sum(qs) DESC, doc_id LIMIT 10
+    """,
+)
+def x19_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x19 — BM25 ranked retrieval (k1=1.2, b=0.75) for the corpus's 3
+    highest-df terms: the lexical-search/quality-scoring complement to the
+    embedding kNN path.
+
+    Engine-portable float policy: each term's contribution is computed in
+    one fixed expression shape (identical parenthesization in the oracle),
+    then fixed-point-quantized to BIGINT before the per-doc sum — double
+    addition is not associative across partitionings, integer addition is.
+    Scale shape: TF/DL are map-side-combined aggregates of one exploded
+    scan; the query table (top-V terms) broadcasts; stats is a 1-row
+    crossJoin."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    query = dfreq.orderBy(F.desc("df"), "term").limit(3)
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf")
+        + 1.2 * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    contrib = (
+        tf.join(F.broadcast(query), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(idf * tf_part * F.lit(1000000000.0)).cast("bigint").alias("qs"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("qs").alias("_sqs"),
+        )
+        .select(
+            "doc_id",
+            "n_terms",
+            (F.col("_sqs").cast("double") / F.lit(1000000000.0)).alias("score"),
+            F.col("_sqs"),
+        )
+        .orderBy(F.desc("_sqs"), "doc_id")
+        .limit(10)
+        .drop("_sqs")
+    )
+
+
+@register(
     "x15_embedding_centroids",
     oracle="""
     WITH flat AS (SELECT label, CAST(t.pos AS INT) AS pos,
