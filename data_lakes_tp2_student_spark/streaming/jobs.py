@@ -157,3 +157,27 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
     return _run_to_memory(joined, "append")
+
+
+def stream_upsert_partitions(spark: SparkSession, sf_dir: str, dest: str) -> None:
+    """i9 — streaming → lake sink via foreachBatch + partition-level upsert:
+    each micro-batch dynamic-overwrites ONLY the date partitions it touches
+    (io.sinks.overwrite_partitions), so replayed/late batches are idempotent
+    per partition and untouched history is never rewritten.
+
+    This is the standard no-Delta ingestion pattern at scale: the streaming
+    engine gives at-least-once batch delivery, the partition overwrite makes
+    redelivery converge. Runs the file source dry synchronously (same
+    test-bed contract as the other jobs)."""
+    from ..io.sinks import overwrite_partitions
+
+    ev = read_events_stream(spark, sf_dir).withColumn("day", F.to_date("ts"))
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        overwrite_partitions(batch, dest, ["day"])
+
+    q = ev.writeStream.outputMode("append").foreachBatch(upsert).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

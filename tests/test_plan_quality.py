@@ -157,3 +157,26 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     orig_sum = ev.filter(F.col("day") == redo_day).agg(F.sum("value")).first()[0]
     new_sum = back.filter(F.col("day") == redo_day).agg(F.sum("value")).first()[0]
     assert abs(new_sum - 2 * orig_sum) < 1e-6
+
+
+def test_stream_upsert_partitions_matches_batch(spark, tmp_path):
+    """i9 foreachBatch + dynamic partition overwrite: draining the events
+    stream into a day-partitioned lake dir yields exactly the batch table,
+    and a replay (same data again) converges to the same state."""
+    from data_lakes_tp2_student_spark.registry import load
+    from data_lakes_tp2_student_spark.streaming.jobs import (
+        stream_upsert_partitions,
+    )
+
+    dest = str(tmp_path / "events_lake")
+    sf = "/root/testdata/sf0.001"
+    stream_upsert_partitions(spark, sf, dest)
+    batch = load(spark, sf, "events")
+    got = spark.read.parquet(dest)
+    assert got.count() == batch.count()
+    assert set(got.select("event_id").toPandas()["event_id"]) == set(
+        batch.select("event_id").toPandas()["event_id"]
+    )
+    # idempotent replay: same input → same state, no duplication
+    stream_upsert_partitions(spark, sf, dest)
+    assert spark.read.parquet(dest).count() == batch.count()
