@@ -350,6 +350,40 @@ def x16_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c6b_interval_join_banded",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, epoch_us(ts) AS p_us
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS view_id, epoch_us(ts) AS v_us
+          FROM events WHERE event_type = 'view')
+    SELECT p.purchase_id, v.view_id, p.p_us - v.v_us AS us_apart
+    FROM p JOIN v ON abs(p.p_us - v.v_us) <= 300000000
+    """,
+)
+def c6b_interval_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c6 scale path — purchases × views within ±5 minutes, both sides
+    fact-sized: the banded-equi-join form of a range join (see
+    operators/windows.py:banded_interval_join for the scale argument). The
+    oracle states the plain |Δt| ≤ tolerance predicate — banding is pure
+    execution strategy, invisible in the result."""
+    from ..operators.windows import banded_interval_join
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.unix_micros("ts").alias("v_us"),
+    )
+    joined = banded_interval_join(p, v, "p_us", "v_us", 300_000_000)
+    return joined.select(
+        "purchase_id", "view_id", (F.col("p_us") - F.col("v_us")).alias("us_apart")
+    )
+
+
+@register(
     "x17_event_transitions",
     oracle="""
     WITH o AS (SELECT user_id, event_type,

@@ -103,3 +103,39 @@ def session_window_agg(
             "n",
         )
     )
+
+
+def banded_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_us: str,
+    right_us: str,
+    tolerance_us: int,
+) -> DataFrame:
+    """c6 scale path — big-to-big interval join (|t_l − t_r| ≤ tolerance)
+    as an EQUI-join on coarse time bands: the right side keeps its own band,
+    the left side explodes over the ≤3 bands its tolerance window can touch,
+    band-equality prunes candidates, and the exact predicate refines.
+
+    This is how a range join survives when NEITHER side broadcasts: a
+    broadcast-nested-loop is O(|L|·|R|) and undistributable; banding makes
+    cost ∝ matches + band occupancy, shuffled by band (time-uniform data →
+    uniform partitions). A (l, r) pair can meet in only r's band, so no
+    dedup stage is needed. Timestamps are compared in exact integer
+    microseconds — no float, engine-portable."""
+    w = int(tolerance_us)
+    lb = left.withColumn(
+        "_band",
+        F.explode(
+            F.sequence(
+                F.expr(f"({left_us} - {w}) div {w}"),
+                F.expr(f"({left_us} + {w}) div {w}"),
+            )
+        ),
+    )
+    rb = right.withColumn("_band", F.expr(f"{right_us} div {w}"))
+    return (
+        lb.join(rb, "_band")
+        .filter(F.abs(F.col(left_us) - F.col(right_us)) <= w)
+        .drop("_band")
+    )
