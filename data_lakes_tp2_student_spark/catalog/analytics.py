@@ -414,6 +414,61 @@ def x17_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hex6(strtype: str) -> str:
+    """First 6 md5 hex digits of doc_id as an integer in [0, 16^6) — the
+    engine-portable uniform hash fraction (`strtype` differs per dialect:
+    STRING for Spark, VARCHAR for DuckDB)."""
+    return (
+        "CAST("
+        + " + ".join(
+            f"(instr('0123456789abcdef', "
+            f"substr(md5(CAST(doc_id AS {strtype})), {i + 1}, 1)) - 1)"
+            f" * {16 ** (5 - i)}"
+            for i in range(6)
+        )
+        + " AS BIGINT)"
+    )
+
+
+@register(
+    "x21_balanced_sample",
+    oracle=f"""
+    WITH counts AS (SELECT lang, count(*) AS n_cls FROM documents GROUP BY lang),
+    scored AS (
+        SELECT d.doc_id, d.lang,
+               {_hex6('VARCHAR')} AS hexval,
+               CAST(floor(least(1.0, 100.0 / c.n_cls) * 16777216.0) AS BIGINT)
+                   AS keep_below
+        FROM documents d JOIN counts c USING (lang)
+    )
+    SELECT doc_id, lang FROM scored WHERE hexval < keep_below
+    """,
+)
+def x21_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x21 — class-balanced deterministic downsampling: each language keeps
+    ~min(1, target/|class|) of its rows, so hot classes shrink toward the
+    target while rare classes pass through whole — the data-mixing step that
+    applies d9-style class weights at the ROW level when building a training
+    corpus.
+
+    The keep decision is a pure function of the row key: the first 6 md5 hex
+    digits as an integer in [0, 16^6), kept when below floor(p·16^6) — same
+    digits, same arithmetic, in any engine at any parallelism (`sample()`'s
+    seed is partition-dependent and not portable). Scale shape: class counts
+    are a broadcast dim; the filter is a codegen'd scan predicate."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_cls"))
+    hexval = F.expr(_hex6("STRING"))
+    keep_below = F.floor(
+        F.least(F.lit(1.0), F.lit(100.0) / F.col("n_cls")) * F.lit(16777216.0)
+    ).cast("bigint")
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .filter(hexval < keep_below)
+        .select("doc_id", "lang")
+    )
+
+
 @register(
     "x18_data_quality_audit",
     oracle="""
