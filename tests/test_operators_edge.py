@@ -185,3 +185,26 @@ def test_pack_sequences_matches_prefix_sum_reference(spark, counts):
         off = running.get(grp, 0)
         assert got[doc_id] == (off, off // budget), (doc_id, got[doc_id], off)
         running[grp] = off + n
+
+
+def test_lang_id_separates_real_language_text(spark):
+    """x4 lang_id on text that actually carries language signal: marker-word
+    argmax labels natural English/French/German sentences correctly. (On the
+    driver's synthetic corpus the `lang` label is content-independent —
+    every language draws from the same vocabulary — so accuracy there is
+    chance by construction; this fixture is where the heuristic is
+    falsifiable.)"""
+    from data_lakes_tp2_student_spark.operators.textops import lang_id
+
+    rows = [
+        (1, "the cat sat on a mat in front of the fire", "en"),
+        (2, "le chat dort sur la table pres de la fenetre", "fr"),
+        (3, "der hund und die katze spielen in das haus", "de"),
+        (4, "a tale of the sea and of the ships", "en"),
+        (5, "la vie est belle et le soleil brille sur de la mer", "fr"),
+        (6, "das wetter ist schoen und der himmel ist die blaue", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, expected string")
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df, "text").collect()}
+    for doc_id, _text, expected in rows:
+        assert got[doc_id] == expected, (doc_id, got[doc_id], expected)
