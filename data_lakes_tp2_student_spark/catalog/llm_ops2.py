@@ -62,6 +62,50 @@ def x2e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x2g_neardup_dedup",
+    oracle=_MINHASH_CTE_REC
+    + """
+    , nodes AS (
+        SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(id, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+    ),
+    labels AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id)
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster_id)
+    """,
+)
+def x2g_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x2 — the full near-dup dedup POLICY, end to end: MinHash → LSH
+    candidate pairs → connected-component clusters → keep the minimum
+    doc_id per cluster plus every singleton. This is the query a corpus
+    build actually runs; x2/x2b/x2e expose its stages.
+
+    Scale shape: only docs that appear in a candidate pair enter the
+    cluster graph; the final step is a LEFT ANTI join of the corpus against
+    the (much smaller) set of dropped ids — the corpus itself is scanned
+    once and never shuffled beyond that join's key exchange."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=_N_HASHES)
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", bands=_N_BANDS, rows_per_band=_ROWS_PER_BAND
+    )
+    clusters = dup_clusters(pairs)
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return docs.join(dropped, "doc_id", "left_anti").select("doc_id")
+
+
+@register(
     "x2f_simhash_pairs",
     oracle=_SIMHASH_CTE
     + """
