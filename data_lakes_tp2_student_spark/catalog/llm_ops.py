@@ -13,7 +13,11 @@ from ..operators.dedup import (
     minhash_signatures,
     simhash,
 )
-from ..operators.multimodal import attach_fake_media, extract_features
+from ..operators.multimodal import (
+    attach_fake_media,
+    extract_features,
+    sample_frames,
+)
 from ..operators.similarity import (
     hyperplane_coefficients,
     knn_bruteforce,
@@ -460,6 +464,32 @@ def x5b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = attach_fake_media(docs, "doc_id", "text")
     return extract_features(media)
+
+
+@register(
+    "x5c_frame_sample",
+    oracle="""
+    WITH m AS (SELECT doc_id, substring(text, 1, 64) AS s FROM documents),
+    f AS (SELECT doc_id, CAST(t.i AS INT) AS frame_no,
+                 substring(s, CAST(floor(t.i * (length(s) / 4.0)) AS INT) + 1, 8)
+                     AS frame_str
+          FROM m, unnest(range(0, least(4, length(s)))) AS t(i))
+    SELECT doc_id, frame_no, frame_str FROM f WHERE length(frame_str) > 0
+       OR frame_no IS NOT NULL
+    """,
+)
+def x5c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x5 — frame sampling (video → rows): each payload explodes into up to
+    4 evenly-spaced 8-byte 'frames' (codegen'd sequence/transform/posexplode
+    — a real codec swaps the slice for keyframe seeks, same one-to-many
+    contract). The fake media is UTF-8 text bytes, so frames decode to
+    strings and the oracle checks the whole expansion in the string
+    domain."""
+    docs = load(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    return sample_frames(media, n_frames=4).select(
+        "doc_id", "frame_no", F.decode("frame", "utf-8").alias("frame_str")
+    )
 
 
 # ------------------------------------------- x9 composite: corpus preparation

@@ -63,3 +63,53 @@ def extract_features(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(run, schema=out_schema)
+
+
+def resize_media(media_df: DataFrame, max_bytes: int = 32) -> DataFrame:
+    """x5 — media 'resize' via mapInPandas: payload truncated to a byte
+    budget, metadata struct rewritten to match (STUB for a real
+    interpolating resize — swap the body, keep the schema/batch contract).
+    The shape is the important part at scale: binary in → binary out in
+    Arrow batches, no JVM<->Python per-row crossings, output schema typed so
+    downstream stages stay columnar."""
+    out_schema = MEDIA_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            clipped = [bytes(m)[:max_bytes] for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": clipped,
+                    "media_type": pdf["media_type"],
+                    "meta": [
+                        {
+                            "width": len(m) % 64,
+                            "height": len(m) % 48,
+                            "n_bytes": len(m),
+                        }
+                        for m in clipped
+                    ],
+                }
+            )
+
+    return media_df.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """x5 — frame sampling (video → rows): each media payload explodes into
+    up to `n_frames` evenly-spaced 'frames' (deterministic byte slices — a
+    real codec would seek keyframes; same one-to-many contract). Pure
+    column expressions: sequence + transform + posexplode, so the expansion
+    is codegen'd and the blowup factor is explicit and bounded."""
+    # floor-then-cast: Spark's CAST(double AS INT) truncates but DuckDB's
+    # rounds — explicit floor() keeps frame offsets engine-portable.
+    frames = F.expr(
+        f"transform(sequence(0, least({n_frames}, length(media)) - 1), "
+        f"i -> substring(media, "
+        f"CAST(floor(i * (length(media) / {n_frames})) AS INT) + 1, 8))"
+    )
+    return media_df.filter(F.length("media") > 0).select(
+        "doc_id",
+        F.posexplode(frames).alias("frame_no", "frame"),
+    )

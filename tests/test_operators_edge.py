@@ -208,3 +208,39 @@ def test_lang_id_separates_real_language_text(spark):
     got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df, "text").collect()}
     for doc_id, _text, expected in rows:
         assert got[doc_id] == expected, (doc_id, got[doc_id], expected)
+
+
+def test_resize_media_truncates_and_rewrites_meta(spark):
+    from data_lakes_tp2_student_spark.operators.multimodal import (
+        attach_fake_media,
+        resize_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, "short")], "doc_id bigint, text string"
+    )
+    media = attach_fake_media(df, "doc_id", "text")
+    out = {r["doc_id"]: r for r in resize_media(media, max_bytes=10).collect()}
+    assert len(out[1]["media"]) == 10 and out[1]["meta"]["n_bytes"] == 10
+    assert len(out[2]["media"]) == 5  # shorter than budget -> untouched
+
+
+def test_sample_frames_bounded_and_deterministic(spark):
+    from data_lakes_tp2_student_spark.operators.multimodal import (
+        attach_fake_media,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz0123456789"), (2, "ab"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    media = attach_fake_media(df, "doc_id", "text")
+    rows = sample_frames(media, n_frames=4).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["frame_no"], bytes(r["frame"])))
+    assert len(by_doc[1]) == 4  # long payload -> exactly n_frames
+    assert by_doc[1][0] == (0, b"abcdefgh")  # deterministic first slice
+    assert len(by_doc[2]) == 2  # short payload -> bounded by length
+    assert 3 not in by_doc  # empty payload filtered, no explode of nothing
