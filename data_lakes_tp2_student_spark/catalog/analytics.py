@@ -246,6 +246,30 @@ def d8b_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d8c_group_quantiles",
+    oracle="""
+    SELECT o_orderpriority,
+           list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
+                          x -> round(x, 6)) AS qs
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d8c_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d8 extension — exact multi-quantile per group as an array-valued
+    aggregate (one sort per group serves all three cut points; both engines
+    use the same linear-interpolation definition — verified bit-exact, the
+    round(…,6) is belt-and-braces). At 100 TB swap for
+    percentile_approx with the identical call shape."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "transform(percentile(o_totalprice, array(0.25, 0.5, 0.75)), "
+            "x -> round(x, 6))"
+        ).alias("qs")
+    )
+
+
+@register(
     "h5b_string_functions",
     oracle="""
     SELECT doc_id,
