@@ -62,19 +62,28 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver testdata table (parquet scan; pushdown/pruning apply).
 
-    `events.parquet` stores TIMESTAMP(NANOS), which Spark's reader rejects
-    outright; read nanos as long and truncate to microseconds — exactly what
-    DuckDB (microsecond timestamps) does, so oracle values agree.
+    `events.parquet` has shipped with two physical types for `ts` across
+    driver testdata generations: TIMESTAMP(NANOS) (which Spark's reader
+    rejects outright — read nanos as long, truncate to micros exactly as
+    DuckDB does) and plain TIMESTAMP(MICROS). Adapt per file so both work:
+    a long `ts` is nanos needing conversion; a timestamp `ts` is cast to an
+    instant under a pinned-UTC session so downstream event-time operators
+    (`unix_micros`, `window`) and collect-time rendering agree with the
+    naive-UTC oracle either way.
     """
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamp_micros builds an instant rendered in the SESSION tz at
-        # collect time; pin UTC so values match the (naive-UTC) oracle even
-        # under a caller session configured differently. (The TPC-H tables
-        # read as timestamp_ntz and are immune.)
+        # timestamps are rendered in the SESSION tz at collect time; pin UTC
+        # so values match the (naive-UTC) oracle even under a caller session
+        # configured differently. (The TPC-H tables read as timestamp_ntz
+        # and are immune.)
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")

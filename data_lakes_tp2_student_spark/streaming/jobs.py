@@ -6,8 +6,10 @@ completion synchronously (processAllAvailable) so results are inspectable
 as a DataFrame. In production the source/sink swap for Kafka/Delta without
 touching the transform (the same `operators.windows` aggregations apply).
 
-The events parquet stores TIMESTAMP(NANOS); the stream reads ts as long
-(nanosAsLong) and converts to microseconds, same as `registry.load`.
+The events parquet has shipped with `ts` as TIMESTAMP(NANOS) or
+TIMESTAMP(MICROS) across driver testdata generations; the imposed stream
+schema adapts per file (a batch footer read decides), same as
+`registry.load`.
 """
 
 from __future__ import annotations
@@ -27,16 +29,17 @@ _STAGE_ROOT = os.path.join(
     "stream_stage",
 )
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos; converted below
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),  # long = nanos (converted below)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _stage_dir(sf_dir: str, table: str) -> str:
@@ -52,12 +55,21 @@ def _stage_dir(sf_dir: str, table: str) -> str:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # see registry.load
+    # Footer-only batch read decides whether ts arrives as nanos-long or as
+    # a native timestamp; the imposed stream schema must match the file or
+    # the reader silently misinterprets the column.
+    file_ts = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    nanos = isinstance(file_ts, T.LongType)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(
+            _events_schema(T.LongType() if nanos else file_ts)
+        )
         .format("parquet")
         .load(_stage_dir(sf_dir, "events"))
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if nanos:
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
