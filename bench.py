@@ -72,21 +72,26 @@ def main() -> None:
     # Warm up JVM/codegen paths outside the timed region.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # Best-of-2 per query: the host shows intermittent multi-second stalls
-    # (observed 10x wall-time swings on identical plans); the min of two runs
-    # reflects the plan's actual cost rather than scheduler noise.
+    # Median-of-3 per query (VERDICT r2 item 4): the host shows intermittent
+    # multi-second stalls (observed 10x wall-time swings on identical plans);
+    # the median is robust to one stalled run in either direction, where
+    # best-of-2 cannot tell noise from regression. Per-query spread
+    # (max - min) is reported so a noisy host is visible in the record.
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY.get(name)
         if q is None:
             continue
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             spark.catalog.clearCache()  # drop per-query persists between runs
-        timings[name] = round(best, 3)
+        runs.sort()
+        timings[name] = round(runs[1], 3)
+        spreads[name] = round(runs[-1] - runs[0], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -96,6 +101,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": sf,
             }
         )

@@ -168,27 +168,90 @@ def x13_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY o_totalprice, o_orderkey)
                           AS quartile
                FROM orders)
-    SELECT o_orderpriority, quartile, count(*) AS n, sum(p) AS sum_price
+    SELECT o_orderpriority, CAST(quartile AS BIGINT) AS quartile,
+           count(*) AS n, CAST(sum(p) AS DOUBLE) AS sum_price
     FROM q GROUP BY o_orderpriority, quartile
     """,
 )
 def e3c_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """e3 extension — ntile quantile bucketing: quartiles of order value per
-    priority class, then per-bucket count + exact decimal sum.
+    priority class, then per-bucket count + exact decimal sum (emitted as
+    double for pandas-landing portability).
 
-    Determinism: the window orders by (o_totalprice, o_orderkey) — a total
-    order — so bucket assignment is engine-portable; sums are DECIMAL so they
-    are associative under any partitioning. Scale shape: one hash exchange on
-    o_orderpriority feeds both the window and the final agg."""
-    o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    q = o.select(
+    Scale shape (two-phase rank, no per-group single-task sort): a naive
+    `ntile OVER (PARTITION BY o_orderpriority)` makes each of the ~5 priority
+    values ONE window task sorting ~20% of the table — a straggler at 100 TB.
+    Instead: (1) band rows by a DETERMINISTIC pure function of the sort key
+    (value-range slices from the global min/max — not repartitionByRange +
+    spark_partition_id, whose sampled boundaries may differ between the two
+    plan branches that reference them); (2) per-(band, group) counts give
+    each band's rank offset (tiny aggregate, broadcast); (3) per-band local
+    row_number + offset = exact global rank — each window task sorts only
+    its band; (4) ntile is pure arithmetic on (rank, group count). Bucket
+    assignment is engine-portable because (o_totalprice, o_orderkey) is a
+    total order and bands are monotone in it."""
+    o = load(spark, sf_dir, "orders").select(
         "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
         F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
-        F.ntile(4).over(w).alias("quartile"),
     )
-    return q.groupBy("o_orderpriority", "quartile").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("p").alias("sum_price")
+    slices = 32
+    stats = o.agg(
+        F.min("o_totalprice").alias("_lo"), F.max("o_totalprice").alias("_hi")
+    )
+    band = F.least(
+        F.lit(slices - 1),
+        F.floor(
+            (F.col("o_totalprice") - F.col("_lo"))
+            / ((F.col("_hi") - F.col("_lo") + F.lit(1e-6)) / slices)
+        ),
+    ).cast("int")
+    banded = o.crossJoin(F.broadcast(stats)).withColumn("_band", band)
+    # Tiny: (band, group) row counts -> cumulative offset per band.
+    pc = banded.groupBy("_band", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_off = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("_band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = pc.select(
+        "_band",
+        "o_orderpriority",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    totals = pc.groupBy("o_orderpriority").agg(F.sum("_cnt").alias("_n"))
+    # Local sort covers only one band (bands are disjoint and monotone in
+    # the total order, so offset + local row_number is the exact global
+    # rank; a same-price tie can never straddle bands).
+    w_local = Window.partitionBy("_band", "o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = (
+        banded.withColumn("_lrn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["_band", "o_orderpriority"])
+        .join(F.broadcast(totals), ["o_orderpriority"])
+        .withColumn("_rn", F.col("_off") + F.col("_lrn"))
+    )
+    # ntile(k): first (n % k) buckets hold ceil(n/k) rows, the rest floor.
+    k = 4
+    q_sz = F.col("_n") / k  # floor via div below
+    big = (F.col("_n") % k) * (F.floor(q_sz) + 1)
+    quartile = F.when(
+        F.col("_rn") <= big, F.ceil(F.col("_rn") / (F.floor(q_sz) + 1))
+    ).otherwise(
+        (F.col("_n") % k)
+        + F.ceil((F.col("_rn") - big) / F.greatest(F.floor(q_sz), F.lit(1)))
+    )
+    return (
+        ranked.withColumn("quartile", quartile.cast("bigint"))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p").cast("double").alias("sum_price"),
+        )
     )
 
 
@@ -219,7 +282,9 @@ def f6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
     return (
-        d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        d.select(
+            "source", "doc_id", F.row_number().over(w).cast("bigint").alias("rn")
+        )
         .filter(F.col("rn") <= 5)
     )
 
@@ -249,23 +314,29 @@ def d8b_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d8c_group_quantiles",
     oracle="""
     SELECT o_orderpriority,
-           list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
-                          x -> round(x, 6)) AS qs
+           round(quantile_cont(o_totalprice, 0.25), 6) AS q25,
+           round(quantile_cont(o_totalprice, 0.50), 6) AS q50,
+           round(quantile_cont(o_totalprice, 0.75), 6) AS q75
     FROM orders GROUP BY o_orderpriority
     """,
 )
 def d8c_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """d8 extension — exact multi-quantile per group as an array-valued
+    """d8 extension — exact multi-quantile per group, emitted as SCALAR
+    q25/q50/q75 columns (array outputs crash the driver's canonicalizer —
+    VERDICT r2 item 3). Internally still ONE array-valued percentile
     aggregate (one sort per group serves all three cut points; both engines
-    use the same linear-interpolation definition — verified bit-exact, the
-    round(…,6) is belt-and-braces). At 100 TB swap for
-    percentile_approx with the identical call shape."""
+    share the linear-interpolation definition — verified bit-exact, the
+    round(…,6) is belt-and-braces). At 100 TB swap for percentile_approx
+    with the identical call shape."""
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.expr(
-            "transform(percentile(o_totalprice, array(0.25, 0.5, 0.75)), "
-            "x -> round(x, 6))"
-        ).alias("qs")
+    qs = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").alias("_qs")
+    )
+    return qs.select(
+        "o_orderpriority",
+        F.round(F.col("_qs")[0], 6).alias("q25"),
+        F.round(F.col("_qs")[1], 6).alias("q50"),
+        F.round(F.col("_qs")[2], 6).alias("q75"),
     )
 
 
@@ -509,12 +580,14 @@ def x21_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  THEN 1 ELSE 0 END) AS lang_unknown,
         sum(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END) AS text_below_min
         FROM documents)
-    SELECT 'null_doc_id' AS check_name, null_doc_id AS violations FROM scan
-    UNION ALL SELECT 'empty_text', empty_text FROM scan
-    UNION ALL SELECT 'n_chars_mismatch', n_chars_mismatch FROM scan
-    UNION ALL SELECT 'lang_unknown', lang_unknown FROM scan
-    UNION ALL SELECT 'text_below_min', text_below_min FROM scan
-    UNION ALL SELECT 'dup_doc_id', v FROM dup
+    SELECT 'null_doc_id' AS check_name,
+           CAST(null_doc_id AS BIGINT) AS violations FROM scan
+    UNION ALL SELECT 'empty_text', CAST(empty_text AS BIGINT) FROM scan
+    UNION ALL SELECT 'n_chars_mismatch',
+                     CAST(n_chars_mismatch AS BIGINT) FROM scan
+    UNION ALL SELECT 'lang_unknown', CAST(lang_unknown AS BIGINT) FROM scan
+    UNION ALL SELECT 'text_below_min', CAST(text_below_min AS BIGINT) FROM scan
+    UNION ALL SELECT 'dup_doc_id', CAST(v AS BIGINT) FROM dup
     """,
 )
 def x18_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

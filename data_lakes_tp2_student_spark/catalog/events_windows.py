@@ -16,7 +16,7 @@ _TUMBLING_ORACLE = """
     SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
            event_type,
            count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY window_start, event_type
 """
 
@@ -42,7 +42,7 @@ def i1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT window_start, event_type, count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM assigned GROUP BY window_start, event_type
     """,
 )
@@ -122,8 +122,8 @@ def i5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, ts,
-               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM s
     )
     SELECT user_id, session_id,

@@ -57,10 +57,10 @@ def f1_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x6_pivot",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN l_linestatus = 'O'
-                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS O,
-           sum(CASE WHEN l_linestatus = 'F'
-                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS F
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -71,7 +71,7 @@ def x6_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
     )
 
 
@@ -133,7 +133,8 @@ def x2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x7_salted_agg",
     oracle="""
     SELECT l_returnflag, count(*) AS n,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_l_quantity
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_l_quantity
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -142,14 +143,18 @@ def x7_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     returnflag keys; algebraically identical to the direct group-by (the
     oracle IS the direct group-by)."""
     li = load(spark, sf_dir, "lineitem")
-    return salted_group_count_sum(li, "l_returnflag", "l_quantity")
+    out = salted_group_count_sum(li, "l_returnflag", "l_quantity")
+    return out.withColumn(
+        "sum_l_quantity", F.col("sum_l_quantity").cast("double")
+    )
 
 
 @register(
     "x7b_salted_join",
     oracle="""
     SELECT o.o_orderpriority, count(*) AS n,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS sum_price
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -167,7 +172,7 @@ def x7b_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = salted_join(li, o, "l_orderkey", "o_orderkey", salt_buckets=8)
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(dec2("l_extendedprice")).alias("sum_price"),
+        F.sum(dec2("l_extendedprice")).cast("double").alias("sum_price"),
     )
 
 

@@ -14,8 +14,9 @@ from ..operators.dedup import (
     simhash,
 )
 from ..operators.multimodal import (
+    attach_bmp_media,
     attach_fake_media,
-    extract_features,
+    parse_bmp,
     sample_frames,
 )
 from ..operators.similarity import (
@@ -457,13 +458,31 @@ def x5_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x5b_media_features")  # mapInPandas stub decode: rows-only check
+@register(
+    "x5b_media_features",
+    oracle="""
+    SELECT doc_id,
+           true AS valid,
+           CAST(doc_id % 16 + 1 AS BIGINT) AS width,
+           CAST(doc_id % 12 + 1 AS BIGINT) AS height,
+           CAST(24 AS BIGINT) AS bpp,
+           CAST(54 + ((24 * (doc_id % 16 + 1) + 31) // 32) * 4
+                    * (doc_id % 12 + 1) AS BIGINT) AS n_bytes,
+           CAST((doc_id * 7) % 256 AS BIGINT) AS px0
+    FROM documents
+    """,
+)
 def x5b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x5 — binary media column + metadata struct + mapInPandas feature
-    extraction (decode is a deterministic stub; plumbing is real)."""
+    """x5 — REAL media decode (VERDICT r2 item 5): per-doc BMP payloads
+    (valid file header + 24-bit padded pixel rows, deterministic from
+    doc_id) are parsed back by struct.unpack inside an Arrow-batched
+    mapInPandas stage; the oracle predicts every recovered header field and
+    the first pixel byte arithmetically from doc_id, so the parse is fully
+    hash-checked. Scalar output columns only (array outputs crash the
+    driver canonicalizer)."""
     docs = load(spark, sf_dir, "documents")
-    media = attach_fake_media(docs, "doc_id", "text")
-    return extract_features(media)
+    media = attach_bmp_media(docs, "doc_id")
+    return parse_bmp(media)
 
 
 @register(
@@ -536,7 +555,7 @@ def x5c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            count(*) AS docs_kept,
-           sum(est_bpe_tokens) AS est_tokens,
+           CAST(sum(est_bpe_tokens) AS BIGINT) AS est_tokens,
            round(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
                  / count(*), 6) AS avg_quality
     FROM kept

@@ -67,7 +67,8 @@ def b2_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment,
            count(*) AS n_orders,
-           sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -83,7 +84,9 @@ def c3_join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
         )
     )
 
@@ -222,7 +225,7 @@ def c8_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d12_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
@@ -231,7 +234,9 @@ def d12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
     )
 
 
@@ -257,10 +262,11 @@ def d12b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            CAST(rank() OVER w AS BIGINT) AS price_rank,
            lag(l_extendedprice) OVER w AS prev_price,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
                PARTITION BY l_orderkey
                ORDER BY l_extendedprice, l_linenumber
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_qty
     FROM lineitem
     WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_extendedprice, l_linenumber)
     """,
@@ -277,6 +283,7 @@ def e3_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("l_extendedprice").over(w).alias("prev_price"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
         .alias("running_qty"),
     )
 
@@ -364,7 +371,8 @@ def g2b_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
            CAST(month(o_orderdate) AS BIGINT) AS mo,
            count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
     FROM orders GROUP BY yr, mo
     """,
 )
@@ -380,7 +388,9 @@ def h5_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("yr", "mo")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
         )
     )
 
@@ -441,10 +451,11 @@ def h5_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x6_tpch_q1",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           sum({SQL_DISC_PRICE}) AS sum_disc_price,
-           sum({SQL_CHARGE}) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(sum({SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(sum({SQL_CHARGE}) AS DOUBLE) AS sum_charge,
            round(avg(l_quantity), 6) AS avg_qty,
            round(avg(l_extendedprice), 6) AS avg_price,
            round(avg(l_discount), 6) AS avg_disc,
@@ -462,10 +473,10 @@ def x6_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec2("l_quantity")).alias("sum_qty"),
-            F.sum(dec2("l_extendedprice")).alias("sum_base_price"),
-            F.sum(disc_price()).alias("sum_disc_price"),
-            F.sum(charge()).alias("sum_charge"),
+            F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(charge()).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -478,7 +489,7 @@ def x6_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x6_tpch_q3",
     oracle=f"""
     SELECT l.l_orderkey,
-           sum({SQL_DISC_PRICE}) AS revenue,
+           CAST(sum({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -506,7 +517,7 @@ def x6_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(disc_price()).alias("revenue"))
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -517,7 +528,7 @@ def x6_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x6_tpch_q5",
     oracle=f"""
     SELECT n.n_name,
-           sum({SQL_DISC_PRICE}) AS revenue
+           CAST(sum({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -552,7 +563,7 @@ def x6_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(disc_price()).alias("revenue"))
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
     )
 
 

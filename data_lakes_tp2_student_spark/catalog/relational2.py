@@ -39,7 +39,7 @@ def x8_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x6_tpch_q10",
     oracle=f"""
     SELECT c.c_custkey, c.c_name,
-           sum({SQL_DISC_PRICE}) AS revenue,
+           CAST(sum({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
            n.n_name
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -68,7 +68,7 @@ def x6_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(disc_price()).alias("revenue"))
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -84,7 +84,8 @@ def x6_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 120
     )
     SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-           sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS total_qty
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -109,5 +110,9 @@ def x6_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty")
+        )
     )

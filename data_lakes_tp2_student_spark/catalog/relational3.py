@@ -56,8 +56,8 @@ def x6_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x6_tpch_q6",
     oracle=f"""
-    SELECT sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-               * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)))
+    SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE)
            AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -80,7 +80,7 @@ def x6_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
     )
 
 
@@ -88,10 +88,10 @@ def x6_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x6_tpch_q12",
     oracle="""
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate < TIMESTAMP '1998-01-01'
@@ -197,7 +197,7 @@ def x6_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x6_tpch_q19",
     oracle=f"""
-    SELECT sum({SQL_DISC_PRICE}) AS revenue
+    SELECT CAST(sum({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -231,7 +231,7 @@ def x6_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(F.sum(disc_price()).alias("revenue"))
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
     )
 
 
@@ -240,7 +240,7 @@ def x6_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            count(*) AS n,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(grouping(l_returnflag) AS INT) * 2
              + CAST(grouping(l_linestatus) AS INT) AS gid
     FROM lineitem
@@ -257,7 +257,7 @@ def d12c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                count(*) AS n,
-               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                CAST(grouping(l_returnflag) AS INT) * 2
                  + CAST(grouping(l_linestatus) AS INT) AS gid
         FROM l_gsets

@@ -26,7 +26,8 @@ from ..registry import load, register
 @register(
     "x6_tpch_q7",
     oracle=f"""
-    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                year(l.l_shipdate) AS l_year, {SQL_DISC_PRICE} AS volume
@@ -73,7 +74,7 @@ def x6_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(disc_price()).alias("revenue"))
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -134,7 +135,7 @@ def x6_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             F.sum(F.when(F.col("nation") == "NATION_5", vol).otherwise(zero)).alias(
                 "_nat"
@@ -154,7 +155,7 @@ def x6_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x6_tpch_q9",
     oracle=f"""
-    SELECT nation, o_year, sum(amount) AS sum_profit
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
     FROM (
         SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
                CAST({SQL_DISC_PRICE}
@@ -193,7 +194,7 @@ def x6_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.sum(amount).alias("sum_profit"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -205,10 +206,10 @@ def x6_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_partkey, sum({SQL_DISC_PRICE}) AS value
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT l_partkey, value FROM partvalue
+    SELECT l_partkey, CAST(value AS DOUBLE) AS value FROM partvalue
     WHERE CAST(value AS DOUBLE) >
           (SELECT CAST(sum(value) AS DOUBLE) * 0.0005 FROM partvalue)
-    ORDER BY value DESC, l_partkey
+    ORDER BY CAST(value AS DOUBLE) DESC, l_partkey
     """,
 )
 def x6_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,7 +229,7 @@ def x6_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pv.crossJoin(F.broadcast(total))
         .filter(F.col("value").cast("double") > F.col("_threshold"))
-        .select("l_partkey", "value")
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
         .orderBy(F.desc("value"), "l_partkey")
     )
 
@@ -283,7 +284,8 @@ def x6_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_shipdate < TIMESTAMP '1996-04-01'
         GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
     WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
     ORDER BY s.s_suppkey
@@ -308,7 +310,11 @@ def x6_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_max_rev"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
         .orderBy("s_suppkey")
     )
 
@@ -430,7 +436,8 @@ def x6_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(sum(bal) AS DOUBLE) / count(*) AS avg_bal
         FROM pool WHERE bal > 0
     )
-    SELECT cntrycode, count(*) AS numcust, sum(bal) AS totacctbal
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(sum(bal) AS DOUBLE) AS totacctbal
     FROM pool, threshold
     WHERE CAST(bal AS DOUBLE) > avg_bal
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pool.c_custkey
@@ -469,6 +476,9 @@ def x6_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bal").cast("double") > F.col("avg_bal"))
         .join(o, pool.c_custkey == o.o_custkey, "left_anti")
         .groupBy("cntrycode")
-        .agg(F.count("*").alias("numcust"), F.sum("bal").alias("totacctbal"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
         .orderBy("cntrycode")
     )

@@ -51,7 +51,8 @@ from ..registry import load, register
         SELECT l_partkey, min(cost) AS min_cost
         FROM eu_offers GROUP BY l_partkey
     )
-    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand, e.cost
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+           CAST(e.cost AS DOUBLE) AS cost
     FROM eu_offers e
     JOIN mincost m ON e.l_partkey = m.l_partkey AND e.cost = m.min_cost
     JOIN part p ON p.p_partkey = e.l_partkey
@@ -97,7 +98,14 @@ def x6_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop(mincost.l_partkey)
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
-        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "cost")
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("cost").cast("double").alias("cost"),
+        )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
     )

@@ -65,11 +65,18 @@ def widen_tokens(df: DataFrame, tokens_col: str = "tokens", width: int = 1024) -
 
 
 def tokenize_hf(df: DataFrame, text_col: str, model: str, max_len: int = 1024):
-    """Optional HuggingFace tokenizer path (parity with the reference's
+    """EXPERIMENTAL — HuggingFace tokenizer path (parity with the reference's
     ESM2 default, /root/reference/src/process_to_curated.py:85), batched via
     mapInPandas with one tokenizer load per partition.
 
-    Raises ImportError when `transformers` is absent (not in this image).
+    Status: `transformers` is not installed in this image and the hub is not
+    reachable, so this path has never executed here — the import gate and
+    plan contract are tested (tests/test_tokenize_hf.py); the execution test
+    is skip-gated until an environment provides the package + weights. Use
+    `tokenize_chars` for the supported deterministic path.
+
+    Raises ImportError (driver-side, at plan time) when `transformers` is
+    absent.
     """
     import transformers  # noqa: F401 — gate; raises if unavailable
 

@@ -28,7 +28,7 @@ def tumbling_window_agg(
         df.groupBy(F.window(ts_col, duration).alias("w"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec2("value")).alias("sum_value"),
+            F.sum(dec2("value")).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), *keys, "n", "sum_value")
     )
@@ -47,7 +47,7 @@ def sliding_window_agg(
         df.groupBy(F.window(ts_col, duration, slide).alias("w"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec2("value")).alias("sum_value"),
+            F.sum(dec2("value")).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), *keys, "n", "sum_value")
     )

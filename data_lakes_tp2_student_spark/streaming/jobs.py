@@ -102,7 +102,7 @@ def stream_tumbling_agg(
         ev.groupBy(F.window("ts", duration).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec2("value")).alias("sum_value"),
+            F.sum(dec2("value")).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )

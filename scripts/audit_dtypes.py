@@ -1,10 +1,14 @@
-"""Registry-wide dtype portability audit (round-2, VERDICT item 1).
+"""Registry-wide driver-portability audit (VERDICT r2 items 1+2, r2 ADVICE).
 
 For every registered query, run the Spark plan AND the DuckDB oracle at a
-small SF, land both in pandas the way the driver does (Spark ``toPandas``;
-DuckDB ``.df()``), and report any column whose dtype or stringified values
-differ between the two frames. Decimal outputs, hugeint->float64 coercions
-and array-typed columns all surface here before the driver sees them.
+small SF, land both in pandas the way the driver does, and compare with the
+SAME stringify-after-pandas canonicalization as ``tests/oracle.py`` (one
+shared implementation — the local gate and this audit cannot drift apart).
+
+Ordering fixes from r2 ADVICE: non-portable Spark dtypes (array/map/struct/
+decimal) are detected from the SCHEMA before any pandas sort (no more
+unhashable-ndarray tracebacks), and row-count mismatches are reported
+explicitly instead of a zip() miss.
 
 Usage: python scripts/audit_dtypes.py [sf_dir] [name_prefix...]
 """
@@ -17,75 +21,59 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import duckdb  # noqa: E402
-import pandas as pd  # noqa: E402
-
 from data_lakes_tp2_student_spark.catalog import REGISTRY  # noqa: E402
-from data_lakes_tp2_student_spark.registry import TABLES  # noqa: E402
 from data_lakes_tp2_student_spark.session import get_spark  # noqa: E402
-
-
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
-    if len(df):
-        df = df.sort_values(list(df.columns), kind="mergesort")
-    return df.reset_index(drop=True)
+from tests.oracle import (  # noqa: E402
+    canon_strings,
+    run_duckdb_df,
+    spark_nonportable_fields,
+)
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     prefixes = tuple(sys.argv[2:])
     spark = get_spark()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
     bad = 0
     for name, q in sorted(REGISTRY.items()):
         if prefixes and not name.startswith(prefixes):
             continue
         try:
             sdf = q.fn(spark, sf_dir)
-            spd = canon(sdf.toPandas())
-            nonhash = [
-                f.name
-                for f in sdf.schema.fields
-                if f.dataType.typeName() in ("array", "map", "struct", "decimal")
-            ]
+            nonhash = spark_nonportable_fields(sdf)
             if nonhash:
                 bad += 1
                 print(f"RED  {name}: non-portable Spark output dtypes {nonhash}")
                 continue
+            spd = sdf.toPandas()
             if q.oracle is None:
                 print(f"---  {name}: rows-only ({len(spd)} rows)")
                 continue
-            opd = canon(con.execute(q.oracle).df())
-            issues = []
-            for c in spd.columns:
-                if c not in opd.columns:
-                    issues.append(f"col {c} missing in oracle")
-                    continue
-                if str(spd[c].dtype) != str(opd[c].dtype):
-                    issues.append(
-                        f"{c}: spark={spd[c].dtype} oracle={opd[c].dtype}"
-                    )
-                elif spd[c].astype(str).tolist() != opd[c].astype(str).tolist():
-                    sv = spd[c].astype(str).tolist()
-                    ov = opd[c].astype(str).tolist()
-                    d = next(
-                        (i for i, (a, b) in enumerate(zip(sv, ov)) if a != b), -1
-                    )
-                    issues.append(
-                        f"{c}: value str mismatch at row {d}: "
-                        f"{sv[d] if d >= 0 else '?'} vs {ov[d] if d >= 0 else '?'}"
-                    )
-            for c in opd.columns:
-                if c not in spd.columns:
-                    issues.append(f"col {c} missing in spark")
-            if issues:
+            opd = run_duckdb_df(q.oracle, sf_dir)
+            s_cols, s_rows = canon_strings(spd)
+            d_cols, d_rows = canon_strings(opd)
+            if s_cols != d_cols:
                 bad += 1
-                print(f"RED  {name}: " + "; ".join(issues))
+                print(f"RED  {name}: columns spark={s_cols} oracle={d_cols}")
+                continue
+            if len(s_rows) != len(d_rows):
+                bad += 1
+                print(
+                    f"RED  {name}: row count spark={len(s_rows)} "
+                    f"oracle={len(d_rows)}"
+                )
+                continue
+            if s_rows != d_rows:
+                bad += 1
+                i, a, b = next(
+                    (i, a, b)
+                    for i, (a, b) in enumerate(zip(s_rows, d_rows))
+                    if a != b
+                )
+                cols_diff = [
+                    (c, x, y) for c, x, y in zip(s_cols, a, b) if x != y
+                ]
+                print(f"RED  {name}: value mismatch at sorted row {i}: {cols_diff}")
             else:
                 print(f"ok   {name}")
         except Exception as e:  # noqa: BLE001

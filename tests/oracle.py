@@ -1,10 +1,18 @@
 """Local replica of the driver's DuckDB-oracle differential check.
 
-For a registered query: run the Spark DataFrame and the oracle SQL on the
-same parquet tables, then compare row count, sorted column names, and the
-full multiset of values (columns sorted by name — the driver's hash is
-order-insensitive over that layout). Exact equality is required: queries are
-expected to round floating aggregates identically on both sides.
+Driver-grade strictness (VERDICT r2 item 2): the driver lands both sides in
+pandas (Spark ``toPandas``, DuckDB ``.df()``), sorts, STRINGIFIES values and
+hashes the strings — so ``Decimal('123.40')`` vs ``123.4`` and bigint ``5``
+vs float ``5.0`` are driver-RED even though they compare equal as Python
+numbers. This module reproduces that: every value is canonicalized to a
+string before comparison, so local green ⇒ driver green.
+
+Observed driver tolerances reproduced here: timestamp RESOLUTION differences
+(datetime64[ns] vs [us]) and date-vs-midnight-timestamp hash EQUAL (r02:
+i3/i7/i8/c7/x8/x13 all pass with unit-mismatched dtypes), so datetimes
+canonicalize through ``pd.Timestamp(...).isoformat()``. Int WIDTH (int32 vs
+int64) stringifies identically and is tolerated. Array/map/struct outputs
+crash the driver's canonicalizer (r02: d8c, x5b) → hard local failure.
 """
 
 from __future__ import annotations
@@ -13,65 +21,101 @@ import datetime as _dt
 import math
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from data_lakes_tp2_student_spark.registry import REGISTRY, TABLES
 
+NON_PORTABLE_SPARK_TYPES = ("array", "map", "struct", "decimal")
 
-def run_duckdb(sql: str, sf_dir: str):
+
+def run_duckdb_df(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    df = con.execute(sql).df()
     con.close()
-    return cols, rows
+    return df
 
 
-def _canon(v):
-    """Canonicalize one value for cross-engine comparison."""
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None)
-    if isinstance(v, (list, tuple)):
-        return tuple(_canon(x) for x in v)
+def _str(v) -> str:
+    """One value → the canonical comparison string (mirrors the driver's
+    stringify-after-pandas hashing, with its observed datetime tolerance)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if v is pd.NaT:
+        return "NULL"
+    if isinstance(v, np.datetime64):
+        v = pd.Timestamp(v)
+    if isinstance(v, (pd.Timestamp, _dt.datetime)):
+        if pd.isna(v):
+            return "NULL"
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_localize(None)
+        return ts.isoformat()
     if isinstance(v, _dt.date):
-        return v
-    if isinstance(v, bytes):
-        return v
-    return v
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (np.floating, float)):
+        return str(float(v))
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return str(v)
 
 
-def _sorted_multiset(cols: list[str], rows) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_canon(r[i]) for i in order) for r in rows]
-    return sorted(out, key=repr)
+def canon_strings(pdf: pd.DataFrame) -> tuple[list[str], list[tuple]]:
+    """(sorted column names, row-multiset as sorted tuples of canonical
+    strings). Sorting happens on the stringified tuples, so both engines
+    order identically regardless of landing dtype."""
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_str(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    return cols, sorted(rows)
+
+
+def spark_nonportable_fields(sdf) -> list[str]:
+    """Output columns whose Spark type cannot survive the driver's
+    pandas-stringify-hash round trip."""
+    return [
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in NON_PORTABLE_SPARK_TYPES
+    ]
 
 
 def compare_query(spark, name: str, sf_dir: str) -> None:
     q = REGISTRY[name]
     sdf = q.fn(spark, sf_dir)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    bad = spark_nonportable_fields(sdf)
+    assert not bad, (
+        f"{name}: non-portable Spark output dtypes {bad} "
+        f"(decimal renders trailing zeros; containers crash the driver canon)"
+    )
+    spd = sdf.toPandas()
     if q.oracle is None:
-        assert len(s_rows) >= 0  # rows-only smoke
+        assert len(spd) >= 0  # rows-only smoke
         return
-    d_cols, d_rows = run_duckdb(q.oracle, sf_dir)
-    assert sorted(s_cols) == sorted(d_cols), (
-        f"{name}: column mismatch spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    opd = run_duckdb_df(q.oracle, sf_dir)
+    s_cols, s_rows = canon_strings(spd)
+    d_cols, d_rows = canon_strings(opd)
+    assert s_cols == d_cols, (
+        f"{name}: column mismatch spark={s_cols} duckdb={d_cols}"
     )
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count spark={len(s_rows)} duckdb={len(d_rows)}"
     )
-    s_ms = _sorted_multiset(s_cols, s_rows)
-    d_ms = _sorted_multiset(d_cols, d_rows)
-    if s_ms != d_ms:
+    if s_rows != d_rows:
         diffs = [
-            (i, a, b) for i, (a, b) in enumerate(zip(s_ms, d_ms)) if a != b
+            (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
         ][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
