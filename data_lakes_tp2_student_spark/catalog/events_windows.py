@@ -145,6 +145,31 @@ def e3b_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "i10_stream_static_join",
+    oracle="""
+    WITH profile AS (
+        SELECT user_id,
+               CASE WHEN count(*) >= 200 THEN 'heavy'
+                    WHEN count(*) >= 100 THEN 'mid'
+                    ELSE 'light' END AS tier
+        FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id, p.tier
+    FROM events e JOIN profile p ON e.user_id = p.user_id
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def i10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i10 — stream-static enrichment: purchases on the stream join a
+    batch-computed per-user tier dim (no stream state for the static side;
+    broadcast per micro-batch on a cluster). Drained inner join = batch
+    join, so the SQL oracle applies verbatim."""
+    from ..streaming.jobs import stream_static_join
+
+    return stream_static_join(spark, sf_dir)
+
+
+@register(
     "i7_stream_interval_join",
     oracle="""
     SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,

@@ -6,8 +6,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.compute import eager, spread
 from ..operators.dedup import (
     exact_dedup,
+    exploded_shingles,
     jaccard_verify,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -16,7 +18,9 @@ from ..operators.dedup import (
 from ..operators.multimodal import (
     attach_bmp_media,
     attach_fake_media,
+    attach_wav_media,
     parse_bmp,
+    parse_wav,
     sample_frames,
 )
 from ..operators.similarity import (
@@ -139,13 +143,19 @@ def x2_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x2b_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x2 — exact shingle-Jaccard verification of the LSH candidates (the
-    cheap-filter-then-exact-verify shape; only candidates pay set costs)."""
+    cheap-filter-then-exact-verify shape; only candidates pay set costs).
+    ONE persisted shingle table feeds both the signature aggregation and the
+    verify joins — the explosion (the pipeline's most expensive stage) runs
+    once, as it would at 100 TB."""
     docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=_N_HASHES)
+    sh = eager(exploded_shingles(spread(docs), "doc_id", "text"))
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=_N_HASHES, shingles=sh
+    )
     pairs = lsh_candidate_pairs(
         sigs, "doc_id", bands=_N_BANDS, rows_per_band=_ROWS_PER_BAND
     )
-    return jaccard_verify(pairs, docs, "doc_id", "text")
+    return jaccard_verify(pairs, docs, "doc_id", "text", shingles=sh)
 
 
 # Shared by x2c (fingerprints) and llm_ops2's x2f (hamming-banded pairs).
@@ -483,6 +493,33 @@ def x5b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = attach_bmp_media(docs, "doc_id")
     return parse_bmp(media)
+
+
+@register(
+    "x5d_audio_features",
+    oracle="""
+    SELECT doc_id,
+           true AS valid,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
+           CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+           CAST(16 AS BIGINT) AS bits,
+           CAST(doc_id % 50 + 1 AS BIGINT) AS n_samples,
+           CAST((doc_id % 50 + 1) * 1000000
+                // CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                   WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS duration_us
+    FROM documents
+    """,
+)
+def x5d_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x5 — REAL audio decode (the WAV twin of x5b's BMP parse): per-doc PCM
+    WAV payloads (RIFF + fmt + data chunks, deterministic from doc_id) are
+    chunk-walked by struct.unpack inside Arrow-batched mapInPandas; the
+    oracle predicts rate/channels/bits/sample-count/duration arithmetically
+    from doc_id. Duration is integer microseconds — no float division."""
+    docs = load(spark, sf_dir, "documents")
+    media = attach_wav_media(docs, "doc_id")
+    return parse_wav(media)
 
 
 @register(

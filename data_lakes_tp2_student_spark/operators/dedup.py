@@ -112,6 +112,7 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 16,
     out_col: str = "sig",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """x2 — MinHash signature per row: position j holds
     min over shingles of rotate_j(md5(shingle)).
@@ -119,8 +120,16 @@ def minhash_signatures(
     Hex strings compare lexicographically — a valid uniform hash order,
     identical in every engine. Shape: explode → md5 → k min-aggs (codegen,
     map-side partial aggregation; see module docstring).
+
+    Pass a precomputed ``shingles`` (id, s) table to share the explosion
+    with other stages (e.g. jaccard_verify) — one shingle scan feeding the
+    whole near-dup pipeline is the 100 TB shape.
     """
-    ex = exploded_shingles(spread(df), id_col, text_col)
+    ex = (
+        shingles
+        if shingles is not None
+        else exploded_shingles(spread(df), id_col, text_col)
+    )
     h = ex.select(id_col, F.md5("s").alias("_h"))
     aggs = [F.min(rotation(F.col("_h"), j)).alias(f"_s{j}") for j in range(num_hashes)]
     wide = h.groupBy(id_col).agg(*aggs)
@@ -169,7 +178,11 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify(
-    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """x2 — exact shingle-set Jaccard for candidate pairs (the verify stage
     after LSH; only candidates pay set costs), join-based: intersection =
@@ -181,7 +194,12 @@ def jaccard_verify(
     several of them broadcast builds that would otherwise recompute the
     whole upstream pipeline concurrently (see functions.compute.eager)."""
     pairs = eager(pairs)
-    sh = eager(exploded_shingles(spread(df), id_col, text_col).distinct())
+    raw = (
+        shingles
+        if shingles is not None
+        else exploded_shingles(spread(df), id_col, text_col)
+    )
+    sh = eager(raw.distinct())
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "s")
     b = sh.select(F.col(id_col).alias("id_b"), "s")

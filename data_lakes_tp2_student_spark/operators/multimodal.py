@@ -142,6 +142,96 @@ def parse_bmp(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(run, schema=out_schema)
 
 
+def attach_wav_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Build a REAL (tiny) PCM WAV file per row — RIFF header + fmt chunk +
+    data chunk — with rate/channels/sample-count derived deterministically
+    from the id. Fixture for `parse_wav` (same contract as
+    `attach_bmp_media`/`parse_bmp`): the parser must recover these fields
+    from the bytes; a SQL oracle predicts them from the id."""
+    import struct
+
+    out_schema = "doc_id bigint, media binary"
+    rates = (8000, 16000, 22050, 44100)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows_id, rows_media = [], []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rate = rates[i % 4]
+                channels = i % 2 + 1
+                bits = 16
+                n_samples = i % 50 + 1
+                block = channels * bits // 8
+                data = bytes(
+                    (i * 11 + j) % 256 for j in range(n_samples * block)
+                )
+                fmt = struct.pack(
+                    "<4sIHHIIHH", b"fmt ", 16, 1, channels, rate,
+                    rate * block, block, bits,
+                )
+                payload = fmt + struct.pack("<4sI", b"data", len(data)) + data
+                riff = struct.pack("<4sI4s", b"RIFF", 4 + len(payload), b"WAVE")
+                rows_id.append(i)
+                rows_media.append(riff + payload)
+        yield pd.DataFrame({"doc_id": rows_id, "media": rows_media})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        build, schema=out_schema
+    )
+
+
+def parse_wav(media_df: DataFrame) -> DataFrame:
+    """x5 — REAL audio decode for one trivial format: walk the RIFF chunk
+    list (struct.unpack over the binary column, Arrow-batched via
+    mapInPandas) and emit SCALAR features: validity, sample rate, channels,
+    bit depth, sample count, and duration in exact microseconds (integer —
+    no float division, engine-portable)."""
+    import struct
+
+    out_schema = (
+        "doc_id bigint, valid boolean, sample_rate bigint, channels bigint, "
+        "bits bigint, n_samples bigint, duration_us bigint"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "valid", "sample_rate", "channels", "bits",
+                "n_samples", "duration_us")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(payload)
+                rate = ch = bits = n_samples = dur = None
+                ok = (
+                    len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+                    and struct.unpack("<I", b[4:8])[0] == len(b) - 8
+                )
+                if ok:
+                    pos, ok = 12, False
+                    while pos + 8 <= len(b):
+                        cid, sz = struct.unpack("<4sI", b[pos:pos + 8])
+                        body = b[pos + 8:pos + 8 + sz]
+                        if cid == b"fmt " and sz >= 16:
+                            _, ch, rate, _, block, bits = struct.unpack(
+                                "<HHIIHH", body[:16]
+                            )
+                        elif cid == b"data" and rate:
+                            n_samples = sz // (ch * bits // 8)
+                            dur = n_samples * 1_000_000 // rate
+                            ok = True
+                        pos += 8 + sz + (sz & 1)  # RIFF chunks pad to even
+                out["doc_id"].append(int(doc_id))
+                out["valid"].append(bool(ok))
+                out["sample_rate"].append(rate if ok else None)
+                out["channels"].append(ch if ok else None)
+                out["bits"].append(bits if ok else None)
+                out["n_samples"].append(n_samples if ok else None)
+                out["duration_us"].append(dur if ok else None)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(run, schema=out_schema)
+
+
 def resize_media(media_df: DataFrame, max_bytes: int = 32) -> DataFrame:
     """x5 — media 'resize' via mapInPandas: payload truncated to a byte
     budget, metadata struct rewritten to match (STUB for a real

@@ -171,6 +171,34 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "append")
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i10 — stream-static enrichment join: the event stream joins a STATIC
+    dimension (per-user aggregate profile computed batch-side from the same
+    lake). The static side needs no watermark and holds no join state — on
+    a real cluster Spark broadcasts it per micro-batch, so stream state
+    stays zero and late data cannot affect the dim. Inner join over the
+    drained file source equals the batch join — SQL oracle applies."""
+    profile = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "tier",
+            F.when(F.col("n_events") >= 200, "heavy")
+            .when(F.col("n_events") >= 100, "mid")
+            .otherwise("light"),
+        )
+        .select("user_id", "tier")
+    )
+    ev = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = ev.join(profile, "user_id").select(
+        "user_id", "event_id", "tier"
+    )
+    return _run_to_memory(joined, "append")
+
+
 def stream_upsert_partitions(spark: SparkSession, sf_dir: str, dest: str) -> None:
     """i9 — streaming → lake sink via foreachBatch + partition-level upsert:
     each micro-batch dynamic-overwrites ONLY the date partitions it touches

@@ -1,0 +1,79 @@
+"""The hardened local gate must fail where the driver's hash fails
+(VERDICT r2 item 2 'done' criterion: a deliberately decimal-typed fixture
+fails locally) — and must NOT fail on the differences the driver tolerates
+(timestamp resolution, date vs midnight-timestamp, int width).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import numpy as np
+import pandas as pd
+
+from .oracle import _str, canon_strings, spark_nonportable_fields
+
+
+def test_decimal_output_flagged_nonportable(spark):
+    df = spark.sql("SELECT CAST(123.40 AS DECIMAL(18,2)) AS money")
+    assert spark_nonportable_fields(df) == ["money"]
+
+
+def test_array_output_flagged_nonportable(spark):
+    df = spark.sql("SELECT array(1.0, 2.0) AS qs")
+    assert spark_nonportable_fields(df) == ["qs"]
+
+
+def test_double_and_bigint_outputs_portable(spark):
+    df = spark.sql(
+        "SELECT CAST(1.5 AS DOUBLE) AS d, CAST(5 AS BIGINT) AS n, 'x' AS s, "
+        "TIMESTAMP '2021-01-01 00:00:00' AS ts"
+    )
+    assert spark_nonportable_fields(df) == []
+
+
+def test_decimal_trailing_zero_renders_differently():
+    """The exact driver failure mode: a decimal column survives Spark's
+    toPandas as Decimal objects ('123.40') while DuckDB's .df() lands it as
+    float64 ('123.4') — equal values, different strings. (The old local gate
+    compared cursor.fetchall() values, where BOTH sides were Decimal and
+    compared equal — which is exactly how local-green coexisted with
+    driver-red for two rounds.)"""
+    assert _str(Decimal("123.40")) != _str(123.4)
+
+
+def test_bigint_vs_float_distinguished():
+    """e3b/x18/q12/x9 failure mode: DuckDB hugeint lands float64 ('5.0'),
+    Spark bigint lands int64 ('5')."""
+    spark_side = pd.DataFrame({"v": np.array([5], dtype=np.int64)})
+    oracle_side = pd.DataFrame({"v": np.array([5.0], dtype=np.float64)})
+    assert canon_strings(spark_side) != canon_strings(oracle_side)
+
+
+def test_timestamp_resolution_tolerated():
+    """i3/i7/i8/c7 driver behavior: ns vs us landings hash equal."""
+    ns = pd.DataFrame({"ts": pd.to_datetime(["2021-01-04 10:30:00"]).astype("datetime64[ns]")})
+    us = pd.DataFrame({"ts": pd.to_datetime(["2021-01-04 10:30:00"]).astype("datetime64[us]")})
+    assert canon_strings(ns) == canon_strings(us)
+
+
+def test_date_vs_midnight_timestamp_tolerated():
+    """x13 driver behavior: datetime.date objects vs datetime64 midnights
+    hash equal."""
+    obj = pd.DataFrame({"d": [dt.date(2021, 1, 4)]})
+    t64 = pd.DataFrame({"d": pd.to_datetime(["2021-01-04"])})
+    assert canon_strings(obj) == canon_strings(t64)
+
+
+def test_int_width_tolerated():
+    """f6/q8 (pre-fix) driver behavior: int32 vs int64 hash equal."""
+    i32 = pd.DataFrame({"v": np.array([7], dtype=np.int32)})
+    i64 = pd.DataFrame({"v": np.array([7], dtype=np.int64)})
+    assert canon_strings(i32) == canon_strings(i64)
+
+
+def test_row_order_and_column_order_insensitive():
+    a = pd.DataFrame({"x": [1, 2], "y": ["b", "a"]})
+    b = pd.DataFrame({"y": ["a", "b"], "x": [2, 1]})
+    assert canon_strings(a) == canon_strings(b)
