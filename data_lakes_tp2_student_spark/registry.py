@@ -59,6 +59,27 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+def assert_ts_not_utc_adjusted(path: str, col: str = "ts") -> None:
+    """Fail loudly if a parquet file ships TIMESTAMP(isAdjustedToUTC=true)
+    for `col`: Spark would read an instant while DuckDB reads TIMESTAMPTZ
+    rendered in its local session zone, and the naive-UTC oracle agreement
+    the event-time operators rely on would silently break. Footer-only
+    probe, best-effort (a missing pyarrow never blocks the read)."""
+    try:
+        import pyarrow.parquet as pq
+
+        field = pq.read_schema(path).field(col)
+        tz = getattr(field.type, "tz", None)
+        if tz is not None:
+            raise AssertionError(
+                f"{path}:{col} is UTC-adjusted (tz={tz}); the naive-UTC "
+                "oracle contract does not cover this — extend the ts "
+                "adaptation in registry.load / streaming.jobs first"
+            )
+    except (ImportError, OSError, KeyError):
+        pass
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver testdata table (parquet scan; pushdown/pruning apply).
 
@@ -81,6 +102,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
+        assert_ts_not_utc_adjusted(f"{sf_dir}/{table}.parquet")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):

@@ -53,8 +53,13 @@ def _stage_dir(sf_dir: str, table: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..registry import assert_ts_not_utc_adjusted
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # see registry.load
+    # A third testdata generation shipping TIMESTAMP(isAdjustedToUTC=true)
+    # must fail loudly, not diverge from the naive-UTC oracle (ADVICE r2).
+    assert_ts_not_utc_adjusted(f"{sf_dir}/events.parquet")
     # Footer-only batch read decides whether ts arrives as nanos-long or as
     # a native timestamp; the imposed stream schema must match the file or
     # the reader silently misinterprets the column.

@@ -115,6 +115,28 @@ def test_stratified_sample_single_exchange(spark):
     assert "WindowGroupLimit" in p
 
 
+def test_ntile_two_phase_rank_no_group_sort(spark):
+    """e3c: the heavy window must partition by (band, group) — never by the
+    ~5-value group alone, which would make each priority ONE task sorting
+    ~20% of the table at any scale (the straggler this plan exists to
+    avoid). The offsets/totals sides must stay broadcast."""
+    from data_lakes_tp2_student_spark.registry import REGISTRY
+    import data_lakes_tp2_student_spark.catalog  # noqa: F401
+
+    df = REGISTRY["e3c_ntile_buckets"].fn(spark, "/root/testdata/sf0.001")
+    p = plan_of(df)
+    # the row_number window spec carries both band and priority keys
+    win = next(
+        l for l in p.splitlines() if "row_number()" in l and "windowspec" in l
+    )
+    assert "_band" in win and "o_orderpriority" in win
+    # no exchange hash-partitions on the group column alone (the tiny
+    # offsets window does partition by priority, but only after the
+    # per-(band, group) aggregate — i.e. over ~slices*groups rows)
+    assert "ntile(" not in p  # the naive operator is gone entirely
+    assert p.count("BroadcastExchange") >= 2  # offsets + totals (+ stats)
+
+
 def test_dynamic_partition_overwrite(spark, tmp_path):
     """overwrite_partitions replaces ONLY the partitions present in the
     incoming frame: untouched date dirs keep their files byte-for-byte."""
