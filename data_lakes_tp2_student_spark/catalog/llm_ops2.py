@@ -199,3 +199,59 @@ def x10_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         toks, "doc_id", "source", "est_bpe_tokens", budget=4096
     )
+
+
+@register(
+    "x22_decontamination",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+    ),
+    shin AS (
+        SELECT doc_id,
+               CASE WHEN len(w) < 3 THEN [text]
+                    ELSE list_transform(range(0, len(w) - 2),
+                                        i -> array_to_string(w[i+1:i+3], ' '))
+               END AS shingles
+        FROM words
+    ),
+    ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM shin),
+    bench AS (SELECT doc_id AS bench_id, s FROM ex WHERE doc_id % 100 = 0),
+    corp AS (SELECT doc_id, s FROM ex WHERE doc_id % 100 <> 0)
+    SELECT c.doc_id,
+           count(DISTINCT c.s) AS n_shared_shingles,
+           count(DISTINCT b.bench_id) AS n_benchmark_docs
+    FROM corp c JOIN bench b ON c.s = b.s
+    GROUP BY c.doc_id
+    """,
+)
+def x22_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x22 — train/eval DECONTAMINATION, the standard pre-training hygiene
+    pass: flag corpus documents sharing any word-shingle with a benchmark
+    set (here: the deterministic doc_id % 100 == 0 subset standing in for
+    an eval suite), with collision counts for audit.
+
+    Scale shape: the benchmark shingle set is broadcast (eval suites are
+    tiny next to a 100 TB corpus), so the corpus is scanned ONCE, its
+    exploded shingles never shuffle for the probe, and only colliding rows
+    reach the per-doc aggregation. At full scale you would put a bloom
+    filter of benchmark shingles in front of the join; the join shape is
+    already the right one. Reuses `exploded_shingles` (the x2 pipeline's
+    shingle operator), distinct-ed to set semantics."""
+    from ..functions.compute import spread
+    from ..operators.dedup import exploded_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = exploded_shingles(spread(docs), "doc_id", "text").distinct()
+    bench = sh.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    corp = sh.filter(F.col("doc_id") % 100 != 0)
+    return (
+        corp.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+    )
