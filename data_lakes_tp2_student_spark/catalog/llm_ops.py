@@ -672,3 +672,30 @@ def x4c_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "<NUM>",
     )
     return docs.select("doc_id", scrub.alias("scrubbed"))
+
+
+@register(
+    "x5e_media_resize",
+    oracle="""
+    SELECT doc_id,
+           true AS valid,
+           CAST((doc_id % 16 + 1 + 1) // 2 AS BIGINT) AS width,
+           CAST((doc_id % 12 + 1 + 1) // 2 AS BIGINT) AS height,
+           CAST(24 AS BIGINT) AS bpp,
+           CAST(54 + ((24 * ((doc_id % 16 + 1 + 1) // 2) + 31) // 32) * 4
+                    * ((doc_id % 12 + 1 + 1) // 2) AS BIGINT) AS n_bytes,
+           CAST((doc_id * 7) % 256 AS BIGINT) AS px0
+    FROM documents
+    """,
+)
+def x5e_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x5 — the full decode→resize→decode chain, hash-checked: BMP payloads
+    are nearest-neighbor downsampled 2x (real pixel-array slicing + header
+    rebuild, operators.multimodal.resize_bmp) and re-parsed; the oracle
+    predicts the resized dims (ceil(w/2), ceil(h/2)), the re-padded byte
+    size, and the surviving first pixel arithmetically from doc_id."""
+    from ..operators.multimodal import resize_bmp
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_bmp_media(docs, "doc_id")
+    return parse_bmp(resize_bmp(media, factor=2))

@@ -142,6 +142,52 @@ def parse_bmp(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(run, schema=out_schema)
 
 
+def resize_bmp(media_df: DataFrame, factor: int = 2) -> DataFrame:
+    """x5 — REAL media resize for the BMP format: nearest-neighbor
+    downsample by an integer factor, done by parsing the pixel array and
+    rebuilding a VALID BMP (new dims, new row stride with standard 4-byte
+    padding, corrected size fields). binary→binary in Arrow batches — the
+    same contract a PIL/ffmpeg resize drops into. Output re-parses with
+    `parse_bmp`, so the whole decode→transform→decode chain is
+    oracle-checkable (dims are ceil(w/f), ceil(h/f); the first stored
+    pixel survives by construction)."""
+    import struct
+
+    out_schema = "doc_id bigint, media binary"
+    f = int(factor)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_media = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(payload)
+                _, _, _, offset = struct.unpack("<IHHI", b[2:14])
+                _, w, h, _, bpp = struct.unpack("<IiiHH", b[14:30])
+                stride = (bpp * w + 31) // 32 * 4
+                w2, h2 = (w + f - 1) // f, (h + f - 1) // f
+                stride2 = (bpp * w2 + 31) // 32 * 4
+                px = b[offset:]
+                rows = []
+                for r in range(0, h, f):
+                    row = px[r * stride : r * stride + w * 3]
+                    kept = b"".join(
+                        row[c * 3 : c * 3 + 3] for c in range(0, w, f)
+                    )
+                    rows.append(kept.ljust(stride2, b"\0"))
+                data = b"".join(rows)
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
+                ) + struct.pack(
+                    "<IiiHHIIiiII",
+                    40, w2, h2, 1, bpp, 0, len(data), 2835, 2835, 0, 0,
+                )
+                out_id.append(int(doc_id))
+                out_media.append(header + data)
+            yield pd.DataFrame({"doc_id": out_id, "media": out_media})
+
+    return media_df.mapInPandas(run, schema=out_schema)
+
+
 def attach_wav_media(df: DataFrame, id_col: str) -> DataFrame:
     """Build a REAL (tiny) PCM WAV file per row — RIFF header + fmt chunk +
     data chunk — with rate/channels/sample-count derived deterministically
