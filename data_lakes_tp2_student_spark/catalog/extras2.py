@@ -54,6 +54,60 @@ def a9_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a10_binaryfile_media_scan",
+    oracle="""
+    SELECT CAST(t.range AS BIGINT) AS doc_id,
+           true AS valid,
+           CAST(t.range % 16 + 1 AS BIGINT) AS width,
+           CAST(t.range % 12 + 1 AS BIGINT) AS height,
+           CAST(24 AS BIGINT) AS bpp,
+           CAST(54 + ((24 * (t.range % 16 + 1) + 31) // 32) * 4
+                    * (t.range % 12 + 1) AS BIGINT) AS n_bytes,
+           CAST((t.range * 7) % 256 AS BIGINT) AS px0,
+           CAST(54 + ((24 * (t.range % 16 + 1) + 31) // 32) * 4
+                    * (t.range % 12 + 1) AS BIGINT) AS file_length
+    FROM range(25) t
+    """,
+)
+def a10_binaryfile_media_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a-group source coverage — the `binaryFile` source, how raw media
+    lands in a lake: loose image files on disk → (path, length, content)
+    rows → real BMP parse. Fixture: 25 deterministic .bmp files (one per
+    nation key, written with plain Python — file arrival is outside any
+    engine); the operator under test is the glob-filtered binaryFile scan +
+    `parse_bmp`, with the file's id recovered from its path. The oracle
+    predicts every parsed field AND the source's length column from the id.
+
+    Scale: binaryFile splits by file (maxPartitionBytes applies per file);
+    a 100 TB media lake reads exactly this way, with pathGlobFilter pruning
+    non-media objects before any bytes move."""
+    from ..operators.multimodal import bmp_bytes, parse_bmp
+
+    path = f"{_TMP}/a10_media"
+    os.makedirs(path, exist_ok=True)
+    for i in range(25):
+        f = os.path.join(path, f"doc_{i}.bmp")
+        if not os.path.exists(f):
+            with open(f, "wb") as fh:
+                fh.write(bmp_bytes(i))
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(path)
+    )
+    media = raw.select(
+        F.regexp_extract("path", r"doc_(\d+)\.bmp$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("content").alias("media"),
+        F.col("length").alias("file_length"),
+    )
+    return parse_bmp(media.select("doc_id", "media")).join(
+        media.select("doc_id", "file_length"), "doc_id"
+    )
+
+
+@register(
     "x6_unpivot",
     oracle="""
     SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer

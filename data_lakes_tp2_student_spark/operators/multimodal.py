@@ -65,37 +65,42 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(run, schema=out_schema)
 
 
-def attach_bmp_media(df: DataFrame, id_col: str) -> DataFrame:
-    """Build a REAL (tiny) BMP file per row — a valid BITMAPFILEHEADER +
-    BITMAPINFOHEADER + 24-bit pixel rows with standard 4-byte row padding —
-    with dimensions and pixel bytes derived deterministically from the id.
-    This is the test fixture for `parse_bmp`: the parser must recover
-    exactly these values by reading the bytes, and a SQL oracle can predict
-    them from the id without seeing the binary."""
+def bmp_bytes(i: int) -> bytes:
+    """A REAL (tiny) BMP file — valid BITMAPFILEHEADER + BITMAPINFOHEADER +
+    24-bit pixel rows with standard 4-byte row padding — with dimensions and
+    pixel bytes derived deterministically from ``i``. The fixture generator
+    for `parse_bmp`/`resize_bmp`: a SQL oracle can predict every recovered
+    field from ``i`` without seeing the binary."""
     import struct
 
+    i = int(i)
+    width = i % 16 + 1
+    height = i % 12 + 1
+    row_size = (24 * width + 31) // 32 * 4
+    pixel_bytes = row_size * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + pixel_bytes, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0,
+    )
+    px = bytes((i * 7 + j) % 256 for j in range(pixel_bytes))
+    return header + px
+
+
+def attach_bmp_media(df: DataFrame, id_col: str) -> DataFrame:
+    """One `bmp_bytes` payload per row as a binary column (executor-side,
+    Arrow-batched)."""
     out_schema = "doc_id bigint, media binary"
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows_id, rows_media = [], []
         for pdf in batches:
-            for doc_id in pdf["doc_id"]:
-                i = int(doc_id)
-                width = i % 16 + 1
-                height = i % 12 + 1
-                row_size = (24 * width + 31) // 32 * 4
-                pixel_bytes = row_size * height
-                file_size = 54 + pixel_bytes
-                header = struct.pack(
-                    "<2sIHHI", b"BM", file_size, 0, 0, 54
-                ) + struct.pack(
-                    "<IiiHHIIiiII",
-                    40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0,
-                )
-                px = bytes((i * 7 + j) % 256 for j in range(pixel_bytes))
-                rows_id.append(i)
-                rows_media.append(header + px)
-        yield pd.DataFrame({"doc_id": rows_id, "media": rows_media})
+            yield pd.DataFrame(
+                {
+                    "doc_id": [int(x) for x in pdf["doc_id"]],
+                    "media": [bmp_bytes(x) for x in pdf["doc_id"]],
+                }
+            )
 
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         build, schema=out_schema
