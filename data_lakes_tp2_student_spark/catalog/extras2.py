@@ -108,6 +108,42 @@ def a10_binaryfile_media_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a11_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(NULL AS BIGINT) AS batch_tag
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(n_nationkey * 10 AS BIGINT) AS batch_tag
+    FROM nation
+    """,
+)
+def a11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a-group source coverage — schema evolution across ingest batches:
+    an older parquet batch lacks a column a newer batch added; a
+    mergeSchema multi-path read reconciles them (missing column → NULL for
+    the old rows), the way a lake table grows columns without rewriting
+    history. The reconciled dtype is pinned BIGINT on both sides.
+
+    Scale: mergeSchema's cost is footer-only (one scan of file schemas,
+    not data); per-file column absence is handled by the reader, so old
+    batches are never rewritten — the property that matters when 'old'
+    is 99 % of 100 TB."""
+    base = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    p = f"{_TMP}/a11_evo"
+    base.write.mode("overwrite").parquet(f"{p}/v1")
+    base.withColumn(
+        "batch_tag", (F.col("n_nationkey") * 10).cast("bigint")
+    ).write.mode("overwrite").parquet(f"{p}/v2")
+    return spark.read.option("mergeSchema", "true").parquet(
+        f"{p}/v1", f"{p}/v2"
+    )
+
+
+@register(
     "x6_unpivot",
     oracle="""
     SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
