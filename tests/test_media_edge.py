@@ -1,0 +1,130 @@
+"""Edge cases for the real media parsers (x5b/x5d/x5e): truncated and
+corrupt payloads must degrade to valid=false rows (never throw mid-batch),
+and resize must be total for any factor/dimension combination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lakes_tp2_student_spark.operators.multimodal import (
+    attach_bmp_media,
+    attach_wav_media,
+    bmp_bytes,
+    parse_bmp,
+    parse_wav,
+    resize_bmp,
+)
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, media binary")
+
+
+def test_parse_bmp_rejects_truncated_and_corrupt(spark):
+    good = bmp_bytes(5)
+    rows = [
+        (1, good),
+        (2, good[:10]),          # shorter than any header
+        (3, b"XX" + good[2:]),   # wrong magic
+        (4, good[:-1]),          # declared size != actual
+        (5, b""),
+    ]
+    out = {r.doc_id: r for r in parse_bmp(_media_df(spark, rows)).collect()}
+    assert out[1].valid and out[1].width == 5 % 16 + 1
+    for bad in (2, 3, 4, 5):
+        assert not out[bad].valid
+        assert out[bad].width is None and out[bad].px0 is None
+        assert out[bad].n_bytes == len(rows[bad - 1][1])
+
+
+def test_parse_wav_rejects_truncated_and_corrupt(spark):
+    wav_rows = attach_wav_media(
+        spark.createDataFrame([(7,)], "doc_id long"), "doc_id"
+    ).collect()
+    good = bytes(wav_rows[0].media)
+    rows = [
+        (1, good),
+        (2, good[:8]),           # no WAVE tag
+        (3, b"RIFX" + good[4:]),  # wrong magic
+        (4, good[:30]),          # fmt chunk cut off
+    ]
+    out = {r.doc_id: r for r in parse_wav(_media_df(spark, rows)).collect()}
+    assert out[1].valid and out[1].sample_rate == 44100  # 7 % 4 == 3
+    assert out[1].n_samples == 7 % 50 + 1
+    for bad in (2, 3, 4):
+        assert not out[bad].valid
+        assert out[bad].duration_us is None
+
+
+def test_resize_bmp_factor_larger_than_dims(spark):
+    """factor >> dims must still yield a valid 1x1 image that re-parses,
+    with the first stored pixel surviving."""
+    df = spark.createDataFrame([(0,)], "doc_id long")  # 1x1 source image
+    media = attach_bmp_media(df, "doc_id")
+    out = parse_bmp(resize_bmp(media, factor=20)).collect()[0]
+    assert out.valid and out.width == 1 and out.height == 1
+    assert out.px0 == 0  # (0*7+0) % 256
+
+
+def test_resize_bmp_idempotent_at_factor_one(spark):
+    df = spark.createDataFrame([(9,)], "doc_id long")
+    media = attach_bmp_media(df, "doc_id")
+    orig = parse_bmp(media).collect()[0]
+    same = parse_bmp(resize_bmp(media, factor=1)).collect()[0]
+    assert (orig.width, orig.height, orig.n_bytes, orig.px0) == (
+        same.width,
+        same.height,
+        same.n_bytes,
+        same.px0,
+    )
+
+
+def test_resize_halves_dimensions_and_reparses(spark):
+    df = spark.createDataFrame([(15,)], "doc_id long")  # 16x4 image
+    media = attach_bmp_media(df, "doc_id")
+    out = parse_bmp(resize_bmp(media, factor=2)).collect()[0]
+    assert out.valid
+    assert out.width == (15 % 16 + 1 + 1) // 2
+    assert out.height == (15 % 12 + 1 + 1) // 2
+    assert out.px0 == (15 * 7) % 256
+
+
+def test_bmp_declared_size_matches_layout(spark):
+    """The builder must produce exactly the padded-row layout the oracle
+    predicts, for every (width mod 4) padding case."""
+    for i in (0, 1, 2, 3, 16, 33):
+        b = bmp_bytes(i)
+        w, h = i % 16 + 1, i % 12 + 1
+        assert len(b) == 54 + ((24 * w + 31) // 32 * 4) * h
+
+
+def test_wav_riff_padding_rule(spark):
+    """Odd-sized data chunks must still parse (RIFF pads chunks to even);
+    our PCM data is always even-sized, so assert via a hand-built odd
+    chunk followed by the real fmt/data pair."""
+    import struct
+
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+    junk = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\0"  # odd + pad
+    data = struct.pack("<4sI", b"data", 4) + b"\1\2\3\4"
+    payload = junk + fmt + data
+    wav = struct.pack("<4sI4s", b"RIFF", 4 + len(payload), b"WAVE") + payload
+    out = parse_wav(_media_df(spark, [(1, wav)])).collect()[0]
+    assert out.valid and out.sample_rate == 8000 and out.n_samples == 2
+    assert out.duration_us == 2 * 1_000_000 // 8000
+
+
+def test_attach_bmp_media_matches_bmp_bytes(spark):
+    df = spark.createDataFrame([(3,), (12,)], "doc_id long")
+    rows = {r.doc_id: bytes(r.media) for r in attach_bmp_media(df, "doc_id").collect()}
+    assert rows[3] == bmp_bytes(3) and rows[12] == bmp_bytes(12)
+
+
+def test_parse_is_distributed_expression(spark):
+    """The parse runs per-batch on executors: a 200-row input keeps its
+    partitioning and produces exactly one output row per input row."""
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    media = attach_bmp_media(df.repartition(8), "doc_id")
+    parsed = parse_bmp(media)
+    assert parsed.count() == 200
+    assert parsed.filter(~F.col("valid")).count() == 0
