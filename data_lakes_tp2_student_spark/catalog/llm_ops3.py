@@ -45,7 +45,7 @@ _STRIDE = 150  # chunk start spacing (=> 50-word overlap)
 )
 def x23_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x23 — document CHUNKING: split each doc into overlapping word
-    windows ({_CHUNK} words, stride {_STRIDE}) — the unit RAG indexes and
+    windows (200 words, stride 150) — the unit RAG indexes and
     long-document training actually consume. Emits per-chunk offsets,
     lengths, and an md5 of the chunk text (so the oracle hash-checks the
     sliced CONTENT, not just the arithmetic).
