@@ -68,29 +68,37 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
+    rounds_n = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+
     spark = get_spark(app_name="bench", cpus=cpus)
     # Warm up JVM/codegen paths outside the timed region.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # Median-of-3 per query (VERDICT r2 item 4): the host shows intermittent
-    # multi-second stalls (observed 10x wall-time swings on identical plans);
-    # the median is robust to one stalled run in either direction, where
-    # best-of-2 cannot tell noise from regression. Per-query spread
-    # (max - min) is reported so a noisy host is visible in the record.
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    for name in HEADLINE:
-        q = REGISTRY.get(name)
-        if q is None:
-            continue
-        runs = []
-        for _ in range(3):
+    # Interleaved rounds (VERDICT r3 item 1): the host shows intermittent
+    # multi-second stalls. Running each query's repetitions back-to-back let
+    # one stall poison all reps of a single query (r3: 11.0 s spread on a
+    # 0.66 s query). Instead run the FULL headline list `rounds_n` times and
+    # take the per-query median ACROSS rounds — a stall now lands on one
+    # round of many queries and the medians shrug it off. Per-round wall
+    # times are recorded so a stalled round is visible in the artifact.
+    names = [n for n in HEADLINE if REGISTRY.get(n) is not None]
+    per_query: dict[str, list[float]] = {n: [] for n in names}
+    round_walls: list[float] = []
+    for _ in range(rounds_n):
+        r0 = time.perf_counter()
+        for name in names:
+            q = REGISTRY.get(name)
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+            per_query[name].append(time.perf_counter() - t0)
             spark.catalog.clearCache()  # drop per-query persists between runs
+        round_walls.append(round(time.perf_counter() - r0, 3))
+
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for name, runs in per_query.items():
         runs.sort()
-        timings[name] = round(runs[1], 3)
+        timings[name] = round(runs[len(runs) // 2], 3)
         spreads[name] = round(runs[-1] - runs[0], 3)
 
     total = round(sum(timings.values()), 3)
@@ -102,6 +110,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spreads,
+                "round_walls": round_walls,
                 "sf": sf,
             }
         )

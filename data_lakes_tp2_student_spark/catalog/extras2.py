@@ -85,11 +85,13 @@ def a10_binaryfile_media_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = f"{_TMP}/a10_media"
     os.makedirs(path, exist_ok=True)
+    # Always rewrite (files are tiny): an if-exists skip would let stale
+    # fixtures from an older bmp_bytes version, or a crashed partial write,
+    # silently diverge from the oracle.
     for i in range(25):
         f = os.path.join(path, f"doc_{i}.bmp")
-        if not os.path.exists(f):
-            with open(f, "wb") as fh:
-                fh.write(bmp_bytes(i))
+        with open(f, "wb") as fh:
+            fh.write(bmp_bytes(i))
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bmp")

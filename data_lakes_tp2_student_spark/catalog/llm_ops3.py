@@ -50,10 +50,14 @@ def x23_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     lengths, and an md5 of the chunk text (so the oracle hash-checks the
     sliced CONTENT, not just the arithmetic).
 
-    Scale shape: pure per-row expressions — split once, sequence+explode
-    the chunk starts, slice+hash each window; fully data-parallel with no
-    shuffle at all. The overlap factor bounds the blowup at
-    ceil(words/stride) rows per doc."""
+    Scale shape: pure per-row expressions, no shuffle at all — split ONCE,
+    then slice+hash every window INSIDE a `transform` lambda while the row
+    is still one-per-doc, and explode only the reduced (chunk_id, offsets,
+    md5) structs via `inline`. The naive alternative (explode chunk ids
+    first, slice after) duplicates the full words array once per chunk —
+    a ~67× mid-plan memory amplification on a 10k-word doc (VERDICT r3
+    item 3); here each exploded row carries ~50 bytes. The overlap factor
+    bounds the blowup at ceil(words/stride) rows per doc."""
     docs = load(spark, sf_dir, "documents")
     n_chunks = F.greatest(
         F.lit(1),
@@ -63,36 +67,30 @@ def x23_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 1,
     )
     w = docs.select(
-        "doc_id",
-        F.split("text", " ").alias("words"),
-        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        "doc_id", F.split("text", " ").alias("words")
+    ).withColumn("n_words", F.size("words").cast("bigint"))
+    ids = F.filter(
+        F.sequence(F.lit(0).cast("bigint"), n_chunks - 1),
+        lambda i: (i == 0) | ((i * _STRIDE) < F.col("n_words")),
     )
-    exploded = (
-        w.withColumn(
-            "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
-        )
-        .withColumn("chunk_id", F.col("chunk_id").cast("bigint"))
-        .withColumn("word_start", (F.col("chunk_id") * _STRIDE).cast("bigint"))
-        .filter(
-            (F.col("chunk_id") == 0) | (F.col("word_start") < F.col("n_words"))
-        )
+    chunks = F.transform(
+        ids,
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            (i * _STRIDE).alias("word_start"),
+            F.least(F.lit(_CHUNK).cast("bigint"), F.col("n_words") - i * _STRIDE)
+            .alias("chunk_words"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("words"), (i * _STRIDE + 1).cast("int"), _CHUNK
+                    ),
+                )
+            ).alias("chunk_md5"),
+        ),
     )
-    return exploded.select(
-        "doc_id",
-        "chunk_id",
-        "word_start",
-        F.least(F.lit(_CHUNK), F.col("n_words") - F.col("word_start"))
-        .cast("bigint")
-        .alias("chunk_words"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.slice(
-                    F.col("words"), (F.col("word_start") + 1).cast("int"), _CHUNK
-                ),
-            )
-        ).alias("chunk_md5"),
-    )
+    return w.select("doc_id", F.inline(chunks))
 
 
 @register(
@@ -174,10 +172,18 @@ def x25_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard's token budget is exhausted — greedy prefix by running token
     sum, the standard way training mixes are cut to size.
 
-    Scale shape: one hash exchange by source feeds the ordering window;
-    the running sum is a prefix aggregate, and the budget predicate prunes
-    before anything else moves. Budgets per shard keep every partition's
-    sort local to its source."""
+    Scale shape (two-phase prefix sum, no per-source single-task sort —
+    the e3c banded-rank trick applied to a running SUM): a naive
+    `sum OVER (PARTITION BY source ORDER BY ...)` serializes each source
+    into ONE window task — and real corpora have a CommonCrawl that dwarfs
+    everything. Instead: (1) band rows by a deterministic pure function of
+    the leading sort key (density value-range slices from the global
+    min/max — a 1-row broadcast); (2) per-(band, source) token sums give
+    each band's prefix offset (tiny aggregate, broadcast back); (3) a
+    per-(band, source) local running sum + the band offset is the exact
+    global prefix — each window task sorts only its band. Bands are
+    monotone in (density DESC, doc_id) because banding is a function of
+    density alone, so equal densities can never straddle bands."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -192,17 +198,57 @@ def x25_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("density"),
     )
-    w = (
+    slices = 32
+    stats = toks.agg(
+        F.min("density").alias("_lo"), F.max("density").alias("_hi")
+    )
+    # Band 0 = densest (matches ORDER BY density DESC); nulls → last band
+    # (Spark and DuckDB both default DESC to NULLS LAST).
+    band = F.coalesce(
+        F.least(
+            F.lit(slices - 1),
+            F.floor(
+                (F.col("_hi") - F.col("density"))
+                / ((F.col("_hi") - F.col("_lo") + F.lit(1e-9)) / slices)
+            ),
+        ),
+        F.lit(slices - 1),
+    ).cast("int")
+    banded = toks.crossJoin(F.broadcast(stats)).withColumn("_band", band)
+    # Tiny: per-(band, source) token totals -> cumulative offset per band
+    # (the offsets window partitions by source but runs over <= slices rows
+    # per source, AFTER the aggregate).
+    pc = banded.groupBy("_band", "source").agg(
+        F.sum("est_tokens").alias("_tok")
+    )
+    w_off = (
         Window.partitionBy("source")
+        .orderBy("_band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = pc.select(
+        "_band",
+        "source",
+        F.coalesce(F.sum("_tok").over(w_off), F.lit(0)).alias("_off"),
+    )
+    # Heavy window sorts only its own band of one source.
+    w_local = (
+        Window.partitionBy("_band", "source")
         .orderBy(F.desc("density"), "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ranked = toks.select(
-        "doc_id",
-        "source",
-        "est_tokens",
-        F.coalesce(F.sum("est_tokens").over(w), F.lit(0))
-        .cast("bigint")
-        .alias("tokens_before"),
+    ranked = (
+        banded.withColumn(
+            "_lsum", F.coalesce(F.sum("est_tokens").over(w_local), F.lit(0))
+        )
+        .join(F.broadcast(offsets), ["_band", "source"])
+        .select(
+            "doc_id",
+            "source",
+            "est_tokens",
+            (F.col("_off") + F.col("_lsum")).cast("bigint").alias(
+                "tokens_before"
+            ),
+        )
     )
     return ranked.filter(F.col("tokens_before") < 100000)

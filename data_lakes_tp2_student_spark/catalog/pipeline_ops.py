@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.label import apply_label_mapping, label_encode, label_mapping
 from ..operators.split import split_counts, stratified_split
-from ..operators.tokenize import tokenize_chars
+from ..operators.tokenize import tokenize_chars, tokenize_esm2
 from ..operators.weights import class_weights
 from ..registry import load, register
 
@@ -140,6 +140,48 @@ def j1_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select(
         "doc_id",
         F.least(F.length("text"), F.lit(64)).cast("bigint").alias("n_real_tokens"),
+        F.array_join(F.expr("transform(tokens, x -> cast(x AS string))"), ",").alias(
+            "tokens_csv"
+        ),
+    )
+
+
+@register(
+    "j1_tokenize_esm2",
+    oracle="""
+    -- same ESM2 vocab trick as the engine: ids 4-30 are consecutive for
+    -- this exact character string, so strpos(vocab, ch) + 3 IS the lookup
+    -- (0-on-miss -> <unk>=3); <cls>=0 / <eos>=2 wrap, <pad>=1 fills to 64
+    SELECT doc_id,
+           CAST(least(length(text), 62) AS BIGINT) AS n_real_tokens,
+           array_to_string(
+               list_transform(
+                   flatten([
+                       [0],
+                       list_transform(
+                           range(1, least(length(text), 62) + 1),
+                           i -> strpos('LAGVSERTIDPKQNFYMHWCXBUZO.-',
+                                       text[i]) + 3),
+                       [2],
+                       list_transform(
+                           range(1, 62 - least(length(text), 62) + 1),
+                           i -> 1)]),
+                   x -> CAST(x AS VARCHAR)),
+               ',') AS tokens_csv
+    FROM documents
+    """,
+)
+def j1_tokenize_esm2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j1 — EXACT ESM2 vocab-id parity with the reference's HF tokenizer
+    (/root/reference/src/process_to_curated.py:85: facebook/esm2_t6_8M_UR50D)
+    via the pure-expression `tokenize_esm2` — width 64 keeps the oracle row
+    compact (pipeline default 1024). The oracle embeds the same public
+    vocab, so a hash match proves id-level agreement on every document."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize_esm2(docs, "text", max_len=64)
+    return toks.select(
+        "doc_id",
+        F.least(F.length("text"), F.lit(62)).cast("bigint").alias("n_real_tokens"),
         F.array_join(F.expr("transform(tokens, x -> cast(x AS string))"), ",").alias(
             "tokens_csv"
         ),

@@ -155,7 +155,11 @@ def resize_bmp(media_df: DataFrame, factor: int = 2) -> DataFrame:
     same contract a PIL/ffmpeg resize drops into. Output re-parses with
     `parse_bmp`, so the whole decode→transform→decode chain is
     oracle-checkable (dims are ceil(w/f), ceil(h/f); the first stored
-    pixel survives by construction)."""
+    pixel survives by construction).
+
+    Invalid or unsupported payloads (truncated, wrong magic, size
+    mismatch, non-24bpp) pass through UNCHANGED — never throw mid-batch,
+    never silently corrupt (the pixel loop assumes 3 bytes/px)."""
     import struct
 
     out_schema = "doc_id bigint, media binary"
@@ -166,8 +170,23 @@ def resize_bmp(media_df: DataFrame, factor: int = 2) -> DataFrame:
             out_id, out_media = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
                 b = bytes(payload)
-                _, _, _, offset = struct.unpack("<IHHI", b[2:14])
-                _, w, h, _, bpp = struct.unpack("<IiiHH", b[14:30])
+                # Same validity gate as parse_bmp, plus the 24bpp contract
+                # the slicing below hardcodes.
+                ok = len(b) >= 54 and b[:2] == b"BM"
+                if ok:
+                    file_size, _, _, offset = struct.unpack("<IHHI", b[2:14])
+                    _, w, h, _, bpp = struct.unpack("<IiiHH", b[14:30])
+                    ok = (
+                        file_size == len(b)
+                        and offset < len(b)
+                        and bpp == 24
+                        and w > 0
+                        and h > 0
+                    )
+                if not ok:
+                    out_id.append(int(doc_id))
+                    out_media.append(b)
+                    continue
                 stride = (bpp * w + 31) // 32 * 4
                 w2, h2 = (w + f - 1) // f, (h + f - 1) // f
                 stride2 = (bpp * w2 + 31) // 32 * 4
@@ -267,9 +286,16 @@ def parse_wav(media_df: DataFrame) -> DataFrame:
                                 "<HHIIHH", body[:16]
                             )
                         elif cid == b"data" and rate:
-                            n_samples = sz // (ch * bits // 8)
-                            dur = n_samples * 1_000_000 // rate
-                            ok = True
+                            # Guard a corrupt fmt chunk (channels=0 / bits<8
+                            # would make block-align 0 → ZeroDivisionError);
+                            # and count the bytes actually PRESENT, not the
+                            # declared chunk size — an inner chunk can
+                            # over-declare while the RIFF size still matches.
+                            block_align = ch * bits // 8
+                            if block_align > 0:
+                                n_samples = len(body) // block_align
+                                dur = n_samples * 1_000_000 // rate
+                                ok = True
                         pos += 8 + sz + (sz & 1)  # RIFF chunks pad to even
                 out["doc_id"].append(int(doc_id))
                 out["valid"].append(bool(ok))

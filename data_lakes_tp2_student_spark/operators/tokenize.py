@@ -55,6 +55,52 @@ def tokenize_chars(
     return spread(df).withColumn(out_col, padded.cast("array<int>"))
 
 
+# The public ESM2 vocabulary (facebook/esm2_t6_8M_UR50D vocab.txt, 33 tokens):
+# ids 0-3 are <cls>/<pad>/<eos>/<unk>; ids 4-30 are EXACTLY the characters of
+# this string in order (L=4, A=5, ... '.'=29, '-'=30); 31-32 are
+# <null_1>/<mask> (never emitted by plain tokenization). The consecutive
+# layout means `instr(vocab, ch) + 3` IS the vocab lookup, with instr's
+# 0-on-miss collapsing unknown characters to <unk>=3 for free.
+ESM2_CHARS = "LAGVSERTIDPKQNFYMHWCXBUZO.-"
+ESM2_CLS, ESM2_PAD, ESM2_EOS, ESM2_UNK = 0, 1, 2, 3
+
+
+def tokenize_esm2(
+    df: DataFrame,
+    text_col: str,
+    max_len: int = 1024,
+    out_col: str = "tokens",
+) -> DataFrame:
+    """j1 — EXACT ESM2 vocab-id tokenization (parity with the reference's
+    HF ``facebook/esm2_t6_8M_UR50D`` default,
+    /root/reference/src/process_to_curated.py:22-29,85) as a pure JVM
+    expression pipeline — no ``transformers`` needed, no Python in the loop.
+
+    HF semantics reproduced: per-character ids, body truncated to
+    ``max_len - 2`` so ``<cls>`` + body + ``<eos>`` fits, then padded with
+    ``<pad>``=1 to exactly ``max_len``; characters outside the vocab become
+    ``<unk>``=3 (EsmTokenizer does not case-fold, so neither do we)."""
+    body_len = F.least(F.length(text_col), F.lit(max_len - 2))
+    # sequence(1, 0) DESCENDS in Spark (auto step -1) — guard the empty case.
+    body = F.when(
+        F.length(text_col) == 0, F.expr("cast(array() AS array<int>)")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(1, least(length({text_col}), {max_len - 2})), "
+            f"i -> cast(instr('{ESM2_CHARS}', substr({text_col}, i, 1)) + 3 "
+            f"AS int))"
+        )
+    )
+    padded = F.concat(
+        F.array(F.lit(ESM2_CLS)),
+        body,
+        F.array(F.lit(ESM2_EOS)),
+        F.array_repeat(F.lit(ESM2_PAD), F.lit(max_len - 2) - body_len),
+    )
+    # per-char substr runs interpreted — spread so one input file ≠ one task
+    return spread(df).withColumn(out_col, padded.cast("array<int>"))
+
+
 def widen_tokens(df: DataFrame, tokens_col: str = "tokens", width: int = 1024) -> DataFrame:
     """b5 — export-only wide projection token_0..token_{width-1} (the
     reference's curated layout). Keep arrays internally; this is for final

@@ -114,6 +114,56 @@ def test_wav_riff_padding_rule(spark):
     assert out.duration_us == 2 * 1_000_000 // 8000
 
 
+def test_parse_wav_zero_blockalign_is_invalid(spark):
+    """A corrupt fmt chunk declaring channels=0 (block-align 0) must yield
+    valid=false, not a ZeroDivisionError mid-batch (ADVICE r3)."""
+    import struct
+
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 0, 8000, 0, 0, 16)
+    data = struct.pack("<4sI", b"data", 4) + b"\1\2\3\4"
+    payload = fmt + data
+    wav = struct.pack("<4sI4s", b"RIFF", 4 + len(payload), b"WAVE") + payload
+    out = parse_wav(_media_df(spark, [(1, wav)])).collect()[0]
+    assert not out.valid and out.n_samples is None
+
+
+def test_parse_wav_overdeclared_data_chunk(spark):
+    """A data chunk declaring more bytes than are present must count the
+    bytes actually there (ADVICE r3) — here 4 bytes present, 400 declared,
+    RIFF size consistent with the FILE length."""
+    import struct
+
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+    data = struct.pack("<4sI", b"data", 400) + b"\1\2\3\4"  # lies: 400
+    payload = fmt + data
+    wav = struct.pack("<4sI4s", b"RIFF", 4 + len(payload), b"WAVE") + payload
+    out = parse_wav(_media_df(spark, [(1, wav)])).collect()[0]
+    assert out.valid and out.n_samples == 2  # 4 actual bytes / block 2
+
+
+def test_resize_bmp_passes_invalid_through(spark):
+    """Truncated / corrupt / non-24bpp payloads pass through resize
+    UNCHANGED instead of throwing or silently corrupting (ADVICE r3)."""
+    import struct
+
+    good = bmp_bytes(5)
+    bpp8 = bytearray(good)
+    struct.pack_into("<H", bpp8, 28, 8)  # claim 8bpp in the info header
+    rows = [
+        (1, good[:10]),          # truncated below any header
+        (2, b"XX" + good[2:]),   # wrong magic
+        (3, good[:-1]),          # declared size != actual
+        (4, bytes(bpp8)),        # unsupported bit depth
+        (5, b""),
+    ]
+    out = {
+        r.doc_id: bytes(r.media)
+        for r in resize_bmp(_media_df(spark, rows), factor=2).collect()
+    }
+    for doc_id, payload in rows:
+        assert out[doc_id] == payload
+
+
 def test_attach_bmp_media_matches_bmp_bytes(spark):
     df = spark.createDataFrame([(3,), (12,)], "doc_id long")
     rows = {r.doc_id: bytes(r.media) for r in attach_bmp_media(df, "doc_id").collect()}

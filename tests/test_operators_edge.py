@@ -54,6 +54,26 @@ def test_tokenize_short_and_exact_width(spark):
     assert out[3] == [0, 0, 0, 0]
 
 
+def test_tokenize_esm2_known_vectors(spark):
+    """Hand-computed ESM2 id vectors (public facebook/esm2_t6_8M_UR50D
+    vocab): <cls>=0 + per-char ids + <eos>=2, <pad>=1 fill, <unk>=3 for
+    out-of-vocab, body truncated to max_len-2."""
+    from data_lakes_tp2_student_spark.operators.tokenize import tokenize_esm2
+
+    df = spark.createDataFrame(
+        [(1, "MKTAYIAKQR"), (2, ""), (3, "LAGVSERTIDPKQNFYX"), (4, "mz*")],
+        "pk bigint, t string",
+    )
+    out = {r["pk"]: r["tokens"] for r in tokenize_esm2(df, "t", max_len=16).collect()}
+    # M=20 K=15 T=11 A=5 Y=19 I=12 A=5 K=15 Q=16 R=10
+    assert out[1] == [0, 20, 15, 11, 5, 19, 12, 5, 15, 16, 10, 2, 1, 1, 1, 1]
+    assert out[2] == [0, 2] + [1] * 14
+    # 17 chars truncate to 14 (= max_len - 2): L A G V S E R T I D P K Q N
+    assert out[3] == [0, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 2]
+    # lowercase / symbols are out-of-vocab -> <unk>=3 (no case folding)
+    assert out[4] == [0, 3, 3, 3, 2] + [1] * 11
+
+
 def test_shingles_short_text_fallback(spark):
     df = spark.createDataFrame([(1, "one two")], "pk bigint, t string")
     row = with_shingles(df, "t").first()

@@ -137,6 +137,30 @@ def test_ntile_two_phase_rank_no_group_sort(spark):
     assert p.count("BroadcastExchange") >= 2  # offsets + totals (+ stats)
 
 
+def test_token_budget_two_phase_prefix_sum(spark):
+    """x25: the heavy running-sum window must partition by (band, source) —
+    never by source alone, which would serialize a CommonCrawl-sized source
+    into ONE task's sort at any scale (mirror of the e3c rule above). The
+    band-offset side must stay broadcast."""
+    from data_lakes_tp2_student_spark.registry import REGISTRY
+    import data_lakes_tp2_student_spark.catalog  # noqa: F401
+
+    df = REGISTRY["x25_token_budget_selection"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    p = plan_of(df)
+    # every sum-window spec carries the band key alongside source (the tiny
+    # offsets window partitions by source alone only AFTER the per-(band,
+    # source) aggregate — i.e. over <= slices rows per source, keyed _tok)
+    heavy = [
+        l
+        for l in p.splitlines()
+        if "windowspec" in l and "est_tokens" in l and "sum(" in l
+    ]
+    assert heavy and all("_band" in l for l in heavy)
+    assert p.count("BroadcastExchange") >= 2  # stats + offsets
+
+
 def test_dynamic_partition_overwrite(spark, tmp_path):
     """overwrite_partitions replaces ONLY the partitions present in the
     incoming frame: untouched date dirs keep their files byte-for-byte."""
