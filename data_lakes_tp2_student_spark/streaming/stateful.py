@@ -32,7 +32,16 @@ def _update(
 
 def running_totals_per_user(events: DataFrame) -> DataFrame:
     """i6 — engine-managed per-user state updated each micro-batch, emitting
-    the current (count, total) per seen user."""
+    the current (count, total) per seen user.
+
+    API-surface demo, NOT the preferred plan for this particular result: a
+    plain running count/sum is expressible as a pure-JVM streaming
+    aggregation (`groupBy(user_id).agg(count, sum)` in update mode — the i1
+    shape), which at 100 TB avoids the per-group Python crossing entirely.
+    `applyInPandasWithState` earns its cost only when the per-key logic is
+    genuinely beyond built-in aggregates (custom session policies, CDC
+    folding, model-state updates) — this module exists to prove that
+    contract end-to-end, with the simplest possible state."""
     return events.groupBy("user_id").applyInPandasWithState(
         _update,
         outputStructType=OUTPUT_SCHEMA,

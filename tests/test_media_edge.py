@@ -164,6 +164,94 @@ def test_resize_bmp_passes_invalid_through(spark):
         assert out[doc_id] == payload
 
 
+def test_parse_png_roundtrip_all_filters(spark):
+    """png_bytes encodes row r with filter r % 5, so a 12-row image uses
+    every PNG filter type at least twice — the decode must invert them all
+    to reproduce the arithmetic pixel sum."""
+    from data_lakes_tp2_student_spark.operators.multimodal import (
+        parse_png,
+        png_bytes,
+    )
+
+    i = 11  # width 12, height 12 -> filters 0..4 all exercised
+    out = parse_png(_media_df(spark, [(1, png_bytes(i))])).collect()[0]
+    assert out.valid and out.width == 12 and out.height == 12
+    assert out.bit_depth == 8 and out.color_type == 2
+    n = 12 * 12 * 3
+    assert out.px0 == (i * 7) % 256
+    assert out.px_sum == sum((i * 7 + j) % 256 for j in range(n))
+
+
+def test_parse_png_rejects_corrupt(spark):
+    """Truncated payloads, wrong signature, and a flipped IDAT byte (CRC
+    mismatch) must degrade to valid=false — never throw mid-batch."""
+    from data_lakes_tp2_student_spark.operators.multimodal import (
+        parse_png,
+        png_bytes,
+    )
+
+    good = png_bytes(5)
+    flipped = bytearray(good)
+    flipped[-20] ^= 0xFF  # inside IDAT body -> CRC mismatch
+    rows = [
+        (1, good),
+        (2, good[:7]),            # truncated below the signature
+        (3, b"XXXXXXXX" + good[8:]),  # wrong signature
+        (4, bytes(flipped)),
+        (5, b""),
+    ]
+    out = {r.doc_id: r for r in parse_png(_media_df(spark, rows)).collect()}
+    assert out[1].valid
+    for bad in (2, 3, 4, 5):
+        assert not out[bad].valid and out[bad].px_sum is None
+
+
+def test_parse_png_split_idat_and_unsupported_subset(spark):
+    """A PNG with its IDAT split in two chunks must decode identically
+    (decoders concatenate IDAT bodies); a valid container with an
+    unsupported color type reports headers but valid=false."""
+    import struct
+    import zlib
+
+    from data_lakes_tp2_student_spark.operators.multimodal import (
+        _png_chunk,
+        parse_png,
+        png_bytes,
+    )
+
+    good = png_bytes(3)
+    # reconstruct with IDAT split: signature + IHDR + IDAT(a) + IDAT(b) + IEND
+    (ln,) = struct.unpack(">I", good[8:12])
+    ihdr_chunk = good[8 : 20 + ln]
+    (dln,) = struct.unpack(">I", good[20 + ln : 24 + ln])
+    idat_body = good[28 + ln : 28 + ln + dln]
+    half = len(idat_body) // 2
+    split = (
+        good[:8]
+        + ihdr_chunk
+        + _png_chunk(b"IDAT", idat_body[:half])
+        + _png_chunk(b"IDAT", idat_body[half:])
+        + _png_chunk(b"IEND", b"")
+    )
+    gray_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # grayscale
+    gray = (
+        good[:8]
+        + _png_chunk(b"IHDR", gray_ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x00\x03\x04"))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = {
+        r.doc_id: r
+        for r in parse_png(
+            _media_df(spark, [(1, good), (2, split), (3, gray)])
+        ).collect()
+    }
+    assert out[1].valid and out[2].valid
+    assert (out[1].px_sum, out[1].px0) == (out[2].px_sum, out[2].px0)
+    assert not out[3].valid  # unsupported subset...
+    assert out[3].width == 2 and out[3].color_type == 0  # ...headers survive
+
+
 def test_attach_bmp_media_matches_bmp_bytes(spark):
     df = spark.createDataFrame([(3,), (12,)], "doc_id long")
     rows = {r.doc_id: bytes(r.media) for r in attach_bmp_media(df, "doc_id").collect()}

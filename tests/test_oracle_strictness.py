@@ -25,6 +25,29 @@ def test_array_output_flagged_nonportable(spark):
     assert spark_nonportable_fields(df) == ["qs"]
 
 
+def test_decimal_registration_fails_the_gate(spark):
+    """End-to-end dtype gate (VERDICT r3 item 8): REGISTERING a query whose
+    output carries a decimal column must fail `compare_query` — the same
+    path `test_catalog_oracle` runs for every registry entry — so no future
+    registration can silently reintroduce decimal/array outputs."""
+    import pytest
+
+    from data_lakes_tp2_student_spark.registry import REGISTRY, register
+    from .oracle import compare_query
+
+    name = "_test_deliberately_decimal"
+    try:
+
+        @register(name, oracle="SELECT CAST(123.40 AS DECIMAL(18,2)) AS money")
+        def _bad(spark, sf_dir):
+            return spark.sql("SELECT CAST(123.40 AS DECIMAL(18,2)) AS money")
+
+        with pytest.raises(AssertionError, match="non-portable"):
+            compare_query(spark, name, "/root/testdata/sf0.001")
+    finally:
+        REGISTRY.pop(name, None)
+
+
 def test_double_and_bigint_outputs_portable(spark):
     df = spark.sql(
         "SELECT CAST(1.5 AS DOUBLE) AS d, CAST(5 AS BIGINT) AS n, 'x' AS s, "
