@@ -14,6 +14,7 @@ from . import ingest  # noqa: F401,E402
 from . import llm_ops  # noqa: F401,E402
 from . import llm_ops2  # noqa: F401,E402
 from . import llm_ops3  # noqa: F401,E402
+from . import llm_ops4  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402

@@ -1,0 +1,243 @@
+"""Catalog entries for the fourth batch of LLM-data-pipeline extensions
+(SURVEY.md §2 group X): published corpus-quality heuristics (Gopher-style
+rule filters, repetition metrics) and domain-mixing weights — the filters
+and mixing decisions that sit in front of every large pretraining run.
+
+The reference (sarafa19/Data-Lakes-tp2-student) has none of this surface —
+it is mandated by the driver's north star (training-data pipelines at
+100 TB); the rules follow the published Gopher (Rae et al. 2021, §A1.1)
+and FineWeb/C4 filtering recipes, adapted to word-level signals (the
+synthetic documents carry no newlines, so line-based variants degenerate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..registry import load, register
+
+# Gopher-style rule thresholds (word-level adaptation).
+_MIN_WORDS, _MAX_WORDS = 50, 100_000
+_MIN_MWL, _MAX_MWL = 3.0, 10.0
+_MIN_ALPHA_FRAC = 0.8
+_STOPWORDS = ("the", "a", "of", "to", "and")
+_MIN_STOP_HITS = 2
+
+
+@register(
+    "x26_gopher_quality_filters",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               len(string_split(text, ' ')) AS n_words,
+               length(text) - length(replace(text, ' ', '')) AS n_spaces
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               round(CAST(length(array_to_string(words, '')) AS DOUBLE)
+                     / n_words, 6) AS mean_word_len,
+               round(CAST(len(list_filter(words,
+                          x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                     / n_words, 6) AS alpha_frac,
+               CAST(len(list_filter(words,
+                    x -> list_contains(
+                        ['the', 'a', 'of', 'to', 'and'], x))) AS BIGINT)
+                   AS stop_hits
+        FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+           (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS})
+           AND (mean_word_len BETWEEN {_MIN_MWL} AND {_MAX_MWL})
+           AND alpha_frac >= {_MIN_ALPHA_FRAC}
+           AND stop_hits >= {_MIN_STOP_HITS} AS keep
+    FROM m
+    """,
+)
+def x26_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x26 — GOPHER-style rule filters (Rae et al. 2021 §A1.1, word-level
+    adaptation): per-doc word count bounds, mean word length bounds,
+    alphabetic-word fraction, and stopword presence, combined into one
+    `keep` verdict — the standard first-pass pretraining filter.
+
+    Scale shape: pure per-row expressions over ONE split (no shuffle at
+    all; the `words` array never leaves the row) — the whole filter is a
+    map-only pass over the corpus, exactly what a 100 TB first-pass scan
+    must be."""
+    docs = load(spark, sf_dir, "documents")
+    stop_lits = F.array(*[F.lit(s) for s in _STOPWORDS])
+    w = docs.select(
+        "doc_id", F.split("text", " ").alias("words")
+    ).withColumn("n_words", F.size("words"))
+    m = w.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(
+            F.length(F.array_join("words", "")).cast("double")
+            / F.col("n_words"),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.filter("words", lambda x: x.rlike("[A-Za-z]"))).cast(
+                "double"
+            )
+            / F.col("n_words"),
+            6,
+        ).alias("alpha_frac"),
+        F.size(
+            F.filter("words", lambda x: F.array_contains(stop_lits, x))
+        )
+        .cast("bigint")
+        .alias("stop_hits"),
+    )
+    keep = (
+        F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+        & F.col("mean_word_len").between(_MIN_MWL, _MAX_MWL)
+        & (F.col("alpha_frac") >= _MIN_ALPHA_FRAC)
+        & (F.col("stop_hits") >= _MIN_STOP_HITS)
+    )
+    return m.withColumn("keep", keep)
+
+
+@register(
+    "x27_repetition_metrics",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+               CAST((SELECT max(c) FROM (
+                    SELECT count(*) AS c FROM unnest(words) AS t(x)
+                    GROUP BY x)) AS BIGINT) AS top_word_n
+        FROM w
+    ),
+    bi AS (
+        SELECT doc_id,
+               CAST((SELECT max(c) FROM (
+                    SELECT count(*) AS c FROM unnest(
+                        list_transform(range(1, len(words)),
+                                       i -> words[i] || ' ' || words[i + 1]))
+                        AS t(x)
+                    GROUP BY x)) AS BIGINT) AS top_bigram_n
+        FROM w
+    )
+    SELECT u.doc_id, u.n_words,
+           round(CAST(u.n_distinct AS DOUBLE) / u.n_words, 6) AS ttr,
+           round(CAST(u.top_word_n AS DOUBLE) / u.n_words, 6)
+               AS top_word_frac,
+           round(CAST(b.top_bigram_n AS DOUBLE) / (u.n_words - 1), 6)
+               AS top_bigram_frac
+    FROM uni u JOIN bi b ON u.doc_id = b.doc_id
+    """,
+)
+def x27_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x27 — REPETITION metrics (the FineWeb/Gopher repetition family,
+    word-level): type-token ratio, most-frequent-word fraction, and
+    most-frequent-bigram fraction per document — the signals that catch
+    boilerplate, keyword stuffing, and degenerate generations.
+
+    Scale shape: everything stays INSIDE the row — distinct/top counts
+    come from `aggregate` over the words array and a same-row bigram
+    construction, so the metric pass is map-only with no explode and no
+    shuffle (an exploded groupBy(doc, word) would shuffle the corpus's
+    every word). 100 TB cost = one scan."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("words"))
+    # top-count within the row: sort a copy, then the longest run of equal
+    # neighbors = the max multiplicity (pure array expressions, codegen'd
+    # where possible, zero shuffle).
+    def top_count(arr: str) -> F.Column:
+        return F.expr(
+            f"""
+            aggregate(
+                array_sort({arr}),
+                named_struct('prev', CAST(NULL AS STRING),
+                             'run', 0L, 'best', 0L),
+                (acc, x) -> named_struct(
+                    'prev', x,
+                    'run', IF(acc.prev IS NOT NULL AND x = acc.prev,
+                              acc.run + 1, 1L),
+                    'best', greatest(acc.best,
+                                     IF(acc.prev IS NOT NULL
+                                        AND x = acc.prev,
+                                        acc.run + 1, 1L))),
+                acc -> acc.best)
+            """
+        )
+
+    bigrams = F.expr(
+        "transform(sequence(1, size(words) - 1), "
+        "i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"
+    )
+    m = w.select(
+        "doc_id",
+        F.size("words").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("words")).cast("bigint").alias("n_distinct"),
+        top_count("words").alias("top_word_n"),
+        bigrams.alias("bigrams"),
+    ).withColumn("top_bigram_n", top_count("bigrams"))
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("n_distinct").cast("double") / F.col("n_words"), 6)
+        .alias("ttr"),
+        F.round(F.col("top_word_n").cast("double") / F.col("n_words"), 6)
+        .alias("top_word_frac"),
+        F.round(
+            F.col("top_bigram_n").cast("double") / (F.col("n_words") - 1), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "x29_domain_mixing_weights",
+    oracle="""
+    WITH tok AS (
+        -- CAST the sum: DuckDB lands sum(BIGINT) as HUGEINT -> float64
+        -- in pandas, which stringifies as '2100.0' vs Spark's '2100'
+        SELECT source,
+               CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+                   AS tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT source, tokens,
+               round(CAST(tokens AS DOUBLE) / sum(tokens) OVER (), 6)
+                   AS share,
+               round(1.0 / count(*) OVER (), 6) AS target_share
+        FROM tok
+    )
+    SELECT source, tokens, share, target_share,
+           round(target_share / share, 6) AS mix_weight
+    FROM tot
+    """,
+)
+def x29_domain_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x29 — DOMAIN MIXING weights: per-source token totals, current corpus
+    share, a (uniform) target share, and the resulting sampling weight
+    target/current — the knob every pretraining mix turns (DoReMi-style
+    reweighting reduces to swapping the target vector in).
+
+    Scale shape: one partial-agg shuffle to ≤|sources| rows; the windows
+    run over that tiny aggregate in a single task BY DESIGN (source
+    cardinality is bounded); the corpus itself is scanned once."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(F.ceil(F.length("text") / 4.0).cast("bigint")).alias("tokens")
+    )
+    w_all = Window.partitionBy()
+    tot = tok.select(
+        "source",
+        "tokens",
+        F.round(
+            F.col("tokens").cast("double") / F.sum("tokens").over(w_all), 6
+        ).alias("share"),
+        F.round(F.lit(1.0) / F.count(F.lit(1)).over(w_all), 6).alias(
+            "target_share"
+        ),
+    )
+    return tot.withColumn(
+        "mix_weight", F.round(F.col("target_share") / F.col("share"), 6)
+    )

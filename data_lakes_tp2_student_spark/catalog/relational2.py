@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.money import SQL_DISC_PRICE, disc_price
-from ..operators.merge import merge_upsert
+from ..operators.merge import merge_upsert, scd2_merge
 from ..registry import load, register
 
 
@@ -33,6 +33,51 @@ def x8_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice", (F.col("o_totalprice") * 1.1).cast("double")
     )
     return merge_upsert(orders, source, "o_orderkey")
+
+
+@register(
+    "x28_scd2_dimension",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(0 AS BIGINT) AS valid_from,
+               CAST(NULL AS BIGINT) AS valid_to
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey, 'PROMO' AS new_seg
+        FROM customer WHERE c_custkey % 10 = 3
+    )
+    SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to
+    FROM dim d LEFT JOIN upd u USING (c_custkey)
+    WHERE u.c_custkey IS NULL OR u.new_seg = d.c_mktsegment
+    UNION ALL
+    SELECT d.c_custkey, d.c_mktsegment, d.valid_from, CAST(1 AS BIGINT)
+    FROM dim d JOIN upd u USING (c_custkey)
+    WHERE u.new_seg <> d.c_mktsegment
+    UNION ALL
+    SELECT d.c_custkey, u.new_seg, CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+    FROM dim d JOIN upd u USING (c_custkey)
+    WHERE u.new_seg <> d.c_mktsegment
+    """,
+)
+def x28_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x28 — SCD TYPE-2 dimension merge (the history-keeping cousin of
+    x8's overwrite upsert): a CDC batch re-segments 10% of customers;
+    changed rows are closed with a validity end and re-opened at the new
+    value, untouched/no-op rows pass through (`operators.merge.scd2_merge`).
+    The standard warehouse pattern for auditable dimensions."""
+    cust = load(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(0).cast("bigint").alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey", F.lit("PROMO").alias("c_mktsegment")
+    )
+    return scd2_merge(dim, updates, "c_custkey", "c_mktsegment", batch_id=1)
 
 
 @register(

@@ -9,7 +9,7 @@ merge. SCD2 variants add validity-interval columns on the same skeleton.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
@@ -17,3 +17,46 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     unmatched target rows survive. Schemas must match by name."""
     kept = target.join(source.select(key), on=key, how="left_anti")
     return kept.unionByName(source)
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attr: str,
+    batch_id: int,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: apply an update batch to a
+    history-keeping dimension.
+
+    ``dim`` carries (key, attr, valid_from, valid_to) with open rows having
+    ``valid_to IS NULL``; ``updates`` carries (key, attr) new values. Rows
+    whose tracked value actually CHANGES are closed (``valid_to =
+    batch_id``) and a new open row is appended; no-op updates and untouched
+    keys pass through — so replaying the same batch is idempotent.
+
+    Scale shape: ONE left join hash-partitioned on the key (broadcast when
+    the CDC batch is small — the normal case) and a union of three
+    projections of that join; no window, no per-key loop. History grows by
+    exactly the changed-row count per batch."""
+    new = F.col("_new")
+    joined = dim.join(
+        updates.select(key, F.col(attr).alias("_new")), key, "left"
+    )
+    changed = joined.filter(new.isNotNull() & (new != F.col(attr)))
+    untouched = joined.filter(new.isNull() | (new == F.col(attr))).drop(
+        "_new"
+    )
+    closed = changed.select(
+        key,
+        attr,
+        "valid_from",
+        F.lit(batch_id).cast("bigint").alias("valid_to"),
+    )
+    opened = changed.select(
+        key,
+        new.alias(attr),
+        F.lit(batch_id).cast("bigint").alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+    )
+    return untouched.unionByName(closed).unionByName(opened)

@@ -80,6 +80,34 @@ def test_shingles_short_text_fallback(spark):
     assert row["shingles"] == ["one two"]  # < 3 words -> whole text
 
 
+def test_scd2_merge_closes_changed_and_is_idempotent(spark):
+    """A changed key yields closed+reopened rows; a no-op update and an
+    untouched key pass through; replaying the SAME batch adds nothing."""
+    from data_lakes_tp2_student_spark.operators.merge import scd2_merge
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [(1, "A", 0, None), (2, "B", 0, None), (3, "C", 0, None)],
+        "k bigint, v string, valid_from bigint, valid_to bigint",
+    )
+    upd = spark.createDataFrame(
+        [(1, "A2"), (2, "B")], "k bigint, v string"  # change + no-op
+    )
+    out = scd2_merge(dim, upd, "k", "v", batch_id=1)
+    rows = {(r.k, r.v, r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows == {
+        (1, "A", 0, 1),      # closed
+        (1, "A2", 1, None),  # reopened at the new value
+        (2, "B", 0, None),   # no-op update untouched
+        (3, "C", 0, None),   # no update untouched
+    }
+    # replay: the open row for k=1 now carries A2, so the batch is a no-op
+    again = scd2_merge(
+        out.filter(F.col("valid_to").isNull()), upd, "k", "v", batch_id=2
+    )
+    assert again.count() == 3 and again.filter("valid_to IS NOT NULL").count() == 0
+
+
 def test_exact_dedup_keeps_lowest_tiebreak(spark):
     df = spark.createDataFrame(
         [(3, "same"), (1, "same"), (2, "other")], "pk bigint, text string"
