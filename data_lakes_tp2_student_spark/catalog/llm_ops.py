@@ -533,6 +533,41 @@ def x5f_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x5g_gif_features",
+    oracle="""
+    -- pixel index j (row-major) is (doc_id*7 + j) % 256; recovering the
+    -- index-sum requires a full LZW decompression of the GIF data stream
+    SELECT doc_id,
+           true AS valid,
+           CAST(doc_id % 16 + 1 AS BIGINT) AS width,
+           CAST(doc_id % 12 + 1 AS BIGINT) AS height,
+           CAST(256 AS BIGINT) AS gct_size,
+           CAST((doc_id * 7) % 256 AS BIGINT) AS px0,
+           CAST(list_sum(list_transform(
+                    range(0, (doc_id % 16 + 1) * (doc_id % 12 + 1)),
+                    j -> (doc_id * 7 + j) % 256)) AS BIGINT) AS px_sum
+    FROM documents
+    """,
+)
+def x5g_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x5 — REAL GIF decode, lib-free (the LZW sibling of x5f's PNG
+    inflate): per-doc GIF89a payloads are decoded end-to-end — header and
+    descriptor parse, sub-block reassembly, full LZW decompression with
+    code-table growth and width changes — inside Arrow-batched
+    mapInPandas. The oracle predicts dims/table size AND the pixel-index
+    sum arithmetically from doc_id, so a hash match proves the LZW
+    inverse byte-exactly. n_bytes excluded (compressed size is not
+    SQL-predictable)."""
+    from ..operators.multimodal import attach_gif_media, parse_gif
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_gif_media(docs, "doc_id")
+    return parse_gif(media).select(
+        "doc_id", "valid", "width", "height", "gct_size", "px0", "px_sum"
+    )
+
+
+@register(
     "x5d_audio_features",
     oracle="""
     SELECT doc_id,

@@ -252,6 +252,72 @@ def test_parse_png_split_idat_and_unsupported_subset(spark):
     assert out[3].width == 2 and out[3].color_type == 0  # ...headers survive
 
 
+def test_lzw_roundtrip_crosses_width_boundaries():
+    """The LZW pair must survive code-width growth (9→12 bits) and the
+    4096-entry table reset — lengths here force several of each."""
+    from data_lakes_tp2_student_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    for data in (
+        b"",
+        b"\x00",
+        b"abcabcabcabc" * 10,
+        bytes(range(256)) * 60,               # crosses 512/1024/2048
+        bytes((j * 7) % 256 for j in range(50000)),  # multiple 4096 resets
+    ):
+        assert _lzw_decode(_lzw_encode(data)) == data
+
+
+def test_parse_gif_roundtrip_and_corrupt(spark):
+    """gif_bytes → parse_gif recovers the arithmetic pixel-index sum;
+    corruption (bad magic, truncation, a flipped LZW byte) degrades to
+    valid=false without throwing."""
+    from data_lakes_tp2_student_spark.operators.multimodal import (
+        gif_bytes,
+        parse_gif,
+    )
+
+    i = 14  # 15x3 image
+    good = gif_bytes(i)
+    flipped = bytearray(good)
+    flipped[-10] ^= 0xFF  # inside the LZW stream
+    rows = [
+        (1, good),
+        (2, good[:5]),
+        (3, b"NOTGIF" + good[6:]),
+        (4, bytes(flipped)),
+        (5, b""),
+    ]
+    out = {r.doc_id: r for r in parse_gif(_media_df(spark, rows)).collect()}
+    assert out[1].valid and out[1].width == 15 and out[1].height == 3
+    n = 15 * 3
+    assert out[1].px0 == (i * 7) % 256
+    assert out[1].px_sum == sum((i * 7 + j) % 256 for j in range(n))
+    for bad in (2, 3, 5):
+        assert not out[bad].valid
+    # a flipped compressed byte either breaks the stream or changes the
+    # recovered indices — both must land as a row, not an exception
+    assert out[4].px_sum != out[1].px_sum or not out[4].valid
+
+
+def test_parse_gif_skips_extension_blocks(spark):
+    """A GIF with a graphic-control extension before the image descriptor
+    (the common real-world layout) must still decode."""
+    from data_lakes_tp2_student_spark.operators.multimodal import (
+        gif_bytes,
+        parse_gif,
+    )
+
+    good = gif_bytes(2)
+    gct_end = 13 + 256 * 3
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: label, 4-byte block, term
+    with_ext = good[:gct_end] + ext + good[gct_end:]
+    out = parse_gif(_media_df(spark, [(1, with_ext)])).collect()[0]
+    assert out.valid and out.width == 3 and out.px0 == 14
+
+
 def test_attach_bmp_media_matches_bmp_bytes(spark):
     df = spark.createDataFrame([(3,), (12,)], "doc_id long")
     rows = {r.doc_id: bytes(r.media) for r in attach_bmp_media(df, "doc_id").collect()}
