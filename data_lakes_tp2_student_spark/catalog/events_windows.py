@@ -187,3 +187,16 @@ def i7_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_interval_join
 
     return stream_interval_join(spark, sf_dir)
+
+
+@register("i11_stream_outer_join")  # rows-only: result is watermark-dependent
+def i11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i11 — stream-stream LEFT OUTER interval join. No SQL oracle BY
+    DESIGN: unmatched views null-extend only once the watermark proves no
+    match can arrive, so a drained finite source legitimately withholds
+    the youngest unmatched tail — the exact contract is pinned by
+    tests/test_stream_outer_join.py (matched rows == the batch inner
+    join; every emitted null row is a provably-expired unmatched view)."""
+    from ..streaming.jobs import stream_outer_interval_join
+
+    return stream_outer_interval_join(spark, sf_dir)

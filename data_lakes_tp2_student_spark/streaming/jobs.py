@@ -176,6 +176,52 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "append")
 
 
+def stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i11 — stream-stream LEFT OUTER interval join: every view emits, with
+    its attributed purchase when one lands in [view_ts, view_ts+10min),
+    else with nulls ONCE the watermark proves no purchase can still arrive.
+
+    The outer-specific semantics at 100 TB: matched rows emit immediately
+    (inner path); an UNMATCHED view is held in state until the watermark
+    (min over both inputs of max-event-time − 10 min) passes its join
+    horizon, then emits null-extended in a no-data micro-batch — so state
+    stays bounded by the watermark horizon AND results are complete up to
+    it. Views younger than the final watermark horizon remain in state when
+    a finite source drains, which is CORRECT streaming behavior (they could
+    still match) — that tail makes the drained result
+    watermark-dependent, so this query is checked by the contract test
+    (matched rows == the batch inner join; emitted null rows are exactly
+    the provably-expired unmatched views), not by a SQL oracle."""
+    ev = read_events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = user_id AND purchase_ts >= view_ts "
+            "AND purchase_ts < view_ts + interval 10 minutes"
+        ),
+        "left_outer",
+    ).select("v_user", "view_id", "view_ts", "purchase_id", "purchase_ts")
+    return _run_to_memory(joined, "append")
+
+
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """i10 — stream-static enrichment join: the event stream joins a STATIC
     dimension (per-user aggregate profile computed batch-side from the same

@@ -80,6 +80,46 @@ def test_shingles_short_text_fallback(spark):
     assert row["shingles"] == ["one two"]  # < 3 words -> whole text
 
 
+def test_repetition_top_count_matches_counter(spark):
+    """The in-row `aggregate(array_sort(...))` max-multiplicity expression
+    (x27) must agree with collections.Counter on adversarial word lists:
+    all-same, all-distinct, ties, and singletons at both array ends."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    cases = [
+        ["a"],
+        ["a", "a", "a"],
+        ["a", "b", "c"],
+        ["b", "a", "b", "a"],          # tie
+        ["z", "m", "m", "m", "a"],     # run in the middle after sort
+        ["a", "z", "a", "z", "z"],
+        ["x"] * 50 + ["y"] * 49,
+    ]
+    df = spark.createDataFrame(
+        [(i, ws) for i, ws in enumerate(cases)], "pk bigint, words array<string>"
+    )
+    top = F.expr(
+        """
+        aggregate(
+            array_sort(words),
+            named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+            (acc, x) -> named_struct(
+                'prev', x,
+                'run', IF(acc.prev IS NOT NULL AND x = acc.prev,
+                          acc.run + 1, 1L),
+                'best', greatest(acc.best,
+                                 IF(acc.prev IS NOT NULL AND x = acc.prev,
+                                    acc.run + 1, 1L))),
+            acc -> acc.best)
+        """
+    )
+    out = {r.pk: r.top for r in df.select("pk", top.alias("top")).collect()}
+    for i, ws in enumerate(cases):
+        assert out[i] == max(Counter(ws).values()), f"case {i}: {ws}"
+
+
 def test_scd2_merge_closes_changed_and_is_idempotent(spark):
     """A changed key yields closed+reopened rows; a no-op update and an
     untouched key pass through; replaying the SAME batch adds nothing."""
