@@ -192,6 +192,83 @@ def x27_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x30_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    freq AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+    tot AS (SELECT count(*) AS total FROM toks),
+    q AS (
+        SELECT term,
+               CAST(floor(ln(CAST(cnt AS DOUBLE) / total)
+                          * 1000000000.0) AS BIGINT) AS q
+        FROM freq, tot
+    )
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_words,
+           round(CAST(sum(tf.tf * q.q) AS DOUBLE) / 1000000000.0
+                 / CAST(sum(tf.tf) AS DOUBLE), 6) AS avg_logprob
+    FROM tf JOIN q USING (term)
+    GROUP BY tf.doc_id
+    """,
+)
+def x30_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x30 — UNIGRAM language-model scoring (the CCNet/KenLM-style quality
+    signal, reduced to its SQL-expressible core): fit word probabilities on
+    the corpus itself, score each document by its mean per-word log
+    probability — low scorers are gibberish/outliers, the classic
+    perplexity-bucket filter.
+
+    Engine-portable float policy (same as x19 BM25): each word's ln(p) is
+    computed once in a fixed expression shape and fixed-point-quantized to
+    BIGINT; per-doc totals are integer sums (associative at any
+    parallelism), divided back to double at the boundary.
+
+    Scale shape: the vocab table is aggregate-bounded and BROADCAST to the
+    per-(doc, term) counts; both count tables partial-aggregate map-side
+    from one exploded scan. Nothing corpus-sized shuffles twice."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = toks.agg(F.count(F.lit(1)).alias("total"))
+    q = freq.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.floor(
+            F.log(F.col("cnt").cast("double") / F.col("total"))
+            * F.lit(1000000000.0)
+        )
+        .cast("bigint")
+        .alias("q"),
+    )
+    per_doc = (
+        tf.join(F.broadcast(q), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_words"),
+            F.sum(F.col("tf") * F.col("q")).alias("_sq"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        F.round(
+            F.col("_sq").cast("double")
+            / F.lit(1000000000.0)
+            / F.col("n_words").cast("double"),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
+@register(
     "x29_domain_mixing_weights",
     oracle="""
     WITH tok AS (
