@@ -22,7 +22,7 @@ from ..io.sources import PFAM_RAW_SCHEMA, read_csv_headerless
 from ..io.zones import Warehouse
 from ..operators.label import apply_label_mapping, label_mapping
 from ..operators.split import stratified_split
-from ..operators.tokenize import tokenize_chars, widen_tokens
+from ..operators.tokenize import tokenize_esm2, widen_tokens
 from ..operators.weights import class_weights
 
 
@@ -73,13 +73,15 @@ def process_to_curated(
     wide_export: bool = False,
 ) -> DataFrame:
     """Stage 3 — tokenize sequences to fixed width (ref:
-    src/process_to_curated.py:22-29). Tokens stay ArrayType internally
-    (SURVEY.md §4 codegen note); `wide_export=True` adds the reference's
-    token_0..token_N physical layout for export parity (b5)."""
+    src/process_to_curated.py:22-29). Uses `tokenize_esm2` — EXACT vocab-id
+    parity with the reference's HF ESM2 default (:85) via pure expressions;
+    `tokenize_chars` remains the generic fallback. Tokens stay ArrayType
+    internally (SURVEY.md §4 codegen note); `wide_export=True` adds the
+    reference's token_0..token_N physical layout for export parity (b5)."""
     staged = wh.read(spark, "staging", "pfam")
     if "sequence" not in staged.columns:  # b4 schema guard
         raise ValueError("staging table must contain a 'sequence' column")
-    tokens = tokenize_chars(staged, "sequence", max_len=max_len)
+    tokens = tokenize_esm2(staged, "sequence", max_len=max_len)
     out = widen_tokens(tokens, width=max_len) if wide_export else tokens
     wh.write(out, "curated", "pfam")
     return out

@@ -110,6 +110,19 @@ def test_token_arrays_fixed_width(spark, result):
     assert [r["s"] for r in sizes] == [MAX_LEN]
 
 
+def test_tokens_are_esm2_vocab_ids(spark, result):
+    """The curated stage emits EXACT ESM2 ids: every array opens with
+    <cls>=0, every id is inside the 33-token vocab, and amino-acid
+    sequences (all in-vocab) never produce <unk>=3."""
+    curated = result["wh"].read(spark, "curated", "pfam")
+    bad = curated.filter(
+        (F.element_at("tokens", 1) != 0)
+        | F.exists("tokens", lambda t: (t < 0) | (t > 32))
+        | F.array_contains("tokens", 3)
+    )
+    assert bad.count() == 0
+
+
 def test_staging_partitioned_by_split(result):
     parts = os.listdir(os.path.join(result["root"], "staging", "pfam"))
     assert {p for p in parts if p.startswith("split=")} == {
