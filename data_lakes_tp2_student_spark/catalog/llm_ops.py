@@ -533,6 +533,53 @@ def x5f_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x5h_audio_sample_stats",
+    oracle="""
+    -- PCM byte j is (doc_id*11 + j) % 256; int16 value k is the
+    -- sign-decoded little-endian pair (2k, 2k+1), so both signal stats
+    -- are closed-form over n_samples*channels values
+    WITH v AS (
+        SELECT doc_id,
+               CAST((doc_id % 50 + 1) * (doc_id % 2 + 1) AS BIGINT)
+                   AS n_values
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_values,
+               list_transform(range(0, n_values),
+                   k -> CASE WHEN ((doc_id*11 + 2*k) % 256)
+                                  + 256*((doc_id*11 + 2*k + 1) % 256)
+                                  >= 32768
+                             THEN abs(((doc_id*11 + 2*k) % 256)
+                                      + 256*((doc_id*11 + 2*k + 1) % 256)
+                                      - 65536)
+                             ELSE ((doc_id*11 + 2*k) % 256)
+                                  + 256*((doc_id*11 + 2*k + 1) % 256)
+                        END) AS a
+        FROM v
+    )
+    SELECT doc_id, true AS valid, n_values,
+           CAST(list_sum(a) AS BIGINT) AS abs_sum,
+           CAST(list_max(a) AS BIGINT) AS peak
+    FROM s
+    """,
+)
+def x5h_audio_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x5 — SAMPLE-level audio statistics (x5d parses headers; this decodes
+    the signal): per-doc WAV payloads have their 16-bit PCM data unpacked
+    to signed amplitudes inside Arrow-batched mapInPandas, emitting integer
+    sum-of-|amplitude| and peak — the clipping/silence screens of an audio
+    corpus pipeline. The oracle recomputes both stats arithmetically from
+    doc_id including the two's-complement sign decode, so a hash match
+    proves sample-exact decoding."""
+    from ..operators.multimodal import attach_wav_media, audio_sample_stats
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_wav_media(docs, "doc_id")
+    return audio_sample_stats(media)
+
+
+@register(
     "x5g_gif_features",
     oracle="""
     -- pixel index j (row-major) is (doc_id*7 + j) % 256; recovering the

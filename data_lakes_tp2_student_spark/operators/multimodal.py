@@ -718,6 +718,58 @@ def parse_wav(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(run, schema=out_schema)
 
 
+def audio_sample_stats(media_df: DataFrame) -> DataFrame:
+    """x5 — SAMPLE-level audio statistics (the step past header parsing):
+    decode the 16-bit little-endian PCM payload of each WAV and emit
+    integer signal features — sum of absolute amplitudes and peak absolute
+    amplitude — exactly the clipping/silence screens an audio-corpus
+    pipeline runs. Integer outputs keep the oracle exact (no float RMS
+    rounding to argue about); invalid/non-16-bit payloads degrade to
+    valid=false rows, never a mid-batch throw."""
+    import struct
+
+    out_schema = (
+        "doc_id bigint, valid boolean, n_values bigint, abs_sum bigint, "
+        "peak bigint"
+    )
+
+    def decode(b: bytes):
+        ok = (
+            len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+            and struct.unpack("<I", b[4:8])[0] == len(b) - 8
+        )
+        if not ok:
+            return None
+        pos, bits, data = 12, None, None
+        while pos + 8 <= len(b):
+            cid, sz = struct.unpack("<4sI", b[pos:pos + 8])
+            body = b[pos + 8:pos + 8 + sz]
+            if cid == b"fmt " and sz >= 16:
+                bits = struct.unpack("<HHIIHH", body[:16])[5]
+            elif cid == b"data":
+                data = body
+            pos += 8 + sz + (sz & 1)
+        if bits != 16 or data is None:
+            return None
+        n = len(data) // 2
+        vals = struct.unpack(f"<{n}h", data[: n * 2])
+        return (n, sum(abs(v) for v in vals), max((abs(v) for v in vals), default=0))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "valid", "n_values", "abs_sum", "peak")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                d = decode(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["valid"].append(d is not None)
+                out["n_values"].append(d[0] if d else None)
+                out["abs_sum"].append(d[1] if d else None)
+                out["peak"].append(d[2] if d else None)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(run, schema=out_schema)
+
+
 def resize_media(media_df: DataFrame, max_bytes: int = 32) -> DataFrame:
     """x5 — media 'resize' via mapInPandas: payload truncated to a byte
     budget, metadata struct rewritten to match (STUB for a real

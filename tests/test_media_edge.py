@@ -252,6 +252,28 @@ def test_parse_png_split_idat_and_unsupported_subset(spark):
     assert out[3].width == 2 and out[3].color_type == 0  # ...headers survive
 
 
+def test_audio_sample_stats_sign_decode_and_invalid(spark):
+    """Amplitude stats must sign-decode int16 correctly (a 0x8000 sample
+    is -32768 → abs 32768) and degrade to valid=false on corrupt input."""
+    import struct
+
+    from data_lakes_tp2_student_spark.operators.multimodal import (
+        audio_sample_stats,
+    )
+
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+    pcm = struct.pack("<4h", 100, -200, 32767, -32768)
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    payload = fmt + data
+    wav = struct.pack("<4sI4s", b"RIFF", 4 + len(payload), b"WAVE") + payload
+    rows = [(1, wav), (2, wav[:10]), (3, b"")]
+    out = {r.doc_id: r for r in audio_sample_stats(_media_df(spark, rows)).collect()}
+    assert out[1].valid and out[1].n_values == 4
+    assert out[1].abs_sum == 100 + 200 + 32767 + 32768
+    assert out[1].peak == 32768
+    assert not out[2].valid and not out[3].valid
+
+
 def test_lzw_roundtrip_crosses_width_boundaries():
     """The LZW pair must survive code-width growth (9→12 bits) and the
     4096-entry table reset — lengths here force several of each."""
