@@ -532,6 +532,75 @@ def x5f_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DHASH_SQL = """
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 56), b ->
+                   CASE WHEN
+                       (doc_id*7
+                        + ((b // 7) * (doc_id % 12 + 1) // 8)
+                          * (((24 * (doc_id % 16 + 1) + 31) // 32) * 4)
+                        + ((b % 7) * (doc_id % 16 + 1) // 8) * 3) % 256
+                       <
+                       (doc_id*7
+                        + ((b // 7) * (doc_id % 12 + 1) // 8)
+                          * (((24 * (doc_id % 16 + 1) + 31) // 32) * 4)
+                        + (((b % 7) + 1) * (doc_id % 16 + 1) // 8) * 3) % 256
+                   THEN CAST(1 AS BIGINT) << b ELSE 0 END))
+                   AS BIGINT) AS dhash
+        FROM documents
+"""
+
+
+@register(
+    "x31_image_dhash",
+    oracle=f"""
+    SELECT doc_id, true AS valid, dhash FROM ({_DHASH_SQL})
+    """,
+)
+def x31_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x31 — PERCEPTUAL image hashing from REAL decoded pixels: each doc's
+    BMP payload is decoded and dHashed (8×8 grayscale grid → 56 gradient
+    sign bits) inside Arrow-batched mapInPandas. The oracle recomputes the
+    hash arithmetically from doc_id — grid sampling, row stride, and
+    comparison order — so a hash match proves the pixel-path dHash
+    bit-exactly. The point at 100 TB: image identity becomes a 8-byte
+    integer, so image-level dedup joins shuffle hashes, never pixels."""
+    from ..operators.multimodal import attach_bmp_media, image_dhash
+
+    docs = load(spark, sf_dir, "documents")
+    return image_dhash(attach_bmp_media(docs, "doc_id"))
+
+
+@register(
+    "x31b_image_neardup_pairs",
+    oracle=f"""
+    WITH d AS ({_DHASH_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+    """,
+)
+def x31b_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x31b — IMAGE near-dup pairs end-to-end: real BMP decode → dHash →
+    hamming-banded candidate join (8×7-bit bands, pigeonhole-exact recall
+    for ≤6 flips) → exact bit_count verify. The multimodal twin of the
+    SimHash text pipeline (x2c/x2f): the oracle brute-forces all pairs, the
+    engine never does — banding keeps candidates O(collisions) at any
+    corpus size."""
+    from ..operators.multimodal import (
+        attach_bmp_media,
+        dhash_pairs,
+        image_dhash,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    dh = image_dhash(attach_bmp_media(docs, "doc_id")).filter("valid").select(
+        "doc_id", "dhash"
+    )
+    return dhash_pairs(dh)
+
+
 @register(
     "x5h_audio_sample_stats",
     oracle="""

@@ -718,6 +718,107 @@ def parse_wav(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(run, schema=out_schema)
 
 
+def image_dhash(media_df: DataFrame) -> DataFrame:
+    """x5/x2 bridge — PERCEPTUAL image hash (dHash) from REAL decoded BMP
+    pixels: sample an 8×8 grayscale grid (nearest-neighbor over the stored
+    pixel rows, first channel as intensity), set bit gr*7+gc when
+    grid[gr][gc] < grid[gr][gc+1] — 56 bits of gradient signs, stored as a
+    non-negative BIGINT. Visually similar images differ in few bits, which
+    makes image NEAR-DUP detection a hamming-banded join (the SimHash
+    machinery, x2c/x2f) instead of pixel comparison. Invalid/unsupported
+    payloads degrade to valid=false."""
+    import struct
+
+    out_schema = "doc_id bigint, valid boolean, dhash bigint"
+
+    def one(b: bytes):
+        ok = len(b) >= 54 and b[:2] == b"BM"
+        if not ok:
+            return None
+        file_size, _, _, offset = struct.unpack("<IHHI", b[2:14])
+        _, w, h, _, bpp = struct.unpack("<IiiHH", b[14:30])
+        if not (
+            file_size == len(b) and offset < len(b) and bpp == 24
+            and w > 0 and h > 0
+        ):
+            return None
+        row_size = (24 * w + 31) // 32 * 4
+        px = b[offset:]
+        if len(px) < row_size * h:
+            return None
+        dhash = 0
+        for gr in range(8):
+            src_r = gr * h // 8
+            row = [
+                px[src_r * row_size + (gc * w // 8) * 3] for gc in range(8)
+            ]
+            for gc in range(7):
+                if row[gc] < row[gc + 1]:
+                    dhash |= 1 << (gr * 7 + gc)
+        return dhash
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "valid": [], "dhash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                d = one(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["valid"].append(d is not None)
+                out["dhash"].append(d)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(run, schema=out_schema)
+
+
+def dhash_pairs(
+    dh_df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    bands: int = 8,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """x2/x5 — IMAGE near-dup candidate pairs over perceptual hashes: band
+    the 56-bit dHash into 8×7-bit slices, emit pairs (id_a < id_b)
+    colliding on at least one slice, keep pairs within `max_hamming` bit
+    flips (exact `bit_count(xor)`).
+
+    Pigeonhole guarantee: ≤6 differing bits touch ≤6 of 8 bands, so ≥2
+    bands still collide — recall is exact for the default threshold, and
+    candidate generation stays O(collisions), never O(n²). Same LSH shape
+    as `dedup.simhash_pairs`, on integer bands instead of bit strings."""
+    from ..functions.compute import eager
+
+    band_arr = F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"k -> cast(shiftright({hash_col}, 7 * k) % 128 AS int))"
+    )
+    banded = eager(
+        dh_df.select(
+            F.col(id_col),
+            F.col(hash_col),
+            F.posexplode(band_arr).alias("band", "bits"),
+        )
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("_ha"),
+        "band", "bits",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("_hb"),
+        "band", "bits",
+    )
+    cand = (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("bigint")
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
 def audio_sample_stats(media_df: DataFrame) -> DataFrame:
     """x5 — SAMPLE-level audio statistics (the step past header parsing):
     decode the 16-bit little-endian PCM payload of each WAV and emit

@@ -252,6 +252,30 @@ def test_parse_png_split_idat_and_unsupported_subset(spark):
     assert out[3].width == 2 and out[3].color_type == 0  # ...headers survive
 
 
+def test_image_dhash_identical_images_pair_at_zero(spark):
+    """Identical fixture images (same id mod 768: same dims AND same pixel
+    pattern) must hash identically and pair at hamming 0; corrupt payloads
+    degrade to valid=false."""
+    from data_lakes_tp2_student_spark.operators.multimodal import (
+        attach_bmp_media,
+        dhash_pairs,
+        image_dhash,
+    )
+
+    df = spark.createDataFrame([(5,), (773,), (10,)], "doc_id long")  # 773 = 5+768
+    dh = image_dhash(attach_bmp_media(df, "doc_id"))
+    vals = {r.doc_id: r.dhash for r in dh.collect()}
+    assert vals[5] == vals[773]
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash_pairs(dh.select("doc_id", "dhash")).collect()
+    }
+    assert pairs.get((5, 773)) == 0
+
+    bad = image_dhash(_media_df(spark, [(1, b"XX"), (2, b"")])).collect()
+    assert all(not r.valid and r.dhash is None for r in bad)
+
+
 def test_audio_sample_stats_sign_decode_and_invalid(spark):
     """Amplitude stats must sign-decode int16 correctly (a 0x8000 sample
     is -32768 → abs 32768) and degrade to valid=false on corrupt input."""
