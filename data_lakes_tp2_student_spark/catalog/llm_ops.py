@@ -532,6 +532,46 @@ def x5f_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x5i_png_resize_chain",
+    oracle="""
+    -- downsampled pixel (r2, c2) channel ch is source byte
+    -- (doc_id*7 + 2*r2*w*3 + 2*c2*3 + ch) % 256; the whole
+    -- decode->downsample->re-encode->decode chain must reproduce it
+    WITH dims AS (
+        SELECT doc_id,
+               doc_id % 16 + 1 AS w,
+               (doc_id % 16 + 1 + 1) // 2 AS w2,
+               (doc_id % 12 + 1 + 1) // 2 AS h2
+        FROM documents
+    )
+    SELECT doc_id, true AS valid,
+           CAST(w2 AS BIGINT) AS width, CAST(h2 AS BIGINT) AS height,
+           CAST((doc_id * 7) % 256 AS BIGINT) AS px0,
+           CAST(list_sum(list_transform(range(0, h2 * w2 * 3), j ->
+               (doc_id*7
+                + 2 * (j // (w2 * 3)) * w * 3
+                + 2 * ((j % (w2 * 3)) // 3) * 3
+                + (j % 3)) % 256)) AS BIGINT) AS px_sum
+    FROM dims
+    """,
+)
+def x5i_png_resize_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x5 — COMPRESSED-format resize chain: PNG decode (inflate+unfilter) →
+    nearest-neighbor downsample ×2 → re-ENCODE a valid compressed PNG →
+    decode again with `parse_png`. The oracle predicts the downsampled
+    image's pixel-byte sum arithmetically, so a hash match proves the
+    whole cycle including the re-encoder's deflate+CRC output is
+    byte-faithful — the contract a real thumbnailing stage must meet."""
+    from ..operators.multimodal import attach_png_media, parse_png, resize_png
+
+    docs = load(spark, sf_dir, "documents")
+    resized = resize_png(attach_png_media(docs, "doc_id"), factor=2)
+    return parse_png(resized).select(
+        "doc_id", "valid", "width", "height", "px0", "px_sum"
+    )
+
+
 _DHASH_SQL = """
         SELECT doc_id,
                CAST(list_sum(list_transform(range(0, 56), b ->

@@ -252,6 +252,29 @@ def test_parse_png_split_idat_and_unsupported_subset(spark):
     assert out[3].width == 2 and out[3].color_type == 0  # ...headers survive
 
 
+def test_resize_png_passthrough_and_factor_one(spark):
+    """Invalid payloads pass through resize_png unchanged; factor=1
+    re-encodes without changing any recovered pixel statistic."""
+    from data_lakes_tp2_student_spark.operators.multimodal import (
+        parse_png,
+        png_bytes,
+        resize_png,
+    )
+
+    good = png_bytes(9)
+    rows = [(1, good), (2, good[:6]), (3, b"")]
+    out = {
+        r.doc_id: bytes(r.media)
+        for r in resize_png(_media_df(spark, rows), factor=1).collect()
+    }
+    assert out[2] == good[:6] and out[3] == b""
+    orig = parse_png(_media_df(spark, [(1, good)])).collect()[0]
+    same = parse_png(_media_df(spark, [(1, out[1])])).collect()[0]
+    assert (orig.width, orig.height, orig.px0, orig.px_sum) == (
+        same.width, same.height, same.px0, same.px_sum,
+    )
+
+
 def test_image_dhash_identical_images_pair_at_zero(spark):
     """Identical fixture images (same id mod 768: same dims AND same pixel
     pattern) must hash identically and pair at hamming 0; corrupt payloads
