@@ -642,6 +642,70 @@ def x31b_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x31c_image_dedup",
+    oracle=f"""
+    WITH RECURSIVE d AS ({_DHASH_SQL}),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+    ),
+    nodes AS (
+        SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(id, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+    ),
+    labels AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster_id)
+    """,
+)
+def x31c_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x31c — the full IMAGE dedup POLICY, end to end (the multimodal twin
+    of x2g's text policy): real BMP decode → dHash → hamming-banded pairs
+    (≤2 flips — the near-identical threshold dedup wants) →
+    connected-component clusters → keep the minimum doc_id per cluster
+    plus every singleton. Proves the whole "drop visually duplicate
+    images from a 100 TB media lake" chain on one oracle hash.
+
+    Scale shape: pixels never shuffle — hashing is map-only; only 8-byte
+    hashes enter the banded join; only paired docs enter the cluster
+    graph; the final keep-set is a LEFT ANTI join against the (small)
+    dropped-id set.
+
+    Note on the fixture: the synthetic images are tiny smooth byte
+    gradients, so dHash collapses most of them into a few clusters (13 of
+    5000 survive at sf0.01) — a property of the deterministic test data,
+    not the operator; the oracle proves the clustering is exact either
+    way."""
+    from ..operators.dedup import dup_clusters
+    from ..operators.multimodal import (
+        attach_bmp_media,
+        dhash_pairs,
+        image_dhash,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    dh = image_dhash(attach_bmp_media(docs, "doc_id")).filter("valid").select(
+        "doc_id", "dhash"
+    )
+    pairs = dhash_pairs(dh, max_hamming=2)
+    clusters = dup_clusters(pairs.select("id_a", "id_b"))
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return docs.join(dropped, "doc_id", "left_anti").select("doc_id")
+
+
+@register(
     "x5h_audio_sample_stats",
     oracle="""
     -- PCM byte j is (doc_id*11 + j) % 256; int16 value k is the
