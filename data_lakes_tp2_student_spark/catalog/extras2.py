@@ -35,6 +35,64 @@ def i6_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a12_csv_malformed",
+    oracle="""
+    -- fixture rule: 100 rows, every 10th malformed (extra column);
+    -- PERMISSIVE capture must keep 90 parsed rows + 10 corrupt records
+    SELECT CAST(90 AS BIGINT) AS n_good,
+           CAST(10 AS BIGINT) AS n_corrupt,
+           CAST((SELECT sum(r.range * 3) FROM range(100) r
+                 WHERE r.range % 10 <> 0) AS BIGINT) AS sum_value_good
+    """,
+)
+def a12_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a-group robustness — MALFORMED-row CSV ingest: real lakes always
+    contain broken rows, and a reader that crashes (or silently drops)
+    loses data unaccountably. PERMISSIVE mode with a corrupt-record column
+    keeps every byte: parse failures land as nulls + the raw line in
+    `_corrupt_record`, so bad rows are countable, quarantinable, and
+    re-parsable. The fixture writes 100 rows with every 10th malformed
+    (extra column); the oracle predicts good/corrupt counts and the
+    good-row sum arithmetically.
+
+    Scale: mode/columnNameOfCorruptRecord are per-task reader options —
+    the quarantine pattern costs nothing extra at any scale, unlike a
+    separate validation pass."""
+    from pyspark.sql import types as T
+
+    path = f"{_TMP}/a12_malformed.csv"
+    os.makedirs(_TMP, exist_ok=True)
+    with open(path, "w") as fh:
+        for i in range(100):
+            if i % 10 == 0:
+                fh.write(f"{i},{i * 3},name_{i},EXTRA_FIELD,boom\n")
+            else:
+                fh.write(f"{i},{i * 3},name_{i}\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("value", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    ).cache()  # SPARK-21610: corrupt-record queries need the full row read
+    good = F.col("_corrupt_record").isNull()
+    return df.agg(
+        F.count(F.when(good, 1)).alias("n_good"),
+        F.count(F.when(~good, 1)).alias("n_corrupt"),
+        F.sum(F.when(good, F.col("value"))).cast("bigint").alias(
+            "sum_value_good"
+        ),
+    )
+
+
+@register(
     "i9_stream_lake_sink",
     oracle="""
     SELECT CAST(ts AS DATE) AS day, count(*) AS n,

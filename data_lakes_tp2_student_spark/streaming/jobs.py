@@ -250,24 +250,61 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "append")
 
 
-def stream_upsert_partitions(spark: SparkSession, sf_dir: str, dest: str) -> None:
+def stream_upsert_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    dest: str,
+    checkpoint_dir: str | None = None,
+    on_batch=None,
+) -> None:
     """i9 — streaming → lake sink via foreachBatch + partition-level upsert:
     each micro-batch dynamic-overwrites ONLY the date partitions it touches
     (io.sinks.overwrite_partitions), so replayed/late batches are idempotent
     per partition and untouched history is never rewritten.
 
     This is the standard no-Delta ingestion pattern at scale: the streaming
-    engine gives at-least-once batch delivery, the partition overwrite makes
-    redelivery converge. Runs the file source dry synchronously (same
-    test-bed contract as the other jobs)."""
+    engine gives at-least-once batch delivery; each batch MERGES with the
+    existing rows of only the partitions it touches (union + dedup on
+    event_id, then dynamic partition overwrite), so redelivery converges
+    (the dedup absorbs replays) AND late rows for an already-written day
+    ADD to it instead of clobbering it — the failure mode a plain
+    per-batch overwrite has when arrival is not partition-aligned. With
+    `checkpoint_dir` set, source progress survives restarts — a resumed
+    query processes ONLY files that arrived since the last commit (both
+    proven by tests/test_stream_recovery.py). `on_batch` (batch_df,
+    batch_id) is an optional observation hook for tests. Runs the file
+    source dry synchronously (same test-bed contract as the other jobs).
+
+    Scale: the merge reads back only the touched partitions (the day list
+    is partition METADATA — bounded by days-per-batch, not data — the one
+    driver-side collect this sink makes); the `localCheckpoint` breaks
+    lineage so the overwrite never reads the files it is replacing."""
+    import os as _os
+
     from ..io.sinks import overwrite_partitions
 
     ev = read_events_stream(spark, sf_dir).withColumn("day", F.to_date("ts"))
 
-    def upsert(batch: DataFrame, _batch_id: int) -> None:
-        overwrite_partitions(batch, dest, ["day"])
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        if on_batch is not None:
+            on_batch(batch, batch_id)
+        merged = batch
+        if _os.path.exists(dest):
+            days = [r.day for r in batch.select("day").distinct().collect()]
+            existing = spark.read.parquet(dest).filter(
+                F.col("day").isin(days)
+            )
+            merged = (
+                batch.unionByName(existing)
+                .dropDuplicates(["event_id"])
+                .localCheckpoint()
+            )
+        overwrite_partitions(merged, dest, ["day"])
 
-    q = ev.writeStream.outputMode("append").foreachBatch(upsert).start()
+    writer = ev.writeStream.outputMode("append").foreachBatch(upsert)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     try:
         q.processAllAvailable()
     finally:
