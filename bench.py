@@ -68,7 +68,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
-    rounds_n = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    rounds_n = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3")))
 
     spark = get_spark(app_name="bench", cpus=cpus)
     # Warm up JVM/codegen paths outside the timed region.
@@ -98,7 +98,11 @@ def main() -> None:
     spreads: dict[str, float] = {}
     for name, runs in per_query.items():
         runs.sort()
-        timings[name] = round(runs[len(runs) // 2], 3)
+        mid = len(runs) // 2
+        # true median: average the two middle elements for an even count
+        # (taking the upper-middle alone would bias every number high)
+        med = runs[mid] if len(runs) % 2 else (runs[mid - 1] + runs[mid]) / 2
+        timings[name] = round(med, 3)
         spreads[name] = round(runs[-1] - runs[0], 3)
 
     total = round(sum(timings.values()), 3)

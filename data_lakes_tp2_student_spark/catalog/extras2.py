@@ -111,14 +111,24 @@ def i9_stream_lake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the memory-sink i-series oracles materialize results on the
     driver (fine for a check, wrong story at 100 TB); this one never does —
-    data flows executor → partitioned files → executor."""
+    data flows executor → partitioned files → executor.
+
+    The sink is a keyed merge (dedup on event_id); the oracle's plain
+    GROUP BY matches because the driver fixture keeps event_id unique —
+    if a future fixture adds duplicate ids the oracle must switch to a
+    one-row-per-id form."""
     import hashlib
+    import shutil
 
     from ..streaming.jobs import stream_upsert_partitions
 
     dest = os.path.join(
         _TMP, "i9_lake_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     )
+    # Fresh lake per run: a leftover dest from an older fixture generation
+    # would MERGE into the result and silently diverge from the oracle
+    # (same stale-fixture hazard as a10).
+    shutil.rmtree(dest, ignore_errors=True)
     stream_upsert_partitions(spark, sf_dir, dest)
     back = spark.read.parquet(dest)
     from ..functions.money import dec2

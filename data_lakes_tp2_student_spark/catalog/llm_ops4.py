@@ -167,9 +167,16 @@ def x27_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         )
 
-    bigrams = F.expr(
-        "transform(sequence(1, size(words) - 1), "
-        "i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"
+    # sequence(1, 0) DESCENDS in Spark (auto step -1) and would index past
+    # the array on a single-word doc — guard it to an empty bigram list
+    # (the oracle's range(1, 1) is empty for the same row).
+    bigrams = F.when(
+        F.size("words") < 2, F.expr("cast(array() AS array<string>)")
+    ).otherwise(
+        F.expr(
+            "transform(sequence(1, size(words) - 1), "
+            "i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"
+        )
     )
     m = w.select(
         "doc_id",
@@ -185,8 +192,14 @@ def x27_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ttr"),
         F.round(F.col("top_word_n").cast("double") / F.col("n_words"), 6)
         .alias("top_word_frac"),
-        F.round(
-            F.col("top_bigram_n").cast("double") / (F.col("n_words") - 1), 6
+        # single-word doc: no bigrams -> null (matches the oracle, whose
+        # max() over an empty unnest is NULL and propagates through the /)
+        F.when(
+            F.col("n_words") > 1,
+            F.round(
+                F.col("top_bigram_n").cast("double") / (F.col("n_words") - 1),
+                6,
+            ),
         ).alias("top_bigram_frac"),
     )
 

@@ -30,23 +30,27 @@ def scd2_merge(
     history-keeping dimension.
 
     ``dim`` carries (key, attr, valid_from, valid_to) with open rows having
-    ``valid_to IS NULL``; ``updates`` carries (key, attr) new values. Rows
-    whose tracked value actually CHANGES are closed (``valid_to =
-    batch_id``) and a new open row is appended; no-op updates and untouched
-    keys pass through — so replaying the same batch is idempotent.
+    ``valid_to IS NULL``; ``updates`` carries (key, attr) new values. Only
+    the OPEN row of a key participates: if its tracked value actually
+    CHANGES it is closed (``valid_to = batch_id``) and a new open row is
+    appended; no-op updates and untouched keys pass through, and CLOSED
+    history rows always pass through untouched (they are immutable audit
+    records) — so replaying the same batch is idempotent and every key
+    keeps exactly one open row.
 
     Scale shape: ONE left join hash-partitioned on the key (broadcast when
     the CDC batch is small — the normal case) and a union of three
     projections of that join; no window, no per-key loop. History grows by
     exactly the changed-row count per batch."""
     new = F.col("_new")
+    open_row = F.col("valid_to").isNull()
     joined = dim.join(
         updates.select(key, F.col(attr).alias("_new")), key, "left"
     )
-    changed = joined.filter(new.isNotNull() & (new != F.col(attr)))
-    untouched = joined.filter(new.isNull() | (new == F.col(attr))).drop(
-        "_new"
-    )
+    changed = joined.filter(open_row & new.isNotNull() & (new != F.col(attr)))
+    untouched = joined.filter(
+        ~open_row | new.isNull() | (new == F.col(attr))
+    ).drop("_new")
     closed = changed.select(
         key,
         attr,

@@ -170,24 +170,16 @@ def resize_bmp(media_df: DataFrame, factor: int = 2) -> DataFrame:
             out_id, out_media = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
                 b = bytes(payload)
-                # Same validity gate as parse_bmp, plus the 24bpp contract
-                # the slicing below hardcodes.
-                ok = len(b) >= 54 and b[:2] == b"BM"
-                if ok:
-                    file_size, _, _, offset = struct.unpack("<IHHI", b[2:14])
-                    _, w, h, _, bpp = struct.unpack("<IiiHH", b[14:30])
-                    ok = (
-                        file_size == len(b)
-                        and offset < len(b)
-                        and bpp == 24
-                        and w > 0
-                        and h > 0
-                    )
-                if not ok:
+                # Shared 24bpp gate (incl. full-pixel-buffer-present check
+                # — a consistent-but-truncated file must pass through, not
+                # resize empty slices into a corrupt output).
+                g = _bmp_gate24(b)
+                if g is None:
                     out_id.append(int(doc_id))
                     out_media.append(b)
                     continue
-                stride = (bpp * w + 31) // 32 * 4
+                w, h, offset, stride = g
+                bpp = 24
                 w2, h2 = (w + f - 1) // f, (h + f - 1) // f
                 stride2 = (bpp * w2 + 31) // 32 * 4
                 px = b[offset:]
@@ -222,6 +214,97 @@ def _paeth(a: int, b: int, c: int) -> int:
     if pa <= pb and pa <= pc:
         return a
     return b if pb <= pc else c
+
+
+def _png_decode(b: bytes):
+    """Shared full PNG decode (chunk walk with CRC verification, IDAT
+    concatenation, zlib inflate, all five scanline-filter inversions).
+
+    Returns ``None`` for corrupt input; ``(w, h, depth, ctype, None)`` for
+    a valid container whose subset we don't decode (non-8-bit-RGB,
+    interlaced); ``(w, h, 8, 2, rows)`` with the recovered scanlines
+    otherwise. Single source of truth for `parse_png` and `resize_png`."""
+    import struct
+    import zlib
+
+    if len(b) < 8 or b[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, idat = 8, None, b""
+    while pos + 12 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            return None
+        (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            return None
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        return None
+    w, h, depth, ctype_i, comp, filt, interlace = ihdr
+    if (depth, ctype_i, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        return (w, h, depth, ctype_i, None)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (1 + stride):
+        return None
+    rows, prior = [], bytes(stride)
+    for r in range(h):
+        ft = raw[r * (1 + stride)]
+        line = raw[r * (1 + stride) + 1 : (r + 1) * (1 + stride)]
+        if ft > 4:
+            return None
+        rec = bytearray()
+        for x, v in enumerate(line):
+            left = rec[x - bpp] if x >= bpp else 0
+            up = prior[x]
+            ul = prior[x - bpp] if x >= bpp else 0
+            if ft == 1:
+                v = (v + left) % 256
+            elif ft == 2:
+                v = (v + up) % 256
+            elif ft == 3:
+                v = (v + (left + up) // 2) % 256
+            elif ft == 4:
+                v = (v + _paeth(left, up, ul)) % 256
+            rec.append(v)
+        rows.append(bytes(rec))
+        prior = rows[-1]
+    return (w, h, 8, 2, rows)
+
+
+def _bmp_gate24(b: bytes):
+    """Shared validity gate for operators that consume 24bpp BMP pixels
+    (`resize_bmp`, `image_dhash`): magic, size-field match, in-range pixel
+    offset, positive dims, 24bpp, AND the full declared pixel buffer
+    present. Returns ``(w, h, offset, stride)`` or ``None``."""
+    import struct
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    file_size, _, _, offset = struct.unpack("<IHHI", b[2:14])
+    _, w, h, _, bpp = struct.unpack("<IiiHH", b[14:30])
+    stride = (bpp * w + 31) // 32 * 4
+    if not (
+        file_size == len(b)
+        and offset < len(b)
+        and bpp == 24
+        and w > 0
+        and h > 0
+        and offset + stride * h <= len(b)
+    ):
+        return None
+    return (w, h, offset, stride)
 
 
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
@@ -312,9 +395,6 @@ def parse_png(media_df: DataFrame) -> DataFrame:
     scalar features: dims, bit depth, color type, first recovered pixel
     byte, and the sum of all recovered pixel bytes (a content checksum the
     oracle can predict — proves the unfilter math, not just the headers)."""
-    import struct
-    import zlib
-
     out_schema = (
         "doc_id bigint, valid boolean, width bigint, height bigint, "
         "bit_depth bigint, color_type bigint, n_bytes bigint, px0 bigint, "
@@ -322,64 +402,14 @@ def parse_png(media_df: DataFrame) -> DataFrame:
     )
 
     def decode(b: bytes):
-        if len(b) < 8 or b[:8] != _PNG_SIG:
+        d = _png_decode(b)
+        if d is None:
             return None
-        pos, ihdr, idat = 8, None, b""
-        while pos + 12 <= len(b):
-            (ln,) = struct.unpack(">I", b[pos : pos + 4])
-            ctype = b[pos + 4 : pos + 8]
-            body = b[pos + 8 : pos + 8 + ln]
-            if len(body) != ln:
-                return None
-            (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
-            if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
-                return None
-            if ctype == b"IHDR":
-                ihdr = struct.unpack(">IIBBBBB", body)
-            elif ctype == b"IDAT":
-                idat += body
-            elif ctype == b"IEND":
-                break
-            pos += 12 + ln
-        if ihdr is None:
-            return None
-        w, h, depth, ctype_i, comp, filt, interlace = ihdr
-        if (depth, ctype_i, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        w, h, depth, ctype_i, rows = d
+        if rows is None:
             # valid container, unsupported subset — report headers only
             return (w, h, depth, ctype_i, None, None)
-        try:
-            raw = zlib.decompress(idat)
-        except zlib.error:
-            return None
-        bpp, stride = 3, w * 3
-        if len(raw) != h * (1 + stride):
-            return None
-        prior = bytes(stride)
-        px0 = px_sum = 0
-        for r in range(h):
-            ft = raw[r * (1 + stride)]
-            line = raw[r * (1 + stride) + 1 : (r + 1) * (1 + stride)]
-            if ft > 4:
-                return None
-            rec = bytearray()
-            for x, v in enumerate(line):
-                left = rec[x - bpp] if x >= bpp else 0
-                up = prior[x]
-                ul = prior[x - bpp] if x >= bpp else 0
-                if ft == 1:
-                    v = (v + left) % 256
-                elif ft == 2:
-                    v = (v + up) % 256
-                elif ft == 3:
-                    v = (v + (left + up) // 2) % 256
-                elif ft == 4:
-                    v = (v + _paeth(left, up, ul)) % 256
-                rec.append(v)
-            if r == 0:
-                px0 = rec[0]
-            px_sum += sum(rec)
-            prior = bytes(rec)
-        return (w, h, depth, ctype_i, px0, px_sum)
+        return (w, h, depth, ctype_i, rows[0][0], sum(map(sum, rows)))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -732,71 +762,17 @@ def resize_png(media_df: DataFrame, factor: int = 2) -> DataFrame:
     out_schema = "doc_id bigint, media binary"
     f = int(factor)
 
-    def decode_rows(b: bytes):
-        if len(b) < 8 or b[:8] != _PNG_SIG:
-            return None
-        pos, ihdr, idat = 8, None, b""
-        while pos + 12 <= len(b):
-            (ln,) = struct.unpack(">I", b[pos : pos + 4])
-            ctype = b[pos + 4 : pos + 8]
-            body = b[pos + 8 : pos + 8 + ln]
-            if len(body) != ln:
-                return None
-            (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
-            if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
-                return None
-            if ctype == b"IHDR":
-                ihdr = struct.unpack(">IIBBBBB", body)
-            elif ctype == b"IDAT":
-                idat += body
-            elif ctype == b"IEND":
-                break
-            pos += 12 + ln
-        if ihdr is None or (ihdr[2:]) != (8, 2, 0, 0, 0):
-            return None
-        w, h = ihdr[0], ihdr[1]
-        try:
-            raw = zlib.decompress(idat)
-        except zlib.error:
-            return None
-        bpp, stride = 3, w * 3
-        if len(raw) != h * (1 + stride):
-            return None
-        rows, prior = [], bytes(stride)
-        for r in range(h):
-            ft = raw[r * (1 + stride)]
-            line = raw[r * (1 + stride) + 1 : (r + 1) * (1 + stride)]
-            if ft > 4:
-                return None
-            rec = bytearray()
-            for x, v in enumerate(line):
-                left = rec[x - bpp] if x >= bpp else 0
-                up = prior[x]
-                ul = prior[x - bpp] if x >= bpp else 0
-                if ft == 1:
-                    v = (v + left) % 256
-                elif ft == 2:
-                    v = (v + up) % 256
-                elif ft == 3:
-                    v = (v + (left + up) // 2) % 256
-                elif ft == 4:
-                    v = (v + _paeth(left, up, ul)) % 256
-                rec.append(v)
-            rows.append(bytes(rec))
-            prior = bytes(rec)
-        return w, h, rows
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_id, out_media = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
                 b = bytes(payload)
-                d = decode_rows(b)
-                if d is None:
+                d = _png_decode(b)
+                if d is None or d[4] is None:
                     out_id.append(int(doc_id))
                     out_media.append(b)
                     continue
-                w, h, rows = d
+                w, h, _, _, rows = d
                 w2, h2 = (w + f - 1) // f, (h + f - 1) // f
                 scan = b"".join(
                     b"\x00"
@@ -828,25 +804,14 @@ def image_dhash(media_df: DataFrame) -> DataFrame:
     makes image NEAR-DUP detection a hamming-banded join (the SimHash
     machinery, x2c/x2f) instead of pixel comparison. Invalid/unsupported
     payloads degrade to valid=false."""
-    import struct
-
     out_schema = "doc_id bigint, valid boolean, dhash bigint"
 
     def one(b: bytes):
-        ok = len(b) >= 54 and b[:2] == b"BM"
-        if not ok:
+        g = _bmp_gate24(b)
+        if g is None:
             return None
-        file_size, _, _, offset = struct.unpack("<IHHI", b[2:14])
-        _, w, h, _, bpp = struct.unpack("<IiiHH", b[14:30])
-        if not (
-            file_size == len(b) and offset < len(b) and bpp == 24
-            and w > 0 and h > 0
-        ):
-            return None
-        row_size = (24 * w + 31) // 32 * 4
+        w, h, offset, row_size = g
         px = b[offset:]
-        if len(px) < row_size * h:
-            return None
         dhash = 0
         for gr in range(8):
             src_r = gr * h // 8

@@ -262,23 +262,29 @@ def stream_upsert_partitions(
     (io.sinks.overwrite_partitions), so replayed/late batches are idempotent
     per partition and untouched history is never rewritten.
 
-    This is the standard no-Delta ingestion pattern at scale: the streaming
-    engine gives at-least-once batch delivery; each batch MERGES with the
-    existing rows of only the partitions it touches (union + dedup on
-    event_id, then dynamic partition overwrite), so redelivery converges
-    (the dedup absorbs replays) AND late rows for an already-written day
-    ADD to it instead of clobbering it — the failure mode a plain
-    per-batch overwrite has when arrival is not partition-aligned. With
-    `checkpoint_dir` set, source progress survives restarts — a resumed
-    query processes ONLY files that arrived since the last commit (both
-    proven by tests/test_stream_recovery.py). `on_batch` (batch_df,
+    This is the standard no-Delta ingestion pattern at scale: the lake is a
+    table KEYED BY event_id, and the streaming engine gives at-least-once
+    batch delivery; each batch MERGES with the existing rows of only the
+    partitions it touches (union + dedup on event_id, then dynamic
+    partition overwrite), so redelivery converges (the keyed dedup absorbs
+    replays) AND late rows for an already-written day ADD to it instead of
+    clobbering it — the failure mode a plain per-batch overwrite has when
+    arrival is not partition-aligned. The dedup applies to EVERY batch
+    (including the first, before any lake exists) so a key duplicated
+    within one batch and a key duplicated across batches land identically.
+    With `checkpoint_dir` set, source progress survives restarts — a
+    resumed query processes ONLY files that arrived since the last commit
+    (both proven by tests/test_stream_recovery.py). `on_batch` (batch_df,
     batch_id) is an optional observation hook for tests. Runs the file
     source dry synchronously (same test-bed contract as the other jobs).
 
     Scale: the merge reads back only the touched partitions (the day list
     is partition METADATA — bounded by days-per-batch, not data — the one
-    driver-side collect this sink makes); the `localCheckpoint` breaks
-    lineage so the overwrite never reads the files it is replacing."""
+    driver-side collect this sink makes; membership is null-safe so a
+    null-day partition merges like any other); the `localCheckpoint`
+    breaks lineage so the overwrite never reads the files it is
+    replacing."""
+    import functools
     import os as _os
 
     from ..io.sinks import overwrite_partitions
@@ -288,14 +294,20 @@ def stream_upsert_partitions(
     def upsert(batch: DataFrame, batch_id: int) -> None:
         if on_batch is not None:
             on_batch(batch, batch_id)
-        merged = batch
+        merged = batch.dropDuplicates(["event_id"])
         if _os.path.exists(dest):
             days = [r.day for r in batch.select("day").distinct().collect()]
-            existing = spark.read.parquet(dest).filter(
-                F.col("day").isin(days)
+            # eqNullSafe, not isin: isin([None]) is NULL (never true) and
+            # would silently drop an existing null-day partition's rows
+            # from the merge.
+            member = functools.reduce(
+                lambda a, b: a | b,
+                [F.col("day").eqNullSafe(F.lit(d)) for d in days],
+                F.lit(False),
             )
+            existing = spark.read.parquet(dest).filter(member)
             merged = (
-                batch.unionByName(existing)
+                merged.unionByName(existing)
                 .dropDuplicates(["event_id"])
                 .localCheckpoint()
             )

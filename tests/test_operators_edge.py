@@ -127,25 +127,37 @@ def test_scd2_merge_closes_changed_and_is_idempotent(spark):
     from pyspark.sql import functions as F
 
     dim = spark.createDataFrame(
-        [(1, "A", 0, None), (2, "B", 0, None), (3, "C", 0, None)],
+        [
+            (1, "A", 0, None),
+            (2, "B", 0, None),
+            (3, "C", 0, None),
+            (4, "X", 0, 1),      # closed history version...
+            (4, "Y", 1, None),   # ...and the key's current open row
+        ],
         "k bigint, v string, valid_from bigint, valid_to bigint",
     )
     upd = spark.createDataFrame(
-        [(1, "A2"), (2, "B")], "k bigint, v string"  # change + no-op
+        [(1, "A2"), (2, "B"), (4, "Z")],
+        "k bigint, v string",  # change + no-op + change-on-history-key
     )
-    out = scd2_merge(dim, upd, "k", "v", batch_id=1)
+    out = scd2_merge(dim, upd, "k", "v", batch_id=2)
     rows = {(r.k, r.v, r.valid_from, r.valid_to) for r in out.collect()}
     assert rows == {
-        (1, "A", 0, 1),      # closed
-        (1, "A2", 1, None),  # reopened at the new value
+        (1, "A", 0, 2),      # closed
+        (1, "A2", 2, None),  # reopened at the new value
         (2, "B", 0, None),   # no-op update untouched
         (3, "C", 0, None),   # no update untouched
+        (4, "X", 0, 1),      # closed HISTORY row immutable — not re-closed
+        (4, "Y", 1, 2),      # only the open row closes...
+        (4, "Z", 2, None),   # ...and exactly one new open row appears
     }
-    # replay: the open row for k=1 now carries A2, so the batch is a no-op
-    again = scd2_merge(
-        out.filter(F.col("valid_to").isNull()), upd, "k", "v", batch_id=2
-    )
-    assert again.count() == 3 and again.filter("valid_to IS NOT NULL").count() == 0
+    # replay on the full updated dim: every open row already carries the
+    # new value, so the batch is a no-op — history byte-identical
+    again = scd2_merge(out, upd, "k", "v", batch_id=3)
+    rows_again = {
+        (r.k, r.v, r.valid_from, r.valid_to) for r in again.collect()
+    }
+    assert rows_again == rows
 
 
 def test_exact_dedup_keeps_lowest_tiebreak(spark):
