@@ -96,6 +96,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    bests: dict[str, float] = {}
     for name, runs in per_query.items():
         runs.sort()
         mid = len(runs) // 2
@@ -104,6 +105,12 @@ def main() -> None:
         med = runs[mid] if len(runs) % 2 else (runs[mid - 1] + runs[mid]) / 2
         timings[name] = round(med, 3)
         spreads[name] = round(runs[-1] - runs[0], 3)
+        # best-of-N (VERDICT r4 item 1): BASELINE.md rows are r1 best-of-2,
+        # so per-query baseline comparisons should read `best`, not the
+        # median — medians over interleaved rounds carry a systematic
+        # upward bias on sub-second queries when the host stalls. `queries`
+        # and the total stay median-based so totals remain r1-comparable.
+        bests[name] = round(runs[0], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -113,6 +120,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "best": bests,
+                "total_best": round(sum(bests.values()), 3),
                 "spread": spreads,
                 "round_walls": round_walls,
                 "sf": sf,

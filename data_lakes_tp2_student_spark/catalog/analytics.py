@@ -404,7 +404,15 @@ def x16_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary is pruned to a bounded top-V (broadcast), so pair volume is
     ≤ V²/2 per doc regardless of corpus size; the self-join shuffles on
     doc_id only. PMI math stays in exact integers until one fixed-order
-    double divide + ln, so it is engine- and partitioning-portable."""
+    double divide + ln, so it is engine- and partitioning-portable.
+
+    Persisting the multiply-referenced subtrees here was measured-REJECTED
+    (PERF.md #17): both `eager(w)` and `persist(words)+eager(w)` variants
+    ran SLOWER than the plain plan at sf0.1 over 8 warm reps (best-of:
+    1.33 s / 1.47 s vs 1.16 s plain) — the recomputed explode+distinct is
+    cheaper than the cache write+read+materialize round-trip at this
+    shape, and the r4 ">2× baseline" flag was median-vs-best-of bias, not
+    a plan defect (best-of 1.16 s vs the 0.72 s best-of-2 baseline row)."""
     docs = load(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")

@@ -235,90 +235,105 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     per cluster" — pairwise dedup alone breaks on A~B, B~C chains where A~C
     never collides.
 
-    Min-label propagation + pointer jumping (the Pregel/GraphX
-    connected-components algorithm with path-halving, as DataFrame joins):
-    each round every node takes the min of its own label, its neighbors'
-    labels, AND its label's label — the shortcut step turns O(diameter)
-    convergence into O(log diameter), which is what survives adversarial
-    duplicate chains (doc_i ~ doc_{i+1} series show up in real corpora).
+    Two-phase large-star/small-star (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14), as DataFrame ops on an edge table:
 
-    Each round's result is `localCheckpoint`ed, not persisted: `persist`
-    reuses cached BLOCKS but leaves the logical plan intact, so an
-    iterative loop whose round references the previous round ~3× (the
-    propagate join, the shortcut join, the convergence check) builds a
-    3^k-node plan tree — Catalyst analysis alone OOMs the driver after ~10
-    rounds regardless of data size. Checkpointing truncates lineage to the
-    materialized partitions, keeping every round's plan O(1). (On a
-    multi-executor cluster with unreliable nodes, swap for
+    - **large-star**: every node links its strictly-LARGER neighbors to the
+      minimum of its closed neighborhood;
+    - **small-star**: every node links its smaller-or-equal neighbors (and
+      itself) to its minimum neighbor.
+
+    Alternating the two provably converges to per-component stars centered
+    on the component minimum in O(log² n) rounds — in practice roughly half
+    the rounds of min-label propagation + pointer jumping (the previous
+    implementation here; VERDICT r4 item 2), because every round contracts
+    the EDGE set itself rather than walking labels along it. State is
+    O(edges), never O(corpus): singleton docs never enter the graph.
+
+    Both operators keep edges in canonical (u > v) orientation, so each
+    phase is one groupBy + one co-partitioned join + one distinct — three
+    shuffles on fixed-width id pairs. Each round's edge set is
+    `localCheckpoint`ed (lazily — the convergence aggregate is the action
+    that materializes it): `persist` alone leaves the logical plan intact
+    and the round-over-round self-reference builds an exponential plan tree
+    that OOMs Catalyst analysis after ~10 rounds regardless of data size.
+    (On a multi-executor cluster with unreliable nodes, swap for
     `sparkContext.setCheckpointDir` + `checkpoint()` — same contract,
-    HDFS-backed.) The driver loop only orchestrates and checks a scalar
-    convergence count; state is O(nodes-in-pairs), never O(corpus):
-    singleton docs never enter the graph."""
-    # Edges hash-partitioned by the probe key ONCE; localCheckpoint keeps the
-    # partitioning in the LogicalRDD, so the per-round join re-shuffles only
-    # the (much smaller) label table, never the edge set.
+    HDFS-backed.) Convergence is a (count, xxhash-sum) fingerprint of the
+    canonical edge set — one scalar aggregate per round, no driver-side
+    edge list."""
+    u, v, m = F.col("u"), F.col("v"), F.col("m")
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("u"),
+            F.least("id_a", "id_b").alias("v"),
         )
-        .repartition(F.col("dst"))
-        .localCheckpoint()
-    )
-    labels = (
-        edges.select(F.col("src").alias("id"))
+        .filter(u != v)
         .distinct()
-        .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    # All nodes that ever appear — the output contract covers every doc in
+    # `pairs` even though star-contraction drops satisfied edges early.
+    # Derived LAZILY from the already-checkpointed initial edge set: it is
+    # only consumed by the final output join, so it costs no extra job here.
+    nodes = (
+        edges.select(u.alias("id"))
+        .unionByName(edges.select(v.alias("id")))
+        .distinct()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # symmetric view: each undirected edge seen from both endpoints
+        sym = e.select(u.alias("src"), v.alias("dst")).unionByName(
+            e.select(v.alias("src"), u.alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(
+            F.least(F.col("src"), F.min("dst")).alias("m")
+        )
+        return (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("u"), m.alias("v"))
+            .filter(u != v)
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # canonical orientation already has u > v: node u's smaller
+        # neighborhood IS its edge list
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        relink = (
+            e.join(mins, "u")
+            .select(v.alias("u"), m.alias("v"))
+            .unionByName(mins.select(u, m.alias("v")))
+            .filter(u != v)
+            .distinct()
+        )
+        return relink
+
+    prev_fp = None
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("_nbr"))
-        )
-        prop = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
-            "id",
-            F.col("label").alias("_old"),
-            F.least(
-                F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))
-            ).alias("label"),
-        )
-        # Pointer jumping: label <- min(label, label(label)). Every label is
-        # itself a node id, so the self-join always hits; `left` is safety.
-        hop = prop.select(
-            F.col("id").alias("_pid"), F.col("label").alias("_plabel")
-        )
-        new = (
-            prop.join(hop, prop.label == hop._pid, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))
-                ).alias("label"),
-                (
-                    F.least(
-                        F.col("label"),
-                        F.coalesce(F.col("_plabel"), F.col("label")),
-                    )
-                    != F.col("_old")
-                ).alias("_changed"),
-            )
-            # LAZY checkpoint: the convergence count below is the action
-            # that materializes it, so each round runs ONE job instead of
-            # two (eager checkpoint + count) — measured 5.6->4.5 s for the
-            # sf0.1 loop, same labels.
-            .localCheckpoint(eager=False)
-        )
-        # The old label rode along through the round, so convergence is a
-        # filter-count that doubles as the checkpoint materializer — no
-        # extra job.
-        changed = new.filter(F.col("_changed")).count()
-        labels = new.drop("_changed")
-        if changed == 0:
+        edges = small_star(large_star(edges)).localCheckpoint(eager=False)
+        # one-scalar-row fingerprint; the action doubles as the
+        # checkpoint materializer — one job per round
+        fp = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of xxhash64 values overflows
+            # under ANSI mode; decimal(38,0) holds ~10^18 edges' worth
+            F.sum(F.xxhash64("u", "v").cast("decimal(28,0)")).alias("h"),
+        ).collect()[0]
+        fp = (fp["n"], fp["h"])
+        if fp == prev_fp:
             break
-    return labels.select(
-        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+        prev_fp = fp
+    # At the fixed point every component is a star centered on its minimum:
+    # non-root nodes appear exactly once as `u` with `v` = root; roots only
+    # as `v`. Left join + coalesce folds roots back in as their own label.
+    return nodes.join(
+        edges.select(u.alias("id"), v.alias("cluster_id")), "id", "left"
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
     )
 
 

@@ -41,16 +41,26 @@ def scd2_merge(
     Scale shape: ONE left join hash-partitioned on the key (broadcast when
     the CDC batch is small — the normal case) and a union of three
     projections of that join; no window, no per-key loop. History grows by
-    exactly the changed-row count per batch."""
+    exactly the changed-row count per batch.
+
+    NULL handling: the change test is null-safe (``eqNullSafe``), so an open
+    row whose tracked value is NULL still closes when a non-null update
+    arrives (plain ``!=`` would evaluate to NULL and silently drop the row
+    from BOTH branches). ``_new IS NULL`` after the left join means "key not
+    in batch" — an update that explicitly sets NULL is indistinguishable and
+    treated as a no-op, which the docstring contract (updates carry new
+    values) accepts. The update batch is deduplicated on the key so a dirty
+    CDC feed cannot fan one open row out into several."""
     new = F.col("_new")
     open_row = F.col("valid_to").isNull()
     joined = dim.join(
-        updates.select(key, F.col(attr).alias("_new")), key, "left"
+        updates.select(key, F.col(attr).alias("_new")).dropDuplicates([key]),
+        key,
+        "left",
     )
-    changed = joined.filter(open_row & new.isNotNull() & (new != F.col(attr)))
-    untouched = joined.filter(
-        ~open_row | new.isNull() | (new == F.col(attr))
-    ).drop("_new")
+    is_change = open_row & new.isNotNull() & ~new.eqNullSafe(F.col(attr))
+    changed = joined.filter(is_change)
+    untouched = joined.filter(~is_change).drop("_new")
     closed = changed.select(
         key,
         attr,

@@ -249,6 +249,10 @@ def _png_decode(b: bytes):
     if ihdr is None:
         return None
     w, h, depth, ctype_i, comp, filt, interlace = ihdr
+    if w == 0 or h == 0:
+        # a CRC-correct zero-dimension file would pass every length check
+        # below (0 == 0) and then break callers indexing rows[0][0]
+        return None
     if (depth, ctype_i, comp, filt, interlace) != (8, 2, 0, 0, 0):
         return (w, h, depth, ctype_i, None)
     try:
@@ -613,6 +617,10 @@ def parse_gif(media_df: DataFrame) -> DataFrame:
             "<HHHHB", b[pos + 1 : pos + 10]
         )
         pos += 10
+        if w == 0 or h == 0:
+            # a zero-dim descriptor plus a bare CLEAR+END LZW stream passes
+            # len(indices) == w*h (0 == 0) and then indices[0] would throw
+            return None
         if iflags & 0xC0:  # local color table / interlace unsupported
             return (w_s, h_s, gct, None, None)
         if pos >= len(b):

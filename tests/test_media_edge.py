@@ -190,19 +190,33 @@ def test_parse_png_rejects_corrupt(spark):
         png_bytes,
     )
 
+    import struct
+    import zlib
+
+    from data_lakes_tp2_student_spark.operators.multimodal import _png_chunk
+
     good = png_bytes(5)
     flipped = bytearray(good)
     flipped[-20] ^= 0xFF  # inside IDAT body -> CRC mismatch
+    # CRC-correct zero-dimension file: every length check passes at 0 but
+    # rows[0][0] would throw (ADVICE r4) — must degrade, not kill the batch
+    zero_dim = (
+        good[:8]
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 0, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b""))
+        + _png_chunk(b"IEND", b"")
+    )
     rows = [
         (1, good),
         (2, good[:7]),            # truncated below the signature
         (3, b"XXXXXXXX" + good[8:]),  # wrong signature
         (4, bytes(flipped)),
         (5, b""),
+        (6, zero_dim),
     ]
     out = {r.doc_id: r for r in parse_png(_media_df(spark, rows)).collect()}
     assert out[1].valid
-    for bad in (2, 3, 4, 5):
+    for bad in (2, 3, 4, 5, 6):
         assert not out[bad].valid and out[bad].px_sum is None
 
 
@@ -348,23 +362,37 @@ def test_parse_gif_roundtrip_and_corrupt(spark):
         parse_gif,
     )
 
+    import struct
+
+    from data_lakes_tp2_student_spark.operators.multimodal import _lzw_encode
+
     i = 14  # 15x3 image
     good = gif_bytes(i)
     flipped = bytearray(good)
     flipped[-10] ^= 0xFF  # inside the LZW stream
+    # zero-dim descriptor + bare CLEAR+END stream decodes to b"" which
+    # passes len == w*h (0 == 0); indices[0] would throw (ADVICE r4)
+    empty_lzw = _lzw_encode(b"", 8)
+    zero_dim = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 0, 0, 0, 0, 0)  # no global color table
+        + b"\x2C" + struct.pack("<HHHHB", 0, 0, 0, 0, 0)
+        + bytes([8, len(empty_lzw)]) + empty_lzw + b"\x00\x3B"
+    )
     rows = [
         (1, good),
         (2, good[:5]),
         (3, b"NOTGIF" + good[6:]),
         (4, bytes(flipped)),
         (5, b""),
+        (6, zero_dim),
     ]
     out = {r.doc_id: r for r in parse_gif(_media_df(spark, rows)).collect()}
     assert out[1].valid and out[1].width == 15 and out[1].height == 3
     n = 15 * 3
     assert out[1].px0 == (i * 7) % 256
     assert out[1].px_sum == sum((i * 7 + j) % 256 for j in range(n))
-    for bad in (2, 3, 5):
+    for bad in (2, 3, 5, 6):
         assert not out[bad].valid
     # a flipped compressed byte either breaks the stream or changes the
     # recovered indices — both must land as a row, not an exception

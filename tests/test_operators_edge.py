@@ -160,6 +160,37 @@ def test_scd2_merge_closes_changed_and_is_idempotent(spark):
     assert rows_again == rows
 
 
+def test_scd2_merge_null_attr_and_duplicate_updates(spark):
+    """An open row whose tracked value is NULL must CLOSE (not vanish) when
+    a non-null update arrives, and duplicate keys in a dirty CDC batch must
+    not fan the open row out into several."""
+    from data_lakes_tp2_student_spark.operators.merge import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, None, 0, None), (2, "B", 0, None)],
+        "k bigint, v string, valid_from bigint, valid_to bigint",
+    )
+    upd = spark.createDataFrame(
+        [(1, "A"), (2, "B2"), (2, "B2")],  # NULL->A change + duplicated row
+        "k bigint, v string",
+    )
+    out = scd2_merge(dim, upd, "k", "v", batch_id=5)
+    rows = {(r.k, r.v, r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows == {
+        (1, None, 0, 5),   # NULL-valued open row closes...
+        (1, "A", 5, None), # ...and reopens at the update value
+        (2, "B", 0, 5),
+        (2, "B2", 5, None),
+    }
+    # exactly one open row per key even with duplicated update rows
+    open_counts = sorted(
+        (r.k, r.cnt)
+        for r in out.filter("valid_to IS NULL").groupBy("k").count()
+        .withColumnRenamed("count", "cnt").collect()
+    )
+    assert open_counts == [(1, 1), (2, 1)]
+
+
 def test_exact_dedup_keeps_lowest_tiebreak(spark):
     df = spark.createDataFrame(
         [(3, "same"), (1, "same"), (2, "other")], "pk bigint, text string"
