@@ -189,14 +189,27 @@ def i7_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_interval_join(spark, sf_dir)
 
 
-@register("i11_stream_outer_join")  # rows-only: result is watermark-dependent
+@register(
+    "i11_stream_outer_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts
+    FROM events v
+    LEFT JOIN events p
+      ON p.user_id = v.user_id AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL '10 minutes'
+    WHERE v.event_type = 'view'
+    """,
+)
 def i11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """i11 — stream-stream LEFT OUTER interval join. No SQL oracle BY
-    DESIGN: unmatched views null-extend only once the watermark proves no
-    match can arrive, so a drained finite source legitimately withholds
-    the youngest unmatched tail — the exact contract is pinned by
-    tests/test_stream_outer_join.py (matched rows == the batch inner
-    join; every emitted null row is a provably-expired unmatched view)."""
+    """i11 — stream-stream LEFT OUTER interval join, drained with a
+    max-timestamp sentinel event pair (VERDICT r4 item 3): the sentinel
+    pushes the terminal watermark past every real view's join horizon, so
+    every unmatched view provably expires and null-extends — the drained
+    result equals the batch left-outer join and the SQL oracle applies.
+    The raw watermark-dependent drain (no sentinel) keeps its bounded-state
+    contract in tests/test_stream_outer_join.py."""
     from ..streaming.jobs import stream_outer_interval_join
 
-    return stream_outer_interval_join(spark, sf_dir)
+    out = stream_outer_interval_join(spark, sf_dir, with_sentinel=True)
+    return out.withColumnRenamed("v_user", "user_id")
