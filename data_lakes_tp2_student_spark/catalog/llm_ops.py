@@ -991,3 +991,82 @@ def x5e_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = attach_bmp_media(docs, "doc_id")
     return parse_bmp(resize_bmp(media, factor=2))
+
+
+@register(
+    "x5j_jpeg_features",
+    oracle="""
+    -- the fixture is a grid of FLAT 8x8 blocks with an all-ones quant
+    -- table, so the lossy format round-trips losslessly and block (bx,by)
+    -- of image i decodes to exactly (i*17 + by*29 + bx*43) % 256; the sum
+    -- is 64x the block-value sum. Recovering it requires the full baseline
+    -- entropy decode + dequant + IDCT (operators/jpeg.py).
+    SELECT doc_id,
+           true AS valid,
+           CAST(8 * (doc_id % 3 + 2) AS BIGINT) AS width,
+           CAST(8 * (doc_id % 2 + 1) AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_components,
+           CAST((doc_id * 17) % 256 AS BIGINT) AS px0,
+           CAST(64 * list_sum(list_transform(
+                    range(0, (doc_id % 3 + 2) * (doc_id % 2 + 1)),
+                    k -> (doc_id * 17
+                          + (k // (doc_id % 3 + 2)) * 29
+                          + (k % (doc_id % 3 + 2)) * 43) % 256))
+               AS BIGINT) AS px_sum
+    FROM documents
+    """,
+)
+def x5j_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x5j — REAL baseline JPEG decode, lib-free (VERDICT r4 item 4): the
+    dominant real-corpus image format joins the BMP/PNG/GIF/WAV family.
+    Per-doc grayscale baseline JPEGs (standard Annex K Huffman tables,
+    0xFF-stuffed entropy stream) are decoded end-to-end — marker walk,
+    canonical Huffman decode, DC prediction, AC run-length, dequantize,
+    IDCT — inside Arrow-batched mapInPandas. Flat blocks + an all-ones
+    quant table make the round-trip lossless, so the oracle predicts the
+    decoded luma sum arithmetically from doc_id and a hash match proves
+    the entropy/IDCT math. n_bytes excluded (compressed size is not
+    SQL-predictable)."""
+    from ..operators.jpeg import attach_jpeg_media, parse_jpeg
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_jpeg_media(docs, "doc_id")
+    return parse_jpeg(media).select(
+        "doc_id", "valid", "width", "height", "n_components", "px0", "px_sum"
+    )
+
+
+@register(
+    "x31d_jpeg_dhash",
+    oracle="""
+    -- dHash over the decoded JPEG luma plane: grid sample (gr,gc) lands in
+    -- block (gc*wb//8, gr*hb//8) of the flat-block fixture, so every bit
+    -- is arithmetic in doc_id (same construction as x31's BMP oracle)
+    SELECT doc_id, true AS valid,
+           CAST(list_sum(list_transform(range(0, 56), b ->
+               CASE WHEN
+                   (doc_id*17
+                    + (((b // 7) * (doc_id % 2 + 1)) // 8) * 29
+                    + (((b % 7) * (doc_id % 3 + 2)) // 8) * 43) % 256
+                   <
+                   (doc_id*17
+                    + (((b // 7) * (doc_id % 2 + 1)) // 8) * 29
+                    + ((((b % 7) + 1) * (doc_id % 3 + 2)) // 8) * 43) % 256
+               THEN CAST(1 AS BIGINT) << b ELSE 0 END))
+               AS BIGINT) AS dhash
+    FROM documents
+    """,
+)
+def x31d_jpeg_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x31d — the x31 perceptual-hash path over JPEG payloads: the SAME
+    `image_dhash` operator format-sniffs the SOI magic, runs the full
+    baseline decode, and samples the luma plane on the same 8x8 grid and
+    bit layout as the BMP path — so the whole downstream image-dedup chain
+    (hamming-banded pairs -> clusters -> keep-one, x31b/x31c) is
+    format-agnostic. The oracle recomputes every gradient-sign bit
+    arithmetically from doc_id through the flat-block fixture."""
+    from ..operators.jpeg import attach_jpeg_media
+    from ..operators.multimodal import image_dhash
+
+    docs = load(spark, sf_dir, "documents")
+    return image_dhash(attach_jpeg_media(docs, "doc_id"))

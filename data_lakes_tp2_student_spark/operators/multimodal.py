@@ -804,17 +804,27 @@ def resize_png(media_df: DataFrame, factor: int = 2) -> DataFrame:
 
 
 def image_dhash(media_df: DataFrame) -> DataFrame:
-    """x5/x2 bridge — PERCEPTUAL image hash (dHash) from REAL decoded BMP
+    """x5/x2 bridge — PERCEPTUAL image hash (dHash) from REAL decoded
     pixels: sample an 8×8 grayscale grid (nearest-neighbor over the stored
     pixel rows, first channel as intensity), set bit gr*7+gc when
     grid[gr][gc] < grid[gr][gc+1] — 56 bits of gradient signs, stored as a
     non-negative BIGINT. Visually similar images differ in few bits, which
     makes image NEAR-DUP detection a hamming-banded join (the SimHash
     machinery, x2c/x2f) instead of pixel comparison. Invalid/unsupported
-    payloads degrade to valid=false."""
+    payloads degrade to valid=false.
+
+    Format-sniffing: BMP payloads sample the stored 24-bit rows directly;
+    JPEG payloads (SOI magic) run the full baseline decode
+    (`operators.jpeg`) and sample the luma plane — same grid, same bit
+    layout, so the downstream hamming-banded dedup chain (x31b/x31c) is
+    format-agnostic."""
+    from .jpeg import jpeg_luma_grid
+
     out_schema = "doc_id bigint, valid boolean, dhash bigint"
 
     def one(b: bytes):
+        if b[:2] == b"\xff\xd8":
+            return jpeg_luma_grid(b)
         g = _bmp_gate24(b)
         if g is None:
             return None
