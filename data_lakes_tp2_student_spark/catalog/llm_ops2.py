@@ -255,3 +255,54 @@ def x22_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bench_id").alias("n_benchmark_docs"),
         )
     )
+
+
+@register(
+    "x32_substring_dedup",
+    oracle="""
+    -- duplicated-span detection: md5 over every 5-word sliding window,
+    -- equi-joined across documents, gaps-and-islands over matched
+    -- positions (window-level twin of the Spark plan)
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, k AS pos,
+               md5(array_to_string(list_slice(ws, k + 1, k + 5), ' ')) AS h
+        FROM w, unnest(range(0, greatest(0, length(ws) - 4))) AS t(k)
+    ),
+    matched AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.pos
+        FROM wins a JOIN (SELECT DISTINCT doc_id, h FROM wins) b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT id_a, id_b, pos,
+               pos - row_number() OVER (PARTITION BY id_a, id_b
+                                        ORDER BY pos) AS grp
+        FROM matched
+    )
+    SELECT id_a, id_b, CAST(min(pos) AS BIGINT) AS start_a,
+           CAST(max(pos) - min(pos) + 5 AS BIGINT) AS len_words
+    FROM isl GROUP BY id_a, id_b, grp
+    """,
+)
+def x32_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x32 — CROSS-DOCUMENT substring dedup (VERDICT r4 item 5): MinHash
+    (x2) is document-granular, so exact substring duplication — shared
+    boilerplate, license headers, quoted text — survives it. This pass
+    fingerprints every 5-word sliding window (`windowed_fingerprints`,
+    the Rabin-Karp-style machinery of x4b generalized to joinable
+    substrings), equi-joins the hashes across documents, and merges the
+    matched positions into maximal duplicated spans per doc pair
+    (`duplicated_spans`). Output: (id_a, id_b, start_a, len_words) — the
+    spans a substring-level cleaner would cut from doc a.
+
+    Scale: one hash equi-join (16-byte keys) + per-pair gaps-and-islands;
+    no document-pair cross product anywhere. See operator docstrings for
+    the df-cap skew lever at full corpus scale."""
+    from ..operators.textops import duplicated_spans, windowed_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    wins = windowed_fingerprints(docs, "doc_id", "text", width=5)
+    return duplicated_spans(wins, "doc_id", width=5)

@@ -163,6 +163,70 @@ def sign_lsh_bucket(
     return F.concat(*bits)
 
 
+def lsh_buckets_batch(
+    vec_col: str, per_table: list[list[list[float]]]
+) -> Column:
+    """All tables' sign-LSH buckets in ONE Arrow-batched pass: returns an
+    ``array<string>`` of bucket ids (index = table).
+
+    The expression form (`sign_lsh_bucket` × tables) evaluates
+    tables×planes interpreted `aggregate(zip_with(...))` folds per vector —
+    the hot cost of multi-table LSH at 8 tables (measured: the corpus-side
+    bucket computation dominated x3b). This UDF accumulates every
+    projection with the SAME sequential-over-dimensions float64 left-fold
+    order (vectorized across rows and planes), the `cosine_batch` trick —
+    bit-identical signs, so swapping it in can never flip a bucket vs the
+    expression form or the DuckDB oracle. Coefficients are exact ±1.0."""
+    import numpy as np
+
+    flat = [row for coefs in per_table for row in coefs]
+    ppt = len(per_table[0])
+    ntab = len(per_table)
+    C = np.array(flat, dtype=np.float64)  # (P, dim)
+
+    def fold_row(u) -> list[str]:
+        bits = []
+        for row in flat:
+            acc = 0.0
+            for x, c in zip(u, row):
+                acc = acc + float(x) * c
+            bits.append(acc >= 0)
+        return [
+            "".join("1" if bits[t * ppt + j] else "0" for j in range(ppt))
+            for t in range(ntab)
+        ]
+
+    @pandas_udf("array<string>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        try:
+            A = np.stack(v.to_numpy()).astype(np.float64)
+        except ValueError:  # ragged batch — per-row left fold, same order
+            return pd.Series([fold_row(u) for u in v])
+        if A.shape[1] != C.shape[1]:
+            return pd.Series([fold_row(u) for u in v])
+        n = A.shape[0]
+        acc = np.zeros((n, C.shape[0]))
+        for i in range(C.shape[1]):  # sequential over dims = left fold
+            acc = acc + A[:, i : i + 1] * C[None, :, i]
+        bits = acc >= 0
+        return pd.Series(
+            [
+                [
+                    "".join(
+                        "1" if bits[r, t * ppt + j] else "0"
+                        for j in range(ppt)
+                    )
+                    for t in range(ntab)
+                ]
+                for r in range(n)
+            ]
+        )
+
+    return _buckets(vec_col)
+
+
 def ivf_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -264,33 +328,43 @@ def knn_lsh(
     Recall scales as 1-(1-p^planes)^tables, so multiple short tables beat
     one long code — a single 6-bit table measured recall@10 ≈ 0.03 on the
     driver's near-isotropic synthetic embeddings; 4×4-bit tables ≈ 0.4 and
-    8 tables ≈ 0.65, at ~¼ of the corpus scored per query
-    (tests/test_ann_quality.py). The candidate join stays an equi-join on
-    (table, bucket) — the shuffle key at scale — and dedup happens BEFORE
-    cosine so each pair is scored once."""
+    the 8×4-bit default ≈ 0.65 (tests/test_ann_quality.py gates ≥ 0.6).
+    The candidate join stays an equi-join on (table, bucket) — the shuffle
+    key at scale.
+
+    Two hot-path choices (r5, measured): all tables' buckets come from ONE
+    Arrow-batched numpy pass (`lsh_buckets_batch` — bit-identical signs to
+    the expression form, see its docstring) instead of tables×planes
+    interpreted HOF folds; and the exact cosine is computed BEFORE the
+    per-pair dedup, so the dedup shuffle carries (query, neighbor, score)
+    scalars instead of two 64-dim vectors per row — a table-colliding pair
+    is scored once per collision, but `cosine_batch` is cheap and the
+    score is identical, so `dropDuplicates` keeps an arbitrary one."""
     per_table = [
         hyperplane_coefficients(planes, dim, table=t) for t in range(tables)
     ]
-    buckets = lambda col: F.array(  # noqa: E731
-        *[sign_lsh_bucket(col, coefs) for coefs in per_table]
-    )
     c = spread(corpus).select(
-        "*", F.posexplode(buckets(vec_col)).alias("_table", "_bucket")
+        "*",
+        F.posexplode(lsh_buckets_batch(vec_col, per_table)).alias(
+            "_table", "_bucket"
+        ),
     )
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        F.posexplode(buckets(vec_col)).alias("_table", "_bucket"),
+        F.posexplode(lsh_buckets_batch(vec_col, per_table)).alias(
+            "_table", "_bucket"
+        ),
     )
     scored = (
         c.join(F.broadcast(q), ["_table", "_bucket"])
         .filter(F.col(id_col) != F.col(query_id_col))
-        .dropDuplicates([query_id_col, id_col])
         .select(
             query_id_col,
             F.col(id_col).alias("neighbor_id"),
             cosine_batch(vec_col, "_qvec").alias("cos_sim"),
         )
+        .dropDuplicates([query_id_col, "neighbor_id"])
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")

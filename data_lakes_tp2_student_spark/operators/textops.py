@@ -190,3 +190,84 @@ def rolling_fingerprint(
         f"(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"
     )
     return spread(df).withColumn(out_col, F.expr(expr))
+
+
+def windowed_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, width: int = 5
+) -> DataFrame:
+    """x32 — per-position sliding-window fingerprints: one md5 per `width`-
+    word window at every word position (stride 1). The chunk-level
+    extension of `fingerprint`/`rolling_fingerprint`: where those identify
+    whole documents, these make every SUBSTRING of `width` words joinable
+    across documents.
+
+    Shape (same as `dedup.exploded_shingles`, generalized to any width):
+    split once → posexplode → `lead` stitches each window — every operator
+    whole-stage-codegen'd, and the one shuffle (hash by id for the window
+    function) is the partitioning the caller's downstream per-doc work
+    wants anyway. Docs shorter than `width` words emit no windows (they
+    are whole-doc territory — x1/x2 cover them). Returns (id, pos, h)."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "_w"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("_w", k).over(w) for k in range(1, width)]
+    return (
+        words.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.concat_ws(" ", F.col("_w"), *leads).alias("_win"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select(F.col(id_col), "pos", F.md5("_win").alias("h"))
+    )
+
+
+def duplicated_spans(
+    wins: DataFrame, id_col: str = "doc_id", width: int = 5
+) -> DataFrame:
+    """x32 — cross-document duplicated spans from windowed fingerprints:
+    for each doc pair (id_a < id_b), the maximal CONTIGUOUS runs of
+    positions in doc a whose windows all occur in doc b — i.e. the shared
+    boilerplate/license/quotation spans that survive doc-level MinHash
+    (x2 is doc-granular; exact substring duplication needs this pass;
+    cf. Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", which dedups on exact 50-token substrings).
+
+    Emits (id_a, id_b, start_a, len_words): span start position in doc a
+    and its length in WORDS (run length + width - 1... precisely
+    max_pos - min_pos + width).
+
+    Scale shape: candidate generation is ONE equi-join on the 16-byte
+    window hash — never O(n²) on documents — followed by gaps-and-islands
+    (row_number difference) per pair. The probe side is deduplicated to
+    (doc, hash) so a window repeated inside one doc probes once. The
+    fingerprint table feeds both join sides → persisted+materialized
+    (`eager`). At 100 TB the one skew lever is a document-frequency cap on
+    ubiquitous windows (HAVING df <= K before the join) — omitted here to
+    keep semantics exact; AQE skew-join handles moderate hot hashes."""
+    from pyspark.sql import Window
+
+    from ..functions.compute import eager
+
+    wins = eager(wins)
+    probe = wins.select(F.col(id_col).alias("id_b"), "h").distinct()
+    matched = (
+        wins.select(F.col(id_col).alias("id_a"), "pos", "h")
+        .join(probe, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pos")
+        .distinct()
+    )
+    w = Window.partitionBy("id_a", "id_b").orderBy("pos")
+    grouped = matched.withColumn(
+        "_grp", F.col("pos") - F.row_number().over(w)
+    )
+    return grouped.groupBy("id_a", "id_b", "_grp").agg(
+        F.min("pos").alias("start_a"),
+        (F.max("pos") - F.min("pos") + width).alias("len_words"),
+    ).select("id_a", "id_b", "start_a", "len_words")

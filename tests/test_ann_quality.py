@@ -57,6 +57,26 @@ def test_multitable_lsh_recall(corpus, truth):
     assert r_multi > r_single + 0.15, (r_multi, r_single)
 
 
+def test_default_lsh_config_recall(corpus, truth):
+    """The x3b DEFAULT config (VERDICT r4 item 6) must retrieve, not just
+    be self-consistent: recall@10 ≥ 0.6 (measured ≈ 0.645 at 8×4-bit;
+    threshold leaves noise margin)."""
+    from data_lakes_tp2_student_spark.catalog.llm_ops import (
+        _LSH_PLANES,
+        _LSH_TABLES,
+    )
+
+    assert _LSH_TABLES >= 8  # the promoted recall point
+    q = corpus.filter(F.col("vec_id") < N_QUERIES)
+    r = _mean_recall(
+        truth,
+        _top_sets(
+            knn_lsh(corpus, q, k=K, planes=_LSH_PLANES, tables=_LSH_TABLES)
+        ),
+    )
+    assert r >= 0.6, r
+
+
 def test_ivf_recall(corpus, truth):
     q = corpus.filter(F.col("vec_id") < N_QUERIES)
     r = _mean_recall(truth, _top_sets(knn_ivf(corpus, q, k=K, nprobe=2)))

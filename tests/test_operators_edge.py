@@ -375,3 +375,39 @@ def test_sample_frames_bounded_and_deterministic(spark):
     assert by_doc[1][0] == (0, b"abcdefgh")  # deterministic first slice
     assert len(by_doc[2]) == 2  # short payload -> bounded by length
     assert 3 not in by_doc  # empty payload filtered, no explode of nothing
+
+
+def test_substring_dedup_spans(spark):
+    """x32 edges (VERDICT r4 item 5): identical docs -> one full-length
+    span; shared-prefix-only -> the prefix span exactly; disjoint texts ->
+    no rows; docs shorter than the window -> no windows; a window repeated
+    INSIDE one doc must not duplicate span rows."""
+    from data_lakes_tp2_student_spark.operators.textops import (
+        duplicated_spans,
+        windowed_fingerprints,
+    )
+
+    a = "one two three four five six seven eight"          # 8 words
+    b = "one two three four five nine ten eleven"          # shares 5-word prefix
+    c = "alpha beta gamma delta epsilon zeta"              # disjoint
+    d = "tiny doc"                                          # < width
+    e = "one two three four five one two three four five"  # internal repeat of a's prefix
+    df = spark.createDataFrame(
+        [(1, a), (2, a), (3, b), (4, c), (5, d), (6, e)],
+        "doc_id bigint, text string",
+    )
+    wins = windowed_fingerprints(df, "doc_id", "text", width=5)
+    out = {
+        (r.id_a, r.id_b): (r.start_a, r.len_words)
+        for r in duplicated_spans(wins, "doc_id", width=5).collect()
+    }
+    # identical docs: one span covering all 8 words
+    assert out[(1, 2)] == (0, 8)
+    # shared prefix only: exactly the 5-word prefix (positions {0}, len 5)
+    assert out[(1, 3)] == (0, 5) and out[(2, 3)] == (0, 5)
+    # doc e contains a's prefix twice -> positions 0 and 5 in e... but e is
+    # id 6 > 1, so the span is reported in doc 1/2/3's coordinates: doc 1
+    # positions {0} (only the prefix window of a matches e) -> (0, 5)
+    assert out[(1, 6)] == (0, 5)
+    # e vs e-self never appears (id_a < id_b strict); disjoint/short: no rows
+    assert not any(4 in k or 5 in k for k in out)
