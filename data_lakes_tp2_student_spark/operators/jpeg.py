@@ -287,7 +287,8 @@ def _extend(v: int, cat: int) -> int:
 def _jpeg_decode(b: bytes):
     """Returns ``None`` for corrupt input; ``(w, h, ncomp, None)`` for a
     valid container outside the supported subset; ``(w, h, ncomp, luma)``
-    with the full decoded luma plane (list of row-lists) otherwise."""
+    with the full decoded luma plane (an int64 numpy array, h×w)
+    otherwise."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
     pos = 2
@@ -436,8 +437,10 @@ def _decode_scan(b, pos, w, h, nc, scan_tables, restart_interval):
                     px = np.clip(np.round(block) + 128, 0, 255)
                     luma[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
             mcu += 1
-    luma = luma[:h, :w]
-    return (w, h, nc, [list(map(int, row)) for row in luma])
+    # return the numpy plane directly: per-image list-of-Python-ints
+    # materialization was the dominant per-image cost on the corpus-wide
+    # dHash path (code-review r5)
+    return (w, h, nc, luma[:h, :w])
 
 
 # --- DataFrame surface ---------------------------------------------------
@@ -492,10 +495,8 @@ def parse_jpeg(media_df: DataFrame) -> DataFrame:
                 out["height"].append(d[1] if d else None)
                 out["n_components"].append(d[2] if d else None)
                 out["n_bytes"].append(len(b))
-                out["px0"].append(d[3][0][0] if ok else None)
-                out["px_sum"].append(
-                    sum(map(sum, d[3])) if ok else None
-                )
+                out["px0"].append(int(d[3][0, 0]) if ok else None)
+                out["px_sum"].append(int(d[3].sum()) if ok else None)
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(run, schema=out_schema)
@@ -515,7 +516,7 @@ def jpeg_luma_grid(b: bytes) -> int | None:
     dhash = 0
     for gr in range(8):
         row = luma[gr * h // 8]
-        samples = [row[gc * w // 8] for gc in range(8)]
+        samples = [int(row[gc * w // 8]) for gc in range(8)]
         for gc in range(7):
             if samples[gc] < samples[gc + 1]:
                 dhash |= 1 << (gr * 7 + gc)

@@ -127,8 +127,11 @@ def run_stages(
             continue
         stage.fn()
         state[stage.name] = {
-            "fingerprint": _stage_fingerprint(stage),  # re-read: deps may
-            # themselves be a prior stage's outs written just above
+            # record the CHECK-TIME fingerprint (already reflects prior
+            # stages' freshly-written outs): re-reading here would absorb a
+            # dep edited DURING stage.fn() and false-skip it next repro —
+            # dvc re-runs in that case, and so do we
+            "fingerprint": fp,
             "outs": _paths_fingerprint(stage.outs),
         }
         result[stage.name] = "ran"

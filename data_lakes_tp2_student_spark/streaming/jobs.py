@@ -66,9 +66,14 @@ def _sentinel_stage_dir(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     src = os.path.abspath(f"{sf_dir}/events.parquet")
-    d = os.path.join(
-        _STAGE_ROOT, hashlib.md5((src + "#sentinel").encode()).hexdigest()[:12]
-    )
+    # Key the stage dir on the source's content identity (size + mtime),
+    # not just its path: a regenerated events.parquet with later timestamps
+    # (or a flipped ts physical type — it has happened across testdata
+    # generations) must get a FRESH sentinel, or the cached one no longer
+    # exceeds max(ts) and the drained result silently diverges.
+    st = os.stat(src)
+    key = f"{src}#sentinel#{st.st_size}:{st.st_mtime_ns}"
+    d = os.path.join(_STAGE_ROOT, hashlib.md5(key.encode()).hexdigest()[:12])
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):
