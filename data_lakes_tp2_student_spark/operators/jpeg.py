@@ -341,10 +341,14 @@ def _jpeg_decode(b: bytes):
                 return None
             restart_interval = int.from_bytes(seg, "big")
         elif marker == 0xC0:  # baseline SOF
+            if len(seg) < 6:
+                return None
             prec = seg[0]
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
+            if len(seg) < 6 + 3 * nc:  # fuzz: truncated component list
+                return None
             comps = []
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
@@ -352,11 +356,13 @@ def _jpeg_decode(b: bytes):
             sof = (prec, w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             # extended/progressive/arithmetic SOF: headers-only subset
+            if len(seg) < 6:
+                return None
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             return (w, h, seg[5], None)
         elif marker == 0xDA:  # SOS — entropy data follows
-            if sof is None:
+            if sof is None or len(seg) < 1:
                 return None
             prec, w, h, comps = sof
             nc = len(comps)

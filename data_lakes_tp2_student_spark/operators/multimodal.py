@@ -234,7 +234,8 @@ def _png_decode(b: bytes):
         (ln,) = struct.unpack(">I", b[pos : pos + 4])
         ctype = b[pos + 4 : pos + 8]
         body = b[pos + 8 : pos + 8 + ln]
-        if len(body) != ln:
+        if len(body) != ln or pos + 12 + ln > len(b):
+            # body fits but the 4 CRC bytes are truncated (fuzz)
             return None
         (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
@@ -491,6 +492,10 @@ def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
 def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes | None:
     """GIF-flavor LZW decompress (inverse of `_lzw_encode`); None on a
     corrupt stream (bad code, missing clear semantics, truncation)."""
+    if not 1 <= min_code_size <= 8:
+        # GIF pixel data is 1-8 bits; a fuzzed size >8 would build root
+        # table entries past bytes' range and crash mid-batch
+        return None
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     out = bytearray()
     pos = acc = nbits = 0

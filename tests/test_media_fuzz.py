@@ -1,0 +1,85 @@
+"""Decoder fuzz: the five lib-free media decoders must NEVER throw on
+arbitrary mutations of valid payloads — the 'valid=false row, not a dead
+Arrow batch' contract, exercised beyond the hand-picked corrupt cases.
+
+Deterministic seeds (no flaky CI); mutations cover bit flips anywhere
+(headers, tables, entropy data), truncation at every region, duplication,
+and random splices. The Spark-side parse_* wrappers additionally catch —
+this tests the DECODE layer directly so a raising path can't hide behind
+the wrapper."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from data_lakes_tp2_student_spark.operators.jpeg import _jpeg_decode, jpeg_bytes
+from data_lakes_tp2_student_spark.operators.multimodal import (
+    _png_decode,
+    bmp_bytes,
+    gif_bytes,
+    png_bytes,
+)
+
+N_MUTATIONS = 120
+
+
+def _mutations(payload: bytes, seed: int):
+    rng = random.Random(seed)
+    n = len(payload)
+    for _ in range(N_MUTATIONS):
+        kind = rng.randrange(4)
+        b = bytearray(payload)
+        if kind == 0:  # flip 1-4 bytes anywhere
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randrange(n)] ^= rng.randint(1, 255)
+            yield bytes(b)
+        elif kind == 1:  # truncate anywhere
+            yield bytes(b[: rng.randrange(n)])
+        elif kind == 2:  # splice a random chunk over a random offset
+            chunk = bytes(rng.randrange(256) for _ in range(rng.randint(1, 16)))
+            off = rng.randrange(n)
+            yield bytes(b[:off] + chunk + b[off + len(chunk):])
+        else:  # duplicate a slice (grows the payload)
+            a, z = sorted(rng.randrange(n) for _ in range(2))
+            yield bytes(b[:z] + b[a:z] + b[z:])
+
+
+def test_jpeg_decode_never_throws_on_fuzz():
+    for i in (0, 7):
+        for mutant in _mutations(jpeg_bytes(i), seed=100 + i):
+            _jpeg_decode(mutant)  # any return is fine; a raise is the bug
+
+
+def test_png_decode_never_throws_on_fuzz():
+    for i in (0, 7):
+        for mutant in _mutations(png_bytes(i), seed=200 + i):
+            _png_decode(mutant)
+
+
+def test_gif_bmp_parse_never_throw_on_fuzz(spark):
+    """GIF/BMP decode closures live inside the mapInPandas runners — fuzz
+    them through the DataFrame surface in two batches (one per format),
+    asserting every mutant lands as a row."""
+    from data_lakes_tp2_student_spark.operators.multimodal import (
+        parse_bmp,
+        parse_gif,
+    )
+
+    gif_rows = [
+        (k, m) for k, m in enumerate(_mutations(gif_bytes(5), seed=300))
+    ]
+    bmp_rows = [
+        (k, m) for k, m in enumerate(_mutations(bmp_bytes(5), seed=400))
+    ]
+    gdf = spark.createDataFrame(gif_rows, "doc_id long, media binary")
+    bdf = spark.createDataFrame(bmp_rows, "doc_id long, media binary")
+    assert parse_gif(gdf).count() == len(gif_rows)
+    assert parse_bmp(bdf).count() == len(bmp_rows)
+
+
+@pytest.mark.parametrize("payload", [b"", b"\x00", b"\xff" * 64])
+def test_degenerate_payloads(payload):
+    assert _jpeg_decode(payload) is None or True
+    assert _png_decode(payload) is None or True
