@@ -331,3 +331,121 @@ def x29_domain_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.withColumn(
         "mix_weight", F.round(F.col("target_share") / F.col("share"), 6)
     )
+
+
+@register(
+    "x33_importance_sampling",
+    oracle="""
+    -- DSIR-style selection: rank raw-pool docs by the unigram
+    -- log-importance ratio ln p_target(w) - ln p_pool(w), Laplace-smoothed
+    -- over the shared vocab, fixed-point-quantized per word (same float
+    -- policy as x30); target domain = source 'src0'
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    vocab AS (SELECT count(DISTINCT term) AS v FROM toks),
+    tcnt AS (SELECT term, count(*) AS c FROM toks
+             WHERE source = 'src0' GROUP BY term),
+    pcnt AS (SELECT term, count(*) AS c FROM toks
+             WHERE source <> 'src0' GROUP BY term),
+    ttot AS (SELECT count(*) AS n FROM toks WHERE source = 'src0'),
+    ptot AS (SELECT count(*) AS n FROM toks WHERE source <> 'src0'),
+    ratio AS (
+        SELECT p.term,
+               CAST(floor((ln((coalesce(t.c, 0) + 1.0) / (ttot.n + vocab.v))
+                           - ln((p.c + 1.0) / (ptot.n + vocab.v)))
+                          * 1000000000.0) AS BIGINT) AS q
+        FROM pcnt p LEFT JOIN tcnt t USING (term), ttot, ptot, vocab
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE source <> 'src0' GROUP BY doc_id, term
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(sum(tf.tf) AS BIGINT) AS n_words,
+               round(CAST(sum(tf.tf * ratio.q) AS DOUBLE) / 1000000000.0
+                     / CAST(sum(tf.tf) AS DOUBLE), 6) AS avg_log_ratio
+        FROM tf JOIN ratio USING (term)
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_words, avg_log_ratio FROM scored
+    ORDER BY avg_log_ratio DESC, doc_id LIMIT 50
+    """,
+)
+def x33_importance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x33 — importance-based DATA SELECTION (the DSIR recipe — Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling" —
+    reduced to its unigram core): fit a target LM on the target domain
+    ('src0') and a pool LM on everything else, score each pool document by
+    its mean per-word log importance ratio ln p_t(w) − ln p_p(w), and keep
+    the top-N most target-like documents. The standard pretraining move of
+    "select web data that looks like the high-quality domain".
+
+    Laplace smoothing over the SHARED vocab keeps the target LM defined on
+    pool-only words; each word's ratio is computed once in a fixed
+    expression shape and fixed-point-quantized to BIGINT (the x30/x19
+    float policy), so per-doc scores are integer sums — associative,
+    engine-portable, stable under any partitioning.
+
+    Scale shape: one exploded scan feeds every aggregate (map-side partial
+    combine); the per-word ratio table is vocab-bounded and BROADCAST to
+    the per-(doc, term) counts; the final top-N is TakeOrderedAndProject
+    (never a global sort). Nothing corpus-sized shuffles twice."""
+    target = F.col("source") == "src0"
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = toks.agg(F.countDistinct("term").alias("v"))
+    tcnt = toks.filter(target).groupBy("term").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    pool = toks.filter(~target)
+    pcnt = pool.groupBy("term").agg(F.count(F.lit(1)).alias("pc"))
+    ttot = toks.filter(target).agg(F.count(F.lit(1)).alias("tn"))
+    ptot = pool.agg(F.count(F.lit(1)).alias("pn"))
+    ratio = (
+        pcnt.join(tcnt, "term", "left")
+        .crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(ptot))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "term",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("tn") + F.col("v"))
+                    )
+                    - F.log(
+                        (F.col("pc") + F.lit(1.0)) / (F.col("pn") + F.col("v"))
+                    )
+                )
+                * F.lit(1000000000.0)
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    tf = pool.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(F.broadcast(ratio), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_words"),
+            F.sum(F.col("tf") * F.col("q")).alias("_sq"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(
+                F.col("_sq").cast("double")
+                / F.lit(1000000000.0)
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("avg_log_ratio"),
+        )
+    )
+    return scored.orderBy(F.desc("avg_log_ratio"), "doc_id").limit(50)

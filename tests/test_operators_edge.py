@@ -411,3 +411,33 @@ def test_substring_dedup_spans(spark):
     assert out[(1, 6)] == (0, 5)
     # e vs e-self never appears (id_a < id_b strict); disjoint/short: no rows
     assert not any(4 in k or 5 in k for k in out)
+
+
+def test_importance_sampling_empty_target_domain(spark, tmp_path):
+    """x33 with NO documents in the target domain must stay defined
+    (Laplace smoothing gives the target LM mass 1/(0+V) everywhere) and
+    deterministic, rather than emitting NULL/-inf scores."""
+    import data_lakes_tp2_student_spark.catalog  # noqa: F401
+    from data_lakes_tp2_student_spark.registry import REGISTRY
+
+    docs = spark.createDataFrame(
+        [
+            (1, "srcA", "alpha beta beta"),
+            (2, "srcB", "alpha gamma"),
+            (3, "srcB", "delta delta delta"),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    d = str(tmp_path / "sf_fake")
+    docs.write.parquet(f"{d}/documents.parquet")
+    out = REGISTRY["x33_importance_sampling"].fn(spark, d).collect()
+    # no 'src0' rows exist -> every doc is pool; all scores finite
+    assert len(out) == 3
+    assert all(r.avg_log_ratio is not None for r in out)
+    import math
+
+    assert all(math.isfinite(r.avg_log_ratio) for r in out)
+    # rarer pool words score HIGHER (less pool-typical, target flat):
+    # doc 3 is all 'delta' (pool count 3) vs doc 1's beta/alpha mix
+    by_id = {r.doc_id: r.avg_log_ratio for r in out}
+    assert by_id[2] == max(by_id.values())  # gamma: rarest pool word
