@@ -306,3 +306,68 @@ def x32_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     wins = windowed_fingerprints(docs, "doc_id", "text", width=5)
     return duplicated_spans(wins, "doc_id", width=5)
+
+
+def _pagerank_iters_sql(iterations: int = 3) -> str:
+    """Unrolled fixed-point PageRank iteration CTEs (DuckDB `//` and Spark
+    `div` agree on positive BIGINT floor division)."""
+    out = """
+    , nodes AS (
+        SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+    ),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT id, (1000000000000 // nn.n) AS rank FROM nodes, nn)
+    """
+    for k in range(1, iterations + 1):
+        out += f"""
+    , it{k} AS (
+        SELECT nd.id,
+               (15 * (1000000000000 // nn.n)) // 100
+               + (85 * coalesce(c.c, 0)) // 100 AS rank
+        FROM nodes nd CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.dst, sum(r.rank // d.outdeg) AS c
+            FROM edges e
+            JOIN it{k - 1 if k > 1 else 0} r ON r.id = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ) c ON c.dst = nd.id
+    )"""
+    return out.replace("JOIN it0 r", "JOIN r0 r")
+
+
+@register(
+    "x34_pagerank",
+    oracle=_MINHASH_CTE
+    + _pagerank_iters_sql(3)
+    + """
+    SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank
+    FROM it3 ORDER BY rank DESC, id LIMIT 20
+    """,
+)
+def x34_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x34 — fixed-point PageRank over the near-dup candidate graph: which
+    documents sit at the CENTER of duplicate neighborhoods (the doc to
+    keep/canonicalize; high-degree hubs also flag template families that
+    MinHash banding links transitively). Companion to x2e's connected
+    components: CC answers "which cluster", PageRank answers "who anchors
+    it". 3 iterations, damping 0.85, BIGINT scale 1e12 — every step is
+    integer arithmetic so the result is partitioning- and engine-exact;
+    the oracle unrolls the identical iterations as CTEs. Top-20 by rank
+    with a doc_id tiebreak."""
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from ..operators.graph import pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=_N_HASHES)
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", bands=_N_BANDS, rows_per_band=_ROWS_PER_BAND
+    )
+    pr = pagerank(pairs, iterations=3)
+    return pr.orderBy(F.desc("rank"), "doc_id").limit(20)

@@ -83,3 +83,30 @@ def test_gif_bmp_parse_never_throw_on_fuzz(spark):
 def test_degenerate_payloads(payload):
     assert _jpeg_decode(payload) is None or True
     assert _png_decode(payload) is None or True
+
+
+def test_wav_parse_and_stats_never_throw_on_fuzz(spark):
+    """WAV chunk-walk + PCM sample decode under the same mutation battery."""
+    import struct
+
+    from data_lakes_tp2_student_spark.operators.multimodal import (
+        audio_sample_stats,
+        parse_wav,
+    )
+
+    # rebuild the attach_wav_media payload shape for one id
+    i = 13
+    rate, channels, bits = 22050, 2, 16
+    n_samples = i % 50 + 1
+    block = channels * bits // 8
+    data = bytes((i * 11 + j) % 256 for j in range(n_samples * block))
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, rate, rate * block, block, bits
+    )
+    payload = fmt + struct.pack("<4sI", b"data", len(data)) + data
+    wav = struct.pack("<4sI4s", b"RIFF", 4 + len(payload), b"WAVE") + payload
+
+    rows = [(k, m) for k, m in enumerate(_mutations(wav, seed=500))]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    assert parse_wav(df).count() == len(rows)
+    assert audio_sample_stats(df).count() == len(rows)

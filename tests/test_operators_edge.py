@@ -441,3 +441,35 @@ def test_importance_sampling_empty_target_domain(spark, tmp_path):
     # doc 3 is all 'delta' (pool count 3) vs doc 1's beta/alpha mix
     by_id = {r.doc_id: r.avg_log_ratio for r in out}
     assert by_id[2] == max(by_id.values())  # gamma: rarest pool word
+
+
+def test_pagerank_matches_python_recurrence(spark):
+    """x34's DataFrame PageRank must equal an independently-written Python
+    integer recurrence on a star + appendage graph, and an empty pair set
+    yields an empty result."""
+    from data_lakes_tp2_student_spark.operators.graph import pagerank
+
+    pair_list = [(1, 2), (1, 3), (1, 4), (4, 5)]
+    pairs = spark.createDataFrame(pair_list, "id_a bigint, id_b bigint")
+    got = {r.doc_id: r.rank for r in pagerank(pairs, iterations=3).collect()}
+
+    # independent reference: same fixed-point integer recurrence
+    SCALE = 10**12
+    edges = pair_list + [(b, a) for a, b in pair_list]
+    nodes = sorted({x for e in edges for x in e})
+    outdeg = {u: sum(1 for s, _ in edges if s == u) for u in nodes}
+    n = len(nodes)
+    base = SCALE // n
+    teleport = (15 * base) // 100
+    rank = {u: base for u in nodes}
+    for _ in range(3):
+        contrib = {u: 0 for u in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] // outdeg[s]
+        rank = {u: teleport + (85 * contrib[u]) // 100 for u in nodes}
+    assert got == rank
+    # hub ordering: node 1 (degree 3) outranks the appendage node 5
+    assert got[1] > got[4] > got[5] or got[1] > got[5]
+
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert pagerank(empty).count() == 0
