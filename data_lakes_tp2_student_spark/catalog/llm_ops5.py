@@ -1,0 +1,324 @@
+"""Catalog entries — round-5 extension wave (SURVEY.md §2 group X):
+semantic dedup (x33), Variant semi-structured extraction (x34),
+weighted sampling (x35), graph triangle counting (x36), Bloom-filter
+decontamination (x37), and a Spark 4 Python UDTF (j4).
+
+The reference (sarafa19/Data-Lakes-tp2-student) has none of these — its
+whole surface is pandas ETL over one protein CSV (SURVEY.md §0); all of
+this is Layer-B training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.bloom import M_BITS, WORD, bloom_build, bloom_probe
+from ..operators.dedup import exploded_shingles
+from ..operators.graph import triangle_count
+from ..operators.sampling import weighted_sample
+from ..operators.similarity import knn_bruteforce, semdedup
+from ..registry import load, register
+from .llm_ops import _sql_cos
+
+# ------------------------------------------------------------ x33 semdedup
+
+_SEM_THRESHOLD = 0.35
+
+
+@register(
+    "x33_semdedup",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS centroid, embedding AS cvec
+                  FROM embeddings WHERE vec_id < 16),
+    assigned AS (
+        SELECT e.vec_id, e.embedding, c.centroid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_sql_cos('e.embedding', 'c.cvec')} DESC, c.centroid
+               ) AS crn
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, embedding, centroid AS cell
+              FROM assigned WHERE crn = 1),
+    dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_sql_cos('a.embedding', 'b.embedding')} >= {_SEM_THRESHOLD}
+    )
+    SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS is_kept
+    FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id
+    """,
+)
+def x33_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x33 — SemDeDup semantic dedup: cluster embeddings into 16 cells,
+    drop every vector whose cosine to a lower-id cell-mate reaches the
+    threshold. Pair generation is the cell equi-join (sum |cell|^2, never
+    corpus^2) — see operators/similarity.py:semdedup for the 100 TB shape."""
+    emb = load(spark, sf_dir, "embeddings")
+    return semdedup(emb, n_cells=16, threshold=_SEM_THRESHOLD)
+
+
+# ----------------------------------------------- x34 Variant semi-structured
+
+
+@register(
+    "x34_variant_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def x34_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x34 — Spark 4 VariantType path for semi-structured columns:
+    `parse_json` shreds the JSON payload ONCE into the binary Variant
+    encoding, then `variant_get` does typed path extraction — O(1)
+    field access per row instead of re-parsing JSON text per extracted
+    field (the `get_json_object` fallback used by h5d). At rest, Variant
+    columns store shredded subfields with parquet min/max stats, so
+    predicates on `$.k` can prune row groups — the scale rationale for
+    preferring Variant over JSON strings at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_k").alias("sum_k"),
+            F.round(F.avg("_k"), 6).alias("avg_k"),
+        )
+    )
+
+
+# --------------------------------------------------- x35 weighted sampling
+
+_W_SQL_U = (
+    "greatest(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) "
+    "AS BIGINT) / power(2.0, 48), power(2.0, -48))"
+)
+
+
+@register(
+    "x35_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, source, n_chars,
+           round(ln({_W_SQL_U}) / n_chars, 9) AS sample_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY sample_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def x35_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x35 — Efraimidis–Spirakis weighted sample without replacement
+    (k=100, weight = document length): rows with the k largest ln(u)/w
+    keys, u from 48 bits of md5(doc_id) so any engine reproduces the
+    exact sample. Top-k runs as TakeOrderedAndProject — the exchange
+    carries k rows, never the corpus (operators/sampling.py)."""
+    docs = load(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs.select("doc_id", "source", "n_chars"),
+        id_col="doc_id",
+        weight_col="n_chars",
+        k=100,
+    )
+
+
+# ------------------------------------------------- x36 triangle counting
+
+_TRI_N = 200
+
+
+@register(
+    "x36_triangle_count",
+    oracle=f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id < {_TRI_N}),
+    scored AS (
+        SELECT q.vec_id AS qid, e.vec_id AS nid,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_sql_cos('e.embedding', 'q.embedding')} DESC,
+                            e.vec_id
+               ) AS rn
+        FROM sub e CROSS JOIN sub q
+        WHERE e.vec_id <> q.vec_id
+    ),
+    knn AS (SELECT qid, nid FROM scored WHERE rn <= 3),
+    edges AS (SELECT DISTINCT least(qid, nid) AS u, greatest(qid, nid) AS v
+              FROM knn),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+    oriented AS (
+        SELECT s.u AS a, s.v AS b
+        FROM sym s
+        JOIN deg da ON da.u = s.u
+        JOIN deg db ON db.u = s.v
+        WHERE (da.deg < db.deg) OR (da.deg = db.deg AND s.u < s.v)
+    ),
+    wedges AS (
+        SELECT o1.a AS r, o1.b AS x, o2.b AS y
+        FROM oriented o1 JOIN oriented o2 ON o1.a = o2.a AND o1.b < o2.b
+    ),
+    closed AS (
+        SELECT w.r, w.x, w.y
+        FROM wedges w JOIN edges e ON e.u = w.x AND e.v = w.y
+    ),
+    tri AS (
+        SELECT u, count(*) AS triangles FROM (
+            SELECT r AS u FROM closed
+            UNION ALL SELECT x AS u FROM closed
+            UNION ALL SELECT y AS u FROM closed
+        ) GROUP BY u
+    )
+    SELECT deg.u AS doc_id, deg.deg AS degree,
+           CAST(coalesce(tri.triangles, 0) AS BIGINT) AS triangles,
+           round(coalesce(tri.triangles, 0) * 2.0
+                 / (deg.deg * (deg.deg - 1)), 6) AS clustering
+    FROM deg LEFT JOIN tri ON tri.u = deg.u
+    WHERE deg.deg >= 2
+    """,
+)
+def x36_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x36 — per-node triangles + local clustering coefficient over the
+    3-NN graph of the first 200 embeddings (an undirected similarity
+    graph with real triangles). Degree-ordered orientation caps wedge
+    fan-out at O(sqrt(m)) per node — the skew-proof distributed triangle
+    algorithm (operators/graph.py:triangle_count)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _TRI_N)
+    nn = knn_bruteforce(emb, emb, k=3)
+    edges = (
+        nn.select(
+            F.least("query_id", "neighbor_id").alias("id_a"),
+            F.greatest("query_id", "neighbor_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+# --------------------------------------- x37 Bloom-filter decontamination
+
+_BLOOM_SHINGLES = """
+    words AS (SELECT doc_id, text, string_split(text, ' ') AS w
+              FROM documents),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) < 3 THEN [text]
+                    ELSE list_transform(range(0, len(w) - 2),
+                                        i -> array_to_string(w[i+1:i+3], ' '))
+               END AS shingles
+        FROM words
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    pos AS (
+        SELECT doc_id, s,
+               CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) % {m} AS p
+        FROM ex
+        UNION ALL
+        SELECT doc_id, s,
+               CAST(('0x' || substr(md5(s), 13, 12)) AS BIGINT) % {m} AS p
+        FROM ex
+    )
+""".format(m=M_BITS)
+
+
+@register(
+    "x37_bloom_decontaminate",
+    oracle=f"""
+    WITH {_BLOOM_SHINGLES},
+    bitmap AS (
+        SELECT p // {WORD} AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % {WORD} AS INT)) AS mask
+        FROM pos WHERE doc_id % 50 = 0
+        GROUP BY 1
+    ),
+    hits AS (
+        SELECT c.doc_id, c.s,
+               min(CASE WHEN (coalesce(b.mask, 0) >> CAST(c.p % {WORD} AS INT))
+                             & 1 = 1
+                        THEN 1 ELSE 0 END) AS all_set
+        FROM pos c LEFT JOIN bitmap b ON b.word = c.p // {WORD}
+        WHERE c.doc_id % 50 <> 0
+        GROUP BY c.doc_id, c.s
+    )
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(all_set) AS BIGINT) AS n_bloom_hits,
+           sum(all_set) > 0 AS contaminated
+    FROM hits GROUP BY doc_id
+    """,
+)
+def x37_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x37 — decontamination via a DataFrame-native Bloom filter: the
+    eval split's (doc_id % 50 == 0) 3-word shingles build a fixed 2^16-bit
+    bitmap (bit_or aggregate, <= 2048 rows); every training document is
+    probed against the broadcast bitmap. Constant broadcast size however
+    large the benchmark suite grows — the x22 broadcast-set path's scale
+    successor (operators/bloom.py)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, "doc_id", "text")
+    bitmap = bloom_build(sh.filter(F.col("doc_id") % 50 == 0))
+    train = sh.filter(F.col("doc_id") % 50 != 0)
+    return bloom_probe(train, bitmap, "doc_id")
+
+
+# -------------------------------------------------- j4 Python UDTF (Spark 4)
+
+_CHUNK_W = 20
+
+
+@register(
+    "j4_udtf_chunks",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents WHERE doc_id < 100),
+    c AS (
+        SELECT doc_id, words,
+               unnest(range(0, CAST(ceil(len(words) / {_CHUNK_W}.0) AS BIGINT)))
+                   AS chunk_id
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(
+               words[chunk_id * {_CHUNK_W} + 1 : chunk_id * {_CHUNK_W} + {_CHUNK_W}],
+               ' ') AS chunk,
+           CAST(least(len(words) - chunk_id * {_CHUNK_W}, {_CHUNK_W}) AS INT)
+               AS n_tokens
+    FROM c
+    """,
+)
+def j4_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j4 — a real Spark 4 Python UDTF (one row in, N rows out with
+    imperative logic), lateral-joined per document: fixed 20-word
+    chunking. API-parity demo for the reference's row-expanding
+    tokenization step (src/process_to_curated.py:22-29); the PRODUCTION
+    chunker stays the pure-column explode in x25/llm_ops3 (JVM codegen,
+    no Python round-trip) — the UDTF exists for logic a column expression
+    can't state. Bounded here to doc_id < 100 to keep the Python-path
+    cost honest in the bench."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, chunk_id: int, chunk: string, n_tokens: int")
+    class ChunkWords:
+        def eval(self, doc_id: int, text: str):
+            words = (text or "").split(" ")
+            for i in range(0, len(words), _CHUNK_W):
+                part = words[i : i + _CHUNK_W]
+                yield doc_id, i // _CHUNK_W, " ".join(part), len(part)
+
+    spark.udtf.register("chunk_words", ChunkWords)
+    docs = load(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 100).createOrReplaceTempView("_j4_docs")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_id, c.chunk, c.n_tokens
+        FROM _j4_docs d, LATERAL chunk_words(d.doc_id, d.text) c
+        """
+    )

@@ -70,3 +70,68 @@ def pagerank(
             .alias("rank"),
         )
     return ranks.select(F.col("id").alias("doc_id"), "rank")
+
+
+def triangle_count(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected edge table (`id_a`, `id_b`, one row per edge, id_a < id_b).
+
+    Algorithm: degree-ordered edge orientation (the MapReduce triangle
+    bound of Suri & Vassilvitskii, WWW'11). Every undirected edge is
+    directed from its (degree, id)-smaller endpoint to the larger; each
+    triangle then has exactly ONE wedge u→v, u→w rooted at its smallest
+    endpoint, closed by checking v→w (or w→v — orientation of the closing
+    edge is unknown, so the closure probe is on the undirected key). The
+    wedge fan-out per node is bounded by its OUT-degree, which the
+    orientation caps at O(sqrt(m)) for any graph — the skew-proof property
+    a naive u<v<w enumeration lacks (a hub node with degree d otherwise
+    spawns d^2 wedges).
+
+    Both the wedge build and the closure probe are equi-joins on node /
+    edge keys — shuffle-partitionable, no broadcast needed at scale.
+    Output: (doc_id, degree, triangles, clustering) per node with
+    degree >= 2; clustering = 2*T / (d*(d-1)) rounded to 6."""
+    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # orient: keep (a -> b) where (deg(a), a) < (deg(b), b)
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("_db"))
+    oriented = (
+        sym.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .join(da, "a")
+        .join(db, "b")
+        .filter(
+            (F.col("_da") < F.col("_db"))
+            | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b")
+    )
+    # wedges rooted at the smallest endpoint, ordered arms for a unique probe
+    o1 = oriented.select(F.col("a").alias("r"), F.col("b").alias("x"))
+    o2 = oriented.select(F.col("a").alias("r"), F.col("b").alias("y"))
+    wedges = o1.join(o2, "r").filter(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        e.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "inner",
+    )
+    per_node = (
+        closed.select(F.explode(F.array("r", "x", "y")).alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(per_node, "u", "left")
+        .select(
+            F.col("u").alias("doc_id"),
+            F.col("deg").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+            F.round(
+                F.coalesce("triangles", F.lit(0)).cast("double") * 2
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ).alias("clustering"),
+        )
+    )

@@ -374,3 +374,57 @@ def knn_lsh(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space into cells, then drop every vector whose cosine to a
+    LOWER-ID vector in the same cell meets `threshold`. The kept set is the
+    deterministic greedy representative per semantic-duplicate neighborhood
+    (lowest id wins — the paper keeps one arbitrary member per ε-ball; the
+    id-order greedy makes the choice reproducible and SQL-oracle-able).
+
+    Scale shape: the clustering step bounds the quadratic term — pair
+    generation is an equi-join on the cell id, so the candidate count is
+    sum over cells of |cell|^2 / 2, never corpus^2. At 100 TB the cell
+    table is written bucketed by cell id (shuffle-free self-join) and a
+    pathologically hot cell is re-split by a second-level clustering on
+    its members (same operator, recursively); the duplicate-id set is a
+    broadcast-able fraction of the corpus at realistic thresholds.
+
+    Output: one row per corpus vector — (id, cell, is_kept).
+
+    The reference has no semantic layer at all (pandas ETL over protein
+    strings); this is Layer-B extension surface for training-data curation
+    (SURVEY.md §2 X).
+    """
+    cent = ivf_centroids(corpus, id_col, vec_col, n_cells)
+    assigned = ivf_cells(corpus, cent, id_col, vec_col, nprobe=1).select(
+        id_col, vec_col, "_cell"
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "_cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), "_cell"
+    )
+    dups = (
+        a.join(b, "_cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cosine_batch("_va", "_vb") >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(
+        dups.withColumn("_dup", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        F.col("_cell").alias("cell"),
+        F.coalesce(~F.col("_dup"), F.lit(True)).alias("is_kept"),
+    )

@@ -1,0 +1,119 @@
+"""Edge tests for the round-5 extension operators: triangle counting,
+weighted sampling, Bloom decontamination, semantic dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from data_lakes_tp2_student_spark.operators.bloom import bloom_build, bloom_probe
+from data_lakes_tp2_student_spark.operators.graph import triangle_count
+from data_lakes_tp2_student_spark.operators.sampling import weighted_sample
+from data_lakes_tp2_student_spark.operators.similarity import semdedup
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in pairs], "id_a long, id_b long"
+    )
+
+
+class TestTriangleCount:
+    def test_k4_every_node_in_three_triangles(self, spark):
+        # K4: 4 triangles total; each node participates in C(3,2) = 3.
+        k4 = _edges(spark, [(a, b) for a in range(4) for b in range(a + 1, 4)])
+        rows = {r.doc_id: r for r in triangle_count(k4).collect()}
+        assert set(rows) == {0, 1, 2, 3}
+        for r in rows.values():
+            assert r.degree == 3
+            assert r.triangles == 3
+            assert r.clustering == 1.0
+
+    def test_path_graph_has_no_triangles(self, spark):
+        path = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+        rows = {r.doc_id: r for r in triangle_count(path).collect()}
+        # endpoints (degree 1) are excluded; middles have 0 triangles
+        assert set(rows) == {1, 2}
+        assert all(r.triangles == 0 and r.clustering == 0.0 for r in rows.values())
+
+    def test_triangle_with_pendant(self, spark):
+        # triangle 0-1-2 plus pendant 2-3: node 2 has degree 3, 1 triangle,
+        # clustering 2*1/(3*2) = 1/3
+        g = _edges(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+        rows = {r.doc_id: r for r in triangle_count(g).collect()}
+        assert rows[2].degree == 3
+        assert rows[2].triangles == 1
+        assert abs(rows[2].clustering - round(1 / 3, 6)) < 1e-9
+        assert rows[0].triangles == 1 and rows[0].clustering == 1.0
+        assert 3 not in rows  # degree-1 pendant excluded
+
+
+class TestWeightedSample:
+    def test_nonpositive_weights_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, 0.0), (3, -5.0), (4, 3.0)], "id long, w double"
+        )
+        got = weighted_sample(df, "id", "w", k=10).select("id").collect()
+        assert sorted(r.id for r in got) == [1, 4]
+
+    def test_k_larger_than_corpus_returns_all_positive(self, spark):
+        df = spark.createDataFrame([(i, 1.0) for i in range(5)], "id long, w double")
+        assert weighted_sample(df, "id", "w", k=100).count() == 5
+
+    def test_sample_is_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(i, float(1 + i % 7)) for i in range(200)], "id long, w double"
+        )
+        a = [r.id for r in weighted_sample(df, "id", "w", k=20).collect()]
+        b = [r.id for r in weighted_sample(df.repartition(7), "id", "w", k=20).collect()]
+        assert a == b
+
+    def test_heavy_weights_dominate(self, spark):
+        # ln(u)/w -> 0- as w -> inf: rows with overwhelming weight always win
+        rows = [(i, 1e9) for i in range(10)] + [(i, 1e-6) for i in range(10, 200)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        got = sorted(r.id for r in weighted_sample(df, "id", "w", k=10).collect())
+        assert got == list(range(10))
+
+
+class TestBloom:
+    def _shingles(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, s string")
+
+    def test_no_false_negatives(self, spark):
+        ev = self._shingles(spark, [(0, f"shingle {i}") for i in range(50)])
+        bitmap = bloom_build(ev)
+        # probing the exact same shingles: every one must hit
+        got = bloom_probe(ev, bitmap, "doc_id").collect()
+        assert got[0].n_shingles == 50
+        assert got[0].n_bloom_hits == 50
+        assert bool(got[0].contaminated)
+
+    def test_disjoint_sets_mostly_miss(self, spark):
+        ev = self._shingles(spark, [(0, f"eval {i}") for i in range(20)])
+        tr = self._shingles(spark, [(1, f"train {i}") for i in range(100)])
+        got = bloom_probe(tr, bloom_build(ev), "doc_id").collect()[0]
+        # 40 bits set of 65536 -> per-shingle FP ~ (40/65536)^2 ~ 4e-7
+        assert got.n_bloom_hits == 0
+        assert not got.contaminated
+
+    def test_empty_benchmark_contaminates_nothing(self, spark):
+        ev = self._shingles(spark, []).filter("doc_id > 0")
+        tr = self._shingles(spark, [(1, "a"), (1, "b")])
+        got = bloom_probe(tr, bloom_build(ev), "doc_id").collect()[0]
+        assert got.n_bloom_hits == 0 and not got.contaminated
+
+
+class TestSemdedup:
+    def test_identical_vectors_keep_lowest_id(self, spark):
+        v = [float(i) for i in range(8)]
+        w = [1.0, -2.0, 3.0, -4.0, 5.0, -6.0, 7.0, -8.0]
+        rows = [(0, v), (1, w), (7, v), (9, v)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r.vec_id: r.is_kept for r in semdedup(df, n_cells=1, threshold=0.999).collect()}
+        assert got == {0: True, 1: True, 7: False, 9: False}
+
+    def test_threshold_one_keeps_orthogonal(self, spark):
+        rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r.vec_id: r.is_kept for r in semdedup(df, n_cells=1, threshold=0.5).collect()}
+        assert got == {0: True, 1: True}
