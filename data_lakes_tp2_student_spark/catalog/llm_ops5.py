@@ -1,5 +1,5 @@
 """Catalog entries — round-5 extension wave (SURVEY.md §2 group X):
-semantic dedup (x33), Variant semi-structured extraction (x34),
+semantic dedup (x38), Variant semi-structured extraction (x39),
 weighted sampling (x35), graph triangle counting (x36), Bloom-filter
 decontamination (x37), and a Spark 4 Python UDTF (j4).
 
@@ -14,19 +14,20 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.bloom import M_BITS, WORD, bloom_build, bloom_probe
 from ..operators.dedup import exploded_shingles
-from ..operators.graph import triangle_count
+from ..operators.entity import snm_pairs
+from ..operators.graph import label_propagation, triangle_count
 from ..operators.sampling import weighted_sample
 from ..operators.similarity import knn_bruteforce, semdedup
 from ..registry import load, register
 from .llm_ops import _sql_cos
 
-# ------------------------------------------------------------ x33 semdedup
+# ------------------------------------------------------------ x38 semdedup
 
 _SEM_THRESHOLD = 0.35
 
 
 @register(
-    "x33_semdedup",
+    "x38_semdedup",
     oracle=f"""
     WITH cent AS (SELECT vec_id AS centroid, embedding AS cvec
                   FROM embeddings WHERE vec_id < 16),
@@ -50,8 +51,8 @@ _SEM_THRESHOLD = 0.35
     FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id
     """,
 )
-def x33_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x33 — SemDeDup semantic dedup: cluster embeddings into 16 cells,
+def x38_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x38 — SemDeDup semantic dedup: cluster embeddings into 16 cells,
     drop every vector whose cosine to a lower-id cell-mate reaches the
     threshold. Pair generation is the cell equi-join (sum |cell|^2, never
     corpus^2) — see operators/similarity.py:semdedup for the 100 TB shape."""
@@ -59,11 +60,11 @@ def x33_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, n_cells=16, threshold=_SEM_THRESHOLD)
 
 
-# ----------------------------------------------- x34 Variant semi-structured
+# ----------------------------------------------- x39 Variant semi-structured
 
 
 @register(
-    "x34_variant_extract",
+    "x39_variant_extract",
     oracle="""
     SELECT event_type,
            count(*) AS n,
@@ -73,8 +74,8 @@ def x33_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY event_type
     """,
 )
-def x34_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x34 — Spark 4 VariantType path for semi-structured columns:
+def x39_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x39 — Spark 4 VariantType path for semi-structured columns:
     `parse_json` shreds the JSON payload ONCE into the binary Variant
     encoding, then `variant_get` does typed path extraction — O(1)
     field access per row instead of re-parsing JSON text per extracted
@@ -133,12 +134,11 @@ def x35_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRI_N = 200
 
-
-@register(
-    "x36_triangle_count",
-    oracle=f"""
-    WITH sub AS (SELECT vec_id, embedding FROM embeddings
-                 WHERE vec_id < {_TRI_N}),
+# 3-NN similarity graph over the first 200 embeddings — shared by the
+# graph-analytics oracles (x36 triangles, x40 label propagation)
+_KNN_EDGES_CTE = f"""
+    sub AS (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < {_TRI_N}),
     scored AS (
         SELECT q.vec_id AS qid, e.vec_id AS nid,
                row_number() OVER (
@@ -151,7 +151,23 @@ _TRI_N = 200
     ),
     knn AS (SELECT qid, nid FROM scored WHERE rn <= 3),
     edges AS (SELECT DISTINCT least(qid, nid) AS u, greatest(qid, nid) AS v
-              FROM knn),
+              FROM knn)
+"""
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _TRI_N)
+    nn = knn_bruteforce(emb, emb, k=3)
+    return nn.select(
+        F.least("query_id", "neighbor_id").alias("id_a"),
+        F.greatest("query_id", "neighbor_id").alias("id_b"),
+    ).distinct()
+
+
+@register(
+    "x36_triangle_count",
+    oracle=f"""
+    WITH {_KNN_EDGES_CTE},
     sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
     deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
     oriented AS (
@@ -190,16 +206,7 @@ def x36_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph with real triangles). Degree-ordered orientation caps wedge
     fan-out at O(sqrt(m)) per node — the skew-proof distributed triangle
     algorithm (operators/graph.py:triangle_count)."""
-    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _TRI_N)
-    nn = knn_bruteforce(emb, emb, k=3)
-    edges = (
-        nn.select(
-            F.least("query_id", "neighbor_id").alias("id_a"),
-            F.greatest("query_id", "neighbor_id").alias("id_b"),
-        )
-        .distinct()
-    )
-    return triangle_count(edges)
+    return triangle_count(_knn_edges(spark, sf_dir))
 
 
 # --------------------------------------- x37 Bloom-filter decontamination
@@ -322,3 +329,139 @@ def j4_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _j4_docs d, LATERAL chunk_words(d.doc_id, d.text) c
         """
     )
+
+
+# --------------------------------------------- x40 label propagation (LPA)
+
+
+@register(
+    "x40_label_propagation",
+    oracle=f"""
+    WITH {_KNN_EDGES_CTE},
+    nodes AS (SELECT DISTINCT u FROM (SELECT u FROM edges UNION ALL SELECT v AS u FROM edges)),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    l0 AS (SELECT u AS node, u AS label FROM nodes)
+    , c1 AS (
+        SELECT s.u, l.label, count(*) AS c
+        FROM sym s JOIN l0 l ON l.node = s.v
+        GROUP BY s.u, l.label
+    ),
+    l1 AS (
+        SELECT u AS node, label FROM (
+            SELECT u, label,
+                   row_number() OVER (PARTITION BY u ORDER BY c DESC, label)
+                       AS rn
+            FROM c1
+        ) WHERE rn = 1
+    )
+    , c2 AS (
+        SELECT s.u, l.label, count(*) AS c
+        FROM sym s JOIN l1 l ON l.node = s.v
+        GROUP BY s.u, l.label
+    ),
+    l2 AS (
+        SELECT u AS node, label FROM (
+            SELECT u, label,
+                   row_number() OVER (PARTITION BY u ORDER BY c DESC, label)
+                       AS rn
+            FROM c2
+        ) WHERE rn = 1
+    )
+    , c3 AS (
+        SELECT s.u, l.label, count(*) AS c
+        FROM sym s JOIN l2 l ON l.node = s.v
+        GROUP BY s.u, l.label
+    ),
+    l3 AS (
+        SELECT u AS node, label FROM (
+            SELECT u, label,
+                   row_number() OVER (PARTITION BY u ORDER BY c DESC, label)
+                       AS rn
+            FROM c3
+        ) WHERE rn = 1
+    )
+    SELECT node AS doc_id, label AS community FROM l3
+    """,
+)
+def x40_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x40 — deterministic label-propagation communities over the same
+    3-NN similarity graph as x36: 3 synchronous rounds, most-frequent
+    neighbor label, ties to the smallest label. Companion to the
+    connected-components clustering (x2e) — LPA splits dense subregions
+    that CC merges (operators/graph.py:label_propagation)."""
+    return label_propagation(_knn_edges(spark, sf_dir), iterations=3)
+
+
+# -------------------------------------- x41 incremental MV maintenance
+
+_MV_CUTOFF = "2024-01-20 00:00:00"
+
+
+@register(
+    "x41_mv_incremental",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def x41_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x41 — incremental materialized-view maintenance: the per-type
+    (count, sum) MV is computed over the BASE partition (ts < cutoff),
+    the DELTA partition's partial aggregate is merged in with a full
+    outer join + coalesced addition — and the oracle recomputes the
+    aggregate over the whole table in one pass, proving merge ==
+    recompute. This is the algebraic-aggregate contract that makes
+    count/sum/avg MVs maintainable from appended partitions without
+    re-reading history (sums are BIGINT cents, so the merge is exact
+    under any split — float sums would differ by association order).
+    At scale the delta pass reads only new partitions: maintenance cost
+    follows the append rate, not table size."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("_cents"),
+    )
+    cut = F.lit(_MV_CUTOFF).cast("timestamp")
+
+    def agg(d: DataFrame, n: str, s: str) -> DataFrame:
+        return d.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias(n), F.sum("_cents").alias(s)
+        )
+
+    base = agg(ev.filter(F.col("ts") < cut), "_nb", "_sb")
+    delta = agg(ev.filter(F.col("ts") >= cut), "_nd", "_sd")
+    z = F.lit(0).cast("bigint")
+    return base.join(delta, "event_type", "full_outer").select(
+        "event_type",
+        (F.coalesce("_nb", z) + F.coalesce("_nd", z)).alias("n"),
+        (F.coalesce("_sb", z) + F.coalesce("_sd", z)).alias("sum_cents"),
+    )
+
+
+# ------------------------------------ x42 entity resolution (SNM + edits)
+
+
+@register(
+    "x42_entity_resolution",
+    oracle="""
+    WITH r AS (SELECT p_partkey, p_name,
+                      row_number() OVER (ORDER BY p_name, p_partkey) AS rnk
+               FROM part)
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def x42_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x42 — sorted-neighborhood entity resolution on part names: window
+    5 over the name-sorted order, match at edit distance <= 2. The rank
+    comes from a prefix-banded two-phase sort (no single-task global
+    sort) and the window from a bucketed equi-join (no range join) —
+    operators/entity.py documents both 100 TB shapes. Sort-based
+    complement to the hash-based blockings (x2/x2c/x3b)."""
+    p = load(spark, sf_dir, "part")
+    return snm_pairs(p, "p_partkey", "p_name", window=5, max_dist=2)

@@ -20,7 +20,7 @@ localCheckpoint contract."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 SCALE = 10**12
 
@@ -134,4 +134,41 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
                 6,
             ).alias("clustering"),
         )
+    )
+
+
+def label_propagation(pairs: DataFrame, iterations: int = 3) -> DataFrame:
+    """Community detection by semi-synchronous label propagation
+    (Raghavan et al., 2007) over an undirected edge table (`id_a`,
+    `id_b`): labels start as node ids; each round every node adopts the
+    most frequent label among its neighbors, ties broken by the SMALLEST
+    label — the deterministic tie rule that makes a fixed iteration count
+    reproducible under any partitioning (and lets the DuckDB oracle
+    unroll the same rounds as CTEs; classic LPA's random tie-break and
+    asynchronous scan order are irreproducible by design).
+
+    Each round is one equi-join (edges x labels) + one count aggregate +
+    one per-node argmax window — all hash-partitioned by node id; with
+    FIXED iterations the lineage stays bounded like `pagerank`, no
+    checkpointing. Convergence to stable communities needs the
+    dup_clusters-style iterate-until-fixed-point loop; the fixed-round
+    form is the bounded, oracle-checkable variant."""
+    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(iterations):
+        msgs = sym.join(
+            labels, sym["v"] == labels["node"], "inner"
+        ).select(sym["u"], labels["label"])
+        counts = msgs.groupBy("u", "label").agg(F.count(F.lit(1)).alias("_c"))
+        w = Window.partitionBy("u").orderBy(F.desc("_c"), F.col("label"))
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("u").alias("node"), "label")
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("community")
     )

@@ -117,3 +117,62 @@ class TestSemdedup:
         df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
         got = {r.vec_id: r.is_kept for r in semdedup(df, n_cells=1, threshold=0.5).collect()}
         assert got == {0: True, 1: True}
+
+
+class TestLabelPropagation:
+    def test_disjoint_triangles_get_min_id_labels(self, spark):
+        from data_lakes_tp2_student_spark.operators.graph import label_propagation
+
+        g = _edges(spark, [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)])
+        got = {r.doc_id: r.community for r in label_propagation(g, 3).collect()}
+        # in a triangle every node sees the other two labels; min wins,
+        # and after round 2 the component agrees on the global min id
+        assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+    def test_star_converges_to_hub_majority(self, spark):
+        from data_lakes_tp2_student_spark.operators.graph import label_propagation
+
+        star = _edges(spark, [(0, i) for i in range(1, 6)])
+        got = {r.doc_id: r.community for r in label_propagation(star, 3).collect()}
+        # round 1: hub sees {1..5} -> 1; leaves see {0} -> 0
+        # round 2: hub sees {0} -> 0; leaves see {1} -> 1 (oscillation is
+        # expected for bipartite stars under synchronous LPA)
+        # round 3: hub -> 1, leaves -> 0
+        assert got[0] == 1
+        assert all(got[i] == 0 for i in range(1, 6))
+
+
+class TestSnmPairs:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, name string")
+
+    def test_exact_duplicates_matched(self, spark):
+        from data_lakes_tp2_student_spark.operators.entity import snm_pairs
+
+        df = self._df(spark, [(1, "alpha"), (2, "alpha"), (3, "zzz")])
+        got = [(r.id_a, r.id_b, r.dist) for r in snm_pairs(df, "id", "name").collect()]
+        assert got == [(1, 2, 0)]
+
+    def test_window_bounds_candidates(self, spark):
+        from data_lakes_tp2_student_spark.operators.entity import snm_pairs
+
+        # 8 identical keys, window 2: only pairs within 2 sorted positions
+        df = self._df(spark, [(i, "same") for i in range(8)])
+        got = snm_pairs(df, "id", "name", window=2).collect()
+        assert len(got) == 7 + 6  # distance-1 and distance-2 neighbors
+        assert all(r.dist == 0 for r in got)
+
+    def test_max_dist_filters(self, spark):
+        from data_lakes_tp2_student_spark.operators.entity import snm_pairs
+
+        df = self._df(spark, [(1, "abcdef"), (2, "abcdxx"), (3, "abzzzz")])
+        got = {(r.id_a, r.id_b) for r in snm_pairs(df, "id", "name", max_dist=2).collect()}
+        assert got == {(1, 2)}
+
+    def test_cross_band_neighbors_still_pair(self, spark):
+        from data_lakes_tp2_student_spark.operators.entity import snm_pairs
+
+        # adjacent in sort order but in different first-letter bands
+        df = self._df(spark, [(1, "azzz"), (2, "baaa")])
+        got = [(r.id_a, r.id_b) for r in snm_pairs(df, "id", "name", max_dist=4).collect()]
+        assert got == [(1, 2)]
