@@ -256,3 +256,50 @@ def test_lsh_join_is_bucket_equijoin(spark):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_weighted_sample_is_top_k(spark):
+    """x35: the k-row weighted sample must run as TakeOrderedAndProject
+    (per-partition heaps, k rows over the wire) — not a global Sort."""
+    from data_lakes_tp2_student_spark.registry import REGISTRY
+    import data_lakes_tp2_student_spark.catalog  # noqa: F401
+
+    df = REGISTRY["x35_weighted_sample"].fn(spark, "/root/testdata/sf0.001")
+    p = plan_of(df)
+    assert "TakeOrderedAndProject" in p
+
+
+def test_bloom_probe_broadcasts_bitmap(spark):
+    """x37: the probe side joins a broadcast fixed-size bitmap — no
+    shuffle of the corpus against the benchmark, no nested loop."""
+    from data_lakes_tp2_student_spark.registry import REGISTRY
+    import data_lakes_tp2_student_spark.catalog  # noqa: F401
+
+    df = REGISTRY["x37_bloom_decontaminate"].fn(spark, "/root/testdata/sf0.001")
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_snm_window_join_is_equijoin(spark):
+    """x42: the sorted-neighborhood window join must be the bucketed
+    equi-join — a naive rank-range join would plan as a nested loop."""
+    from data_lakes_tp2_student_spark.registry import REGISTRY
+    import data_lakes_tp2_student_spark.catalog  # noqa: F401
+
+    df = REGISTRY["x42_entity_resolution"].fn(spark, "/root/testdata/sf0.001")
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_semdedup_pairs_by_cell_equijoin(spark):
+    """x38: within-cell pair generation is an equi-join on the cell id;
+    the only nested-loop is the bounded broadcast centroid scorer."""
+    from data_lakes_tp2_student_spark.registry import REGISTRY
+    import data_lakes_tp2_student_spark.catalog  # noqa: F401
+
+    df = REGISTRY["x38_semdedup"].fn(spark, "/root/testdata/sf0.001")
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
