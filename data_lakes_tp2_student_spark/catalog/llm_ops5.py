@@ -16,7 +16,7 @@ from ..operators.bloom import M_BITS, WORD, bloom_build, bloom_probe
 from ..operators.dedup import exploded_shingles
 from ..operators.entity import snm_pairs
 from ..operators.graph import label_propagation, triangle_count
-from ..operators.sampling import weighted_sample
+from ..operators.sampling import stratified_weighted_sample, weighted_sample
 from ..operators.similarity import knn_bruteforce, semdedup
 from ..registry import load, register
 from .llm_ops import _sql_cos
@@ -465,3 +465,41 @@ def x42_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement to the hash-based blockings (x2/x2c/x3b)."""
     p = load(spark, sf_dir, "part")
     return snm_pairs(p, "p_partkey", "p_name", window=5, max_dist=2)
+
+
+# -------------------------------- x43 stratified weighted sampling
+
+
+@register(
+    "x43_stratified_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               round(ln({_W_SQL_U}) / n_chars, 9) AS sample_key
+        FROM documents WHERE n_chars > 0
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY source ORDER BY sample_key DESC, doc_id
+               ) AS rank_in_stratum
+        FROM keyed
+    )
+    SELECT doc_id, source, n_chars, sample_key,
+           CAST(rank_in_stratum AS BIGINT) AS rank_in_stratum
+    FROM r WHERE rank_in_stratum <= 20
+    """,
+)
+def x43_stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x43 — exactly 20 documents per source, drawn by length-weighted
+    A-ES keys: the domain-balanced, quality-weighted corpus draw (f6's
+    stratified shape x x35's weighted key). WindowGroupLimit keeps the
+    per-stratum exchange at ~k rows per map task
+    (operators/sampling.py:stratified_weighted_sample)."""
+    docs = load(spark, sf_dir, "documents")
+    return stratified_weighted_sample(
+        docs.select("doc_id", "source", "n_chars"),
+        stratum_col="source",
+        id_col="doc_id",
+        weight_col="n_chars",
+        k=20,
+    )

@@ -23,7 +23,7 @@ irreproducible; this operator is its distributed, reproducible analog.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _U_BITS = 48
 
@@ -62,4 +62,35 @@ def weighted_sample(
         .withColumn(key_col, key)
         .orderBy(F.desc(key_col), id_col)
         .limit(k)
+    )
+
+
+def stratified_weighted_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    key_col: str = "sample_key",
+    decimals: int = 9,
+) -> DataFrame:
+    """Exactly k-per-stratum weighted sample without replacement: the A-ES
+    key ranked WITHIN each stratum. Combines the f6 stratified shape with
+    the x35 weighted key — domain-balanced, quality-weighted corpus draws
+    in one pass.
+
+    Scale shape: one hash exchange by stratum; Catalyst plans the ranked
+    filter as WindowGroupLimit, so each map task keeps only its local
+    top-k per stratum before the shuffle — the exchange carries ~k·strata
+    rows (same property test_plan_quality pins for f6)."""
+    key = F.round(
+        F.log(md5_uniform(F.col(id_col))) / F.col(weight_col), decimals
+    )
+    w = Window.partitionBy(stratum_col).orderBy(F.desc(key_col), id_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn(key_col, key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(*df.columns, key_col, F.col("_rn").cast("bigint").alias("rank_in_stratum"))
     )

@@ -75,3 +75,75 @@ def test_zorder_tightens_file_stats_on_both_dims(spark, tmp_path):
         p_span = avg([s[dim] for s in plain])
         z_span = avg([s[dim] for s in z])
         assert z_span < 0.5 * p_span, (dim, z_span, p_span)
+
+
+def _py_hilbert(x: int, y: int, bits: int) -> int:
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_key_matches_python_reference(spark):
+    from data_lakes_tp2_student_spark.operators.layout import hilbert_key
+
+    rows = [(a, b) for a in (0, 1, 7, 100, 255) for b in (0, 3, 128, 255)]
+    df = spark.createDataFrame(rows, "a int, b int").withColumn(
+        "h", hilbert_key(F.col("a"), F.col("b"), bits=8)
+    )
+    for a, b, h in df.collect():
+        assert h == _py_hilbert(a, b, 8), (a, b)
+
+
+def test_hilbert_consecutive_cells_are_grid_adjacent(spark):
+    """The Hilbert locality guarantee Morton lacks: walking the curve in
+    key order steps exactly one grid cell at a time (unit Manhattan
+    distance) — no power-of-two jumps across the plane."""
+    from data_lakes_tp2_student_spark.operators.layout import hilbert_key
+
+    bits = 4
+    n = 1 << bits
+    grid = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(grid, "x int, y int").withColumn(
+        "h", hilbert_key(F.col("x"), F.col("y"), bits=bits)
+    )
+    ordered = sorted(df.collect(), key=lambda r: r.h)
+    assert [r.h for r in ordered] == list(range(n * n))  # a bijection
+    for a, b in zip(ordered, ordered[1:]):
+        assert abs(a.x - b.x) + abs(a.y - b.y) == 1, (a, b)
+    # Morton, by contrast, jumps: max Manhattan step on the same grid > 1
+    zdf = spark.createDataFrame(grid, "x int, y int").withColumn(
+        "z", zorder_key([F.col("x"), F.col("y")], bits=bits)
+    )
+    zordered = sorted(zdf.collect(), key=lambda r: r.z)
+    zsteps = [abs(a.x - b.x) + abs(a.y - b.y) for a, b in zip(zordered, zordered[1:])]
+    assert max(zsteps) > 1
+
+
+def test_hilbert_by_tightens_file_stats_on_both_dims(spark, tmp_path):
+    from data_lakes_tp2_student_spark.operators.layout import hilbert_by
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    n_files = 16
+    base = str(tmp_path / "plain")
+    li.repartition(n_files).write.mode("overwrite").parquet(base)
+    hpath = str(tmp_path / "hilbert")
+    hilbert_by(li, ["l_partkey", "l_suppkey"], n_files).write.mode(
+        "overwrite"
+    ).parquet(hpath)
+    assert spark.read.parquet(hpath).count() == li.count()
+    plain = _file_spans(base, "l_partkey", "l_suppkey")
+    h = _file_spans(hpath, "l_partkey", "l_suppkey")
+    avg = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    for dim in (0, 1):
+        assert avg([s[dim] for s in h]) < 0.5 * avg([s[dim] for s in plain])
