@@ -398,19 +398,26 @@ def x33_importance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
     )
-    vocab = toks.agg(F.countDistinct("term").alias("v"))
-    tcnt = toks.filter(target).groupBy("term").agg(
-        F.count(F.lit(1)).alias("tc")
+    # ONE corpus-sized explode + combine: per-(doc, term) counts split by
+    # side. Every other input — per-term LM counts, both totals, the
+    # vocab size — is a VOCAB-bounded rollup of these two tiny tables,
+    # not another scan (review r5: the first cut re-exploded the corpus
+    # six times for quantities derivable from each other).
+    dtf = toks.groupBy("doc_id", "term").agg(
+        F.sum(F.when(target, 1).otherwise(0)).alias("_tc"),
+        F.sum(F.when(~target, 1).otherwise(0)).alias("_pc"),
     )
-    pool = toks.filter(~target)
-    pcnt = pool.groupBy("term").agg(F.count(F.lit(1)).alias("pc"))
-    ttot = toks.filter(target).agg(F.count(F.lit(1)).alias("tn"))
-    ptot = pool.agg(F.count(F.lit(1)).alias("pn"))
+    cnt = dtf.groupBy("term").agg(
+        F.sum("_tc").alias("tc"), F.sum("_pc").alias("pc")
+    )
+    totals = cnt.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("tc").alias("tn"),
+        F.sum("pc").alias("pn"),
+    )
     ratio = (
-        pcnt.join(tcnt, "term", "left")
-        .crossJoin(F.broadcast(ttot))
-        .crossJoin(F.broadcast(ptot))
-        .crossJoin(F.broadcast(vocab))
+        cnt.filter(F.col("pc") > 0)
+        .crossJoin(F.broadcast(totals))
         .select(
             "term",
             F.floor(
@@ -429,7 +436,9 @@ def x33_importance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q"),
         )
     )
-    tf = pool.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = dtf.filter(F.col("_pc") > 0).select(
+        "doc_id", "term", F.col("_pc").alias("tf")
+    )
     scored = (
         tf.join(F.broadcast(ratio), "term")
         .groupBy("doc_id")

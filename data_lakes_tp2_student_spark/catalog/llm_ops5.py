@@ -431,8 +431,13 @@ def x41_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias(n), F.sum("_cents").alias(s)
         )
 
-    base = agg(ev.filter(F.col("ts") < cut), "_nb", "_sb")
-    delta = agg(ev.filter(F.col("ts") >= cut), "_nd", "_sd")
+    # Null-safe partitioning: a NULL ts fails BOTH `ts < cut` and
+    # `ts >= cut`, which would silently drop the row from the maintained
+    # view while a single-pass recompute (the oracle) counts it. Every
+    # row must land in exactly one partition — NULL ts rides with delta.
+    in_base = F.coalesce(F.col("ts") < cut, F.lit(False))
+    base = agg(ev.filter(in_base), "_nb", "_sb")
+    delta = agg(ev.filter(~in_base), "_nd", "_sd")
     z = F.lit(0).cast("bigint")
     return base.join(delta, "event_type", "full_outer").select(
         "event_type",

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -45,6 +46,7 @@ class S3ObjectStore:
             aws_secret_access_key=secret_key,
             region_name=region,
         )
+        self._tmp_files: list[str] = []
 
     def ensure_bucket(self, name: str) -> None:
         """a6 — the reference's per-stage create-if-missing boilerplate
@@ -73,7 +75,7 @@ class S3ObjectStore:
                 if f.startswith("part-") and f.endswith(".csv")
             )
             body = b"".join(
-                open(os.path.join(out, p), "rb").read() for p in parts
+                Path(out, p).read_bytes() for p in parts
             )
         self.client.put_object(Bucket=bucket, Key=key, Body=body)
 
@@ -87,9 +89,11 @@ class S3ObjectStore:
     ) -> DataFrame:
         """Fetch one CSV object and hand it to the Spark reader (schema
         imposed when given, else header inference) — the reference's
-        read_csv-from-S3, Spark-ended. The temp file lives for the read
-        (Spark re-reads lazily), parked under the session's local dir."""
-        fd, path = tempfile.mkstemp(suffix=".csv")
+        read_csv-from-S3, Spark-ended. The temp file must OUTLIVE the
+        returned DataFrame (Spark re-reads it lazily), so the store tracks
+        it; call `cleanup()` once consumers are done materializing."""
+        fd, path = tempfile.mkstemp(suffix=".csv", prefix="s3obj-")
+        self._tmp_files.append(path)
         with os.fdopen(fd, "wb") as f:
             f.write(
                 self.client.get_object(Bucket=bucket, Key=key)["Body"].read()
@@ -98,6 +102,16 @@ class S3ObjectStore:
         if schema is not None:
             reader = reader.schema(schema)
         return reader.csv(path)
+
+    def cleanup(self) -> None:
+        """Remove every temp file fetched by get_csv. Safe to call more
+        than once; DataFrames returned earlier become unreadable after."""
+        for path in self._tmp_files:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+        self._tmp_files.clear()
 
     def list_keys(self, bucket: str, prefix: str = "") -> list[str]:
         out, token = [], None
@@ -144,13 +158,16 @@ def run_pipeline_s3(
     mapping = label_mapping(clean, "family_accession")
     encoded = apply_label_mapping(clean, mapping, "family_accession")
     split = stratified_split(encoded, "family_accession", "sequence_name")
-    staged = split.drop("family_id", "family_accession")
+    staged = split.drop("family_id", "sequence_name", "family_accession")
     store.put_csv(staged, "staging", "preprocessed.csv")
     store.put_csv(mapping, "staging", "label_mapping.csv")
     store.put_csv(class_weights(clean, "family_accession"), "staging", "class_weights.csv")
 
-    # stage 3: staging object -> tokenize -> curated object
-    staged_back = store.get_csv(spark, "staging", "preprocessed.csv")
+    # stage 3: staging object -> tokenize -> curated object (typed:
+    # a schemaless CSV read would surface every column as string)
+    staged_back = store.get_csv(
+        spark, "staging", "preprocessed.csv", schema=staged.schema
+    )
     tokens = tokenize_esm2(staged_back, "sequence", max_len=max_len)
     # CSV has no array type: export the reference's comma-joined form
     from pyspark.sql import functions as F

@@ -42,7 +42,14 @@ def pagerank(
     )
     nodes = edges.select(F.col("src").alias("id")).distinct()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges_deg = edges.join(deg, "src")
+    # Persist the per-iteration inputs: `pairs` may be an expensive
+    # upstream pipeline (x34 feeds the full minhash->LSH chain), and
+    # without a cache the edge/node subtrees re-run once per iteration
+    # plus once for n — "built ONCE" (docstring) must hold in the plan,
+    # not just the code (review r5). nodes.count() doubles as the cache
+    # materializer, so no stampede when the loop fans out.
+    edges_deg = edges.join(deg, "src").persist()
+    nodes = nodes.persist()
 
     n = nodes.count()
     if n == 0:
@@ -91,7 +98,10 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
     edge keys — shuffle-partitionable, no broadcast needed at scale.
     Output: (doc_id, degree, triangles, clustering) per node with
     degree >= 2; clustering = 2*T / (d*(d-1)) rounded to 6."""
-    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    # persist the edge list: it anchors five subtrees (sym twice via the
+    # orient join, the closure probe, both degree passes) and `pairs` may
+    # be an expensive upstream pipeline
+    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).persist()
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # orient: keep (a -> b) where (deg(a), a) < (deg(b), b)
@@ -154,7 +164,11 @@ def label_propagation(pairs: DataFrame, iterations: int = 3) -> DataFrame:
     dup_clusters-style iterate-until-fixed-point loop; the fixed-round
     form is the bounded, oracle-checkable variant."""
     e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # persist: the edge table feeds every round (plus the label init) —
+    # without it an expensive `pairs` pipeline re-runs per round
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )

@@ -426,5 +426,5 @@ def semdedup(
     ).select(
         id_col,
         F.col("_cell").alias("cell"),
-        F.coalesce(~F.col("_dup"), F.lit(True)).alias("is_kept"),
+        F.col("_dup").isNull().alias("is_kept"),  # kept = not in the dup set
     )

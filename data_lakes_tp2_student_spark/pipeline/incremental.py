@@ -61,8 +61,15 @@ def _walk_files(path: str) -> list[str]:
 
 def _paths_fingerprint(paths: list[str]) -> str:
     h = hashlib.md5()
-    for p in paths:
+    for i, p in enumerate(paths):
         base = os.path.abspath(p)
+        # Root sentinel binds every file entry to ITS dep root: without
+        # it, moving a same-named file between two dep roots — or adding
+        # an empty dep dir — leaves the concatenated stream byte-identical
+        # and the stage is falsely skipped (found in review). The index,
+        # not the absolute path, keys the root so relocating the whole
+        # workspace does not invalidate every stage.
+        h.update(f"ROOT{i}\n".encode())
         for f in _walk_files(base):
             rel = os.path.relpath(f, base)
             with open(f, "rb") as fh:

@@ -114,3 +114,22 @@ def test_state_survives_partial_failure(spark, roots, tmp_path_factory):
         "preprocess": "skipped",
         "process": "ran",
     }
+
+
+def test_moving_file_between_dep_roots_invalidates(tmp_path):
+    """Same bytes, same relative name, different dep root: the fingerprint
+    must change — a stage whose fn treats roots differently (train/ vs
+    dev/) would otherwise run on stale outputs (found in review)."""
+    from data_lakes_tp2_student_spark.pipeline.incremental import (
+        _paths_fingerprint,
+    )
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    (a / "data.csv").write_text("x,y\n1,2\n")
+    before = _paths_fingerprint([str(a), str(b)])
+    (a / "data.csv").rename(b / "data.csv")
+    after = _paths_fingerprint([str(a), str(b)])
+    assert before != after
+    # and adding an empty dep root is itself a visible change
+    assert _paths_fingerprint([str(a)]) != _paths_fingerprint([str(a), str(b)])

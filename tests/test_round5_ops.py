@@ -176,3 +176,29 @@ class TestSnmPairs:
         df = self._df(spark, [(1, "azzz"), (2, "baaa")])
         got = [(r.id_a, r.id_b) for r in snm_pairs(df, "id", "name", max_dist=4).collect()]
         assert got == [(1, 2)]
+
+
+class TestMvIncremental:
+    def test_null_ts_rows_survive_the_split(self, spark, tmp_path):
+        """A NULL event time fails both `ts < cutoff` and `ts >= cutoff`;
+        the MV split must still route the row into exactly one partial
+        aggregate or the maintained view silently diverges from a full
+        recompute (found in review)."""
+        import data_lakes_tp2_student_spark.catalog  # noqa: F401
+        from data_lakes_tp2_student_spark.registry import REGISTRY
+
+        rows = [
+            (1, "2024-01-01 00:00:00", "click", 1.0),
+            (2, "2024-01-25 00:00:00", "click", 2.0),
+            (3, None, "click", 4.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double"
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value"
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = REGISTRY["x41_mv_incremental"].fn(spark, str(tmp_path)).collect()
+        assert len(got) == 1
+        assert got[0].n == 3  # the NULL-ts row is counted
+        assert got[0].sum_cents == 700
