@@ -303,3 +303,42 @@ def test_semdedup_pairs_by_cell_equijoin(spark):
     df = REGISTRY["x38_semdedup"].fn(spark, "/root/testdata/sf0.001")
     p = plan_of(df)
     assert "CartesianProduct" not in p
+
+
+def test_no_cartesian_product_anywhere_in_registry(spark):
+    """Registry-wide scale guard: NO registered query may plan a
+    CartesianProduct, and the set of queries allowed a
+    BroadcastNestedLoopJoin (all bounded: 1-row stats crossJoins, bounded
+    broadcast query sides, the c6 small-side range join) must not grow —
+    a new unbounded nested loop is exactly the bug class that works at
+    sf0.001 and dies at 100 TB."""
+    from data_lakes_tp2_student_spark.registry import REGISTRY
+    import data_lakes_tp2_student_spark.catalog  # noqa: F401
+
+    ALLOWED_NLJ = {
+        "c6_range_join",
+        "e3c_ntile_buckets",
+        "flagship_summary",
+        "x16_pmi_cooccurrence",
+        "x19_bm25_topk",
+        "x25_token_budget_selection",
+        "x30_unigram_logprob",
+        "x33_importance_sampling",
+        "x36_triangle_count",
+        "x38_semdedup",
+        "x3_knn_bruteforce",
+        "x3c_knn_ivf",
+        "x40_label_propagation",
+        "x4d_tfidf_topk",
+        "x6_tpch_q11",
+        "x6_tpch_q22",
+    }
+    cartesian, rogue_nlj = [], []
+    for name, q in sorted(REGISTRY.items()):
+        p = plan_of(q.fn(spark, "/root/testdata/sf0.001"))
+        if "CartesianProduct" in p:
+            cartesian.append(name)
+        if "BroadcastNestedLoopJoin" in p and name not in ALLOWED_NLJ:
+            rogue_nlj.append(name)
+    assert cartesian == [], cartesian
+    assert rogue_nlj == [], rogue_nlj

@@ -202,3 +202,70 @@ class TestMvIncremental:
         assert len(got) == 1
         assert got[0].n == 3  # the NULL-ts row is counted
         assert got[0].sum_cents == 700
+
+
+class TestGraphAgainstBruteForce:
+    """Seeded random graphs vs pure-Python references — catches
+    orientation / tie-break bugs the hand-built fixtures can't."""
+
+    def _random_graph(self, seed, n=12, p=0.35):
+        import random
+
+        rng = random.Random(seed)
+        return [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < p
+        ]
+
+    def test_triangle_count_matches_bruteforce(self, spark):
+        from itertools import combinations
+
+        for seed in (1, 7, 42):
+            pairs = self._random_graph(seed)
+            es = set(pairs)
+            adj = {}
+            for a, b in pairs:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            tri = {v: 0 for v in adj}
+            for a, b, c in combinations(sorted(adj), 3):
+                if (a, b) in es and (b, c) in es and (a, c) in es:
+                    for v in (a, b, c):
+                        tri[v] += 1
+            got = {
+                r.doc_id: (r.degree, r.triangles)
+                for r in triangle_count(_edges(spark, pairs)).collect()
+            }
+            want = {
+                v: (len(adj[v]), tri[v]) for v in adj if len(adj[v]) >= 2
+            }
+            assert got == want, seed
+
+    def test_label_propagation_matches_reference(self, spark):
+        from collections import Counter
+
+        from data_lakes_tp2_student_spark.operators.graph import (
+            label_propagation,
+        )
+
+        for seed in (3, 11):
+            pairs = self._random_graph(seed)
+            adj = {}
+            for a, b in pairs:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            labels = {v: v for v in adj}
+            for _ in range(3):
+                new = {}
+                for v in adj:
+                    c = Counter(labels[u] for u in adj[v])
+                    top = max(c.values())
+                    new[v] = min(l for l, k in c.items() if k == top)
+                labels = new
+            got = {
+                r.doc_id: r.community
+                for r in label_propagation(_edges(spark, pairs), 3).collect()
+            }
+            assert got == labels, seed
