@@ -508,3 +508,59 @@ def x43_stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
         weight_col="n_chars",
         k=20,
     )
+
+
+# --------------------------------------- x44 shingle containment verify
+
+from .llm_ops import _MINHASH_CTE, _N_BANDS, _N_HASHES, _ROWS_PER_BAND  # noqa: E402
+
+
+@register(
+    "x44_containment",
+    oracle=_MINHASH_CTE
+    + """
+    , dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+    scoredp AS (
+        SELECT p.id_a, p.id_b,
+               CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+                    AS BIGINT) AS n_common,
+               round(CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+                          AS DOUBLE) / len(a.s), 6) AS containment_a,
+               round(CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+                          AS DOUBLE) / len(b.s), 6) AS containment_b
+        FROM pairs p
+        JOIN dsh a ON a.doc_id = p.id_a
+        JOIN dsh b ON b.doc_id = p.id_b
+    )
+    SELECT id_a, id_b, n_common, containment_a, containment_b,
+           CASE WHEN containment_a >= 0.9 AND containment_b >= 0.9
+                    THEN 'duplicate'
+                WHEN containment_a >= 0.9 OR containment_b >= 0.9
+                    THEN 'contained'
+                ELSE 'overlap' END AS relation
+    FROM scoredp
+    """,
+)
+def x44_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x44 — asymmetric containment verify over the LSH candidates:
+    |A∩B|/|A| vs |A∩B|/|B| classifies each near-dup pair as duplicate /
+    contained (doc-in-doc: quotes, boilerplate wrappers — near-invisible
+    to symmetric Jaccard at unequal sizes) / plain overlap. Same
+    candidates-only join shape as x2b (operators/dedup.py:
+    containment_verify)."""
+    from ..operators.dedup import (
+        containment_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from ..functions.compute import eager, spread
+
+    docs = load(spark, sf_dir, "documents")
+    sh = eager(exploded_shingles(spread(docs), "doc_id", "text"))
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=_N_HASHES, shingles=sh
+    )
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", bands=_N_BANDS, rows_per_band=_ROWS_PER_BAND
+    )
+    return containment_verify(pairs, docs, "doc_id", "text", shingles=sh)

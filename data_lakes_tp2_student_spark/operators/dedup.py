@@ -228,6 +228,63 @@ def jaccard_verify(
     )
 
 
+def containment_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """x44 — exact shingle-set CONTAINMENT for candidate pairs, the
+    asymmetric companion to `jaccard_verify`: containment_a = |A∩B|/|A|
+    detects a short document embedded in a long one (quote, boilerplate
+    wrapper, doc-in-doc), which symmetric Jaccard scores near zero when
+    sizes differ. Pairs are classified on the ROUNDED scores (so any
+    engine draws the same thresholds): both containments >= 0.9 →
+    'duplicate'; one side → 'contained'; else 'overlap'.
+
+    Same join shape and persistence discipline as `jaccard_verify`
+    (intersection = equi-join on (pair, shingle); only LSH candidates pay
+    set costs; the shingle table feeds multiple branches → eager)."""
+    pairs = eager(pairs)
+    raw = (
+        shingles
+        if shingles is not None
+        else exploded_shingles(spread(df), id_col, text_col)
+    )
+    sh = eager(raw.distinct())
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "s")
+    b = sh.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("_nb"))
+    ca = F.round(F.col("_inter").cast("double") / F.col("_na"), 6)
+    cb = F.round(F.col("_inter").cast("double") / F.col("_nb"), 6)
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"_inter": 0})
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_inter").cast("bigint").alias("n_common"),
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+            F.when((ca >= 0.9) & (cb >= 0.9), F.lit("duplicate"))
+            .when((ca >= 0.9) | (cb >= 0.9), F.lit("contained"))
+            .otherwise(F.lit("overlap"))
+            .alias("relation"),
+        )
+    )
+
+
 def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     """x2 — connected components over near-dup candidate pairs: every doc in
     a duplicate cluster gets ``cluster_id`` = the minimum doc id reachable
