@@ -10,7 +10,7 @@ this is Layer-B training-data-pipeline extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.bloom import M_BITS, WORD, bloom_build, bloom_probe
 from ..operators.dedup import exploded_shingles
@@ -564,3 +564,172 @@ def x44_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs, "doc_id", bands=_N_BANDS, rows_per_band=_ROWS_PER_BAND
     )
     return containment_verify(pairs, docs, "doc_id", "text", shingles=sh)
+
+
+# -------------------------------- x45 sweep-line interval concurrency
+
+
+@register(
+    "x45_max_concurrency",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type, ts AS t, 1 AS delta, event_id FROM events
+        UNION ALL
+        SELECT event_type, ts + INTERVAL 10 MINUTE AS t, -1 AS delta,
+               event_id
+        FROM events
+    ),
+    running AS (
+        SELECT event_type,
+               sum(delta) OVER (
+                   PARTITION BY event_type
+                   ORDER BY t, delta, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS live
+        FROM pts
+    )
+    SELECT event_type, CAST(max(live) AS BIGINT) AS max_concurrent
+    FROM running GROUP BY event_type
+    """,
+)
+def x45_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x45 — sweep-line interval concurrency: each event holds a
+    10-minute half-open interval; +1/-1 boundary points, a running sum in
+    boundary order, and the per-type max is the peak number of
+    simultaneously-open intervals. Ends sort BEFORE starts at the same
+    instant (delta ascending), which encodes half-open semantics; the
+    residual tie on event_id makes every prefix engine-identical. The
+    classic capacity-planning query, one window — no self-join on
+    overlap (the O(n^2) formulation c6 would need).
+
+    Scale: the window partitions by type; within a hot type the sort is
+    the same single-key ordered aggregation any engine needs — at 100 TB
+    pre-bucket by coarse time range and take per-range maxima plus
+    boundary corrections (two-phase, same trick as e3c's rank)."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        ev.select(
+            "event_type",
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.withColumn("live", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(F.max("live").cast("bigint").alias("max_concurrent"))
+    )
+
+
+# ------------------------------------ x46 Lloyd k-means (fixed-point)
+
+_KM_K = 8
+_KM_FP = 10**7
+
+
+def _km_oracle() -> str:
+    head = f"""
+    WITH vecl AS (
+        SELECT vec_id, unnest(range(0, len(embedding))) AS dim, embedding
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, dim,
+               CAST(floor(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE)
+                          * {_KM_FP}.0) AS BIGINT) AS qx
+        FROM vecl
+    ),
+    c0 AS (SELECT vec_id AS cluster, dim, qx AS qc FROM q
+           WHERE vec_id < {_KM_K})"""
+    steps = []
+    for i in (1, 2):
+        steps.append(f"""
+    d{i} AS (
+        SELECT q.vec_id, c.cluster,
+               sum((q.qx - c.qc) * (q.qx - c.qc)) AS d
+        FROM q JOIN c{i-1} c USING (dim)
+        GROUP BY q.vec_id, c.cluster
+    ),
+    a{i} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d, cluster) AS rn
+            FROM d{i}
+        ) WHERE rn = 1
+    ),
+    c{i} AS (
+        SELECT a.cluster, q.dim, sum(q.qx) // count(*) AS qc
+        FROM q JOIN a{i} a USING (vec_id)
+        GROUP BY a.cluster, q.dim
+    )""")
+    return (
+        head + "," + ",".join(steps)
+        + "\n    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a2"
+    )
+
+
+@register("x46_kmeans", oracle=_km_oracle())
+def x46_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x46 — Lloyd k-means over the embeddings (k=8, two assign/update
+    rounds, deterministic init = the first k vectors), entirely in
+    DataFrame ops with FIXED-POINT math: coordinates quantize to BIGINT
+    (1e-7 grid), distances are integer squared-Euclidean sums, centroid
+    means use truncating integer division — every engine computes
+    bit-identical assignments under any partitioning (float centroids
+    would drift with shuffle order; Spark `div` and DuckDB `//` both
+    truncate toward zero, verified).
+
+    Scale shape: vectors live in LONG form (id, dim, qx) — the distance
+    pass is an equi-join on dim against the k x dims centroid table
+    (broadcast: k*dims rows regardless of corpus), partial-aggregated by
+    (id, cluster); the update is one groupBy (cluster, dim). Per round:
+    two shuffles, both corpus-pass-bounded; lineage stays bounded by the
+    fixed round count like `pagerank`. The IVF cells (x3c) reuse exactly
+    this assignment topology with unrefined centroids."""
+    emb = load(spark, sf_dir, "embeddings")
+    vec = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "_x"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("bigint").alias("dim"),
+            F.floor(F.col("_x").cast("double") * _KM_FP)
+            .cast("bigint")
+            .alias("qx"),
+        )
+        .persist()  # feeds every round's distance AND update pass
+    )
+    cent = vec.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"), "dim", F.col("qx").alias("qc")
+    )
+    assign = None
+    for _ in range(2):
+        dist = (
+            vec.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                F.sum(
+                    (F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))
+                ).alias("d")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cluster")
+        assign = (
+            dist.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "cluster")
+        )
+        cent = (
+            vec.join(assign, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(F.expr("sum(qx) div count(1)").alias("qc"))
+        )
+    return assign.select("vec_id", F.col("cluster").cast("bigint").alias("cluster"))
