@@ -315,7 +315,9 @@ def j4_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id: bigint, chunk_id: int, chunk: string, n_tokens: int")
     class ChunkWords:
         def eval(self, doc_id: int, text: str):
-            words = (text or "").split(" ")
+            if text is None:  # no content -> no chunks (matches the SQL
+                return        # oracle: string_split(NULL) yields no rows)
+            words = text.split(" ")
             for i in range(0, len(words), _CHUNK_W):
                 part = words[i : i + _CHUNK_W]
                 yield doc_id, i // _CHUNK_W, " ".join(part), len(part)
