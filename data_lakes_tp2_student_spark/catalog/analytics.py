@@ -745,7 +745,9 @@ def x19_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          embedding[CAST(t.pos AS INT) + 1] AS val
                   FROM embeddings, unnest(range(len(embedding))) AS t(pos)),
     q AS (SELECT label, pos,
-                 CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT) AS qv
+                 CAST(least(greatest(floor(CAST(val AS DOUBLE) * 1000000),
+                                     -1000000000000.0), 1000000000000.0)
+                      AS BIGINT) AS qv
           FROM flat)
     SELECT label, pos, count(*) AS n,
            CAST(sum(qv) AS DOUBLE) / count(*) / 1000000.0 AS centroid
@@ -764,10 +766,19 @@ def x15_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate map-side down to labels × dims before the one shuffle."""
     e = load(spark, sf_dir, "embeddings")
     flat = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    # clamp to +-1e12 (coords beyond +-1e6 saturate): a garbage row must
+    # not ANSI-overflow the BIGINT sum and kill the job at scale
     q = flat.select(
         "label",
         "pos",
-        F.floor(F.col("val").cast("double") * 1000000).cast("bigint").alias("qv"),
+        F.least(
+            F.greatest(
+                F.floor(F.col("val").cast("double") * 1000000), F.lit(-1e12)
+            ),
+            F.lit(1e12),
+        )
+        .cast("bigint")
+        .alias("qv"),
     )
     return q.groupBy("label", "pos").agg(
         F.count(F.lit(1)).alias("n"),

@@ -645,8 +645,10 @@ def _km_oracle() -> str:
     ),
     q AS (
         SELECT vec_id, dim,
-               CAST(floor(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE)
-                          * {_KM_FP}.0) AS BIGINT) AS qx
+               CAST(least(greatest(
+                        floor(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE)
+                              * {_KM_FP}.0),
+                        -180000000.0), 180000000.0) AS BIGINT) AS qx
         FROM vecl
     ),
     c0 AS (SELECT vec_id AS cluster, dim, qx AS qc FROM q
@@ -703,7 +705,16 @@ def x46_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.col("dim").cast("bigint").alias("dim"),
-            F.floor(F.col("_x").cast("double") * _KM_FP)
+            # clamp to +-1.8e8 (coords beyond +-18 saturate): 64 squared
+            # diffs of clamped values stay under Long.MAX, so one garbage
+            # vector cannot ANSI-overflow the distance sum mid-job
+            F.least(
+                F.greatest(
+                    F.floor(F.col("_x").cast("double") * _KM_FP),
+                    F.lit(-1.8e8),
+                ),
+                F.lit(1.8e8),
+            )
             .cast("bigint")
             .alias("qx"),
         )
