@@ -213,3 +213,23 @@ def i11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = stream_outer_interval_join(spark, sf_dir, with_sentinel=True)
     return out.withColumnRenamed("v_user", "user_id")
+
+
+@register(
+    "i12_stream_variant",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def i12_stream_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i12 — streaming VariantType extraction + watermarked tumbling agg
+    (streaming/jobs.py:stream_variant_agg); drained complete-mode, so the
+    batch `json_extract` oracle applies verbatim."""
+    from ..streaming.jobs import stream_variant_agg
+
+    return stream_variant_agg(spark, sf_dir)

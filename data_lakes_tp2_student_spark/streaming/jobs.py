@@ -391,3 +391,24 @@ def stream_upsert_partitions(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i12 — Variant INSIDE the stream: `parse_json` shreds each event's
+    JSON payload to VariantType in-flight, `variant_get` typed-extracts
+    `$.k`, and a watermarked tumbling window aggregates per type —
+    complete mode, so the memory sink holds the batch-equivalent result
+    and a plain batch SQL oracle applies. The semi-structured analog of
+    i4: at scale the shred cost rides the stream (paid once per event)
+    instead of re-parsing JSON per downstream query."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    agg = (
+        ev.withColumn("_k", k)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_k").alias("sum_k"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_k"
+        )
+    )
+    return _run_to_memory(agg, "complete")
