@@ -746,3 +746,193 @@ def x46_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.expr("sum(qx) div count(1)").alias("qc"))
         )
     return assign.select("vec_id", F.col("cluster").cast("bigint").alias("cluster"))
+
+
+# ----------------------------- x47 sparse cosine via inverted index
+
+_TFIDF_FP = 10**5
+_TFIDF_MAXDF = 50
+_TFIDF_TOPK = 20
+
+
+@register(
+    "x47_sparse_cosine",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           GROUP BY doc_id, term),
+    n_docs AS (SELECT count(*) AS n FROM documents),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    post AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * CAST(floor(ln(CAST(n_docs.n AS DOUBLE) / df.df)
+                                  * {_TFIDF_FP}.0) AS BIGINT) AS w
+        FROM tf JOIN df USING (term), n_docs
+        WHERE df.df <= {_TFIDF_MAXDF}
+    ),
+    norms AS (SELECT doc_id, sum(w * w) AS n2 FROM post GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+        FROM post a JOIN post b
+          ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+                 6) AS cos_sim
+    FROM dots
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    ORDER BY cos_sim DESC, id_a, id_b
+    LIMIT {_TFIDF_TOPK}
+    """,
+)
+def x47_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x47 — SPARSE document similarity through an inverted-index join:
+    TF-IDF postings self-joined on the term (the posting-list
+    intersection), pairwise dots summed, cosine from precomputed norms,
+    global top-k pairs. The sparse complement to the dense-embedding ANN
+    family (x3*): no vectors, no LSH — candidate pairs exist ONLY where
+    a shared term exists.
+
+    Scale levers, both explicit: (1) document-frequency pruning
+    (df <= {_TFIDF_MAXDF}) bounds every posting list, so the self-join
+    fan-out is sum over terms of df^2 with df capped — the standard
+    stop-term cutoff that keeps term-at-a-time similarity subquadratic;
+    (2) IDF weights are fixed-point BIGINT, so dot products are integer
+    sums — deterministic under any partitioning — with doubles touched
+    once at the final normalize. Top-k is TakeOrderedAndProject."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    post = (
+        tf.join(df, "term")
+        .filter(F.col("df") <= _TFIDF_MAXDF)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(F.col("n").cast("double") / F.col("df"))
+                    * _TFIDF_FP
+                ).cast("bigint")
+            ).alias("w"),
+        )
+        .persist()  # feeds the norms pass and BOTH sides of the self-join
+    )
+    norms = post.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = post.select(F.col("doc_id").alias("id_a"), "term", F.col("w").alias("_wa"))
+    b = post.select(F.col("doc_id").alias("id_b"), "term", F.col("w").alias("_wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("_na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("_nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("_na").cast("double"))
+                    * F.sqrt(F.col("_nb").cast("double"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "id_a", "id_b")
+        .limit(_TFIDF_TOPK)
+    )
+
+
+# ---------------------------- x48 first-touch attribution (banded join)
+
+_ATTR_W_US = 30 * 60 * 1_000_000  # 30-minute lookback
+
+
+@register(
+    "x48_first_touch_attribution",
+    oracle=f"""
+    WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+               FROM events WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, event_type, event_id AS tid, epoch_us(ts) AS tus
+          FROM events WHERE event_type <> 'purchase'),
+    cand AS (
+        SELECT p.purchase_id, t.event_type, t.tus, t.tid
+        FROM p JOIN t ON t.user_id = p.user_id
+         AND t.tus < p.pus AND t.tus >= p.pus - {_ATTR_W_US}
+    ),
+    first AS (
+        SELECT purchase_id, event_type FROM (
+            SELECT purchase_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY purchase_id ORDER BY tus, tid) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    )
+    SELECT p.purchase_id, p.user_id,
+           coalesce(f.event_type, 'direct') AS first_touch
+    FROM p LEFT JOIN first f ON f.purchase_id = p.purchase_id
+    """,
+)
+def x48_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x48 — first-touch attribution: each purchase credits the EARLIEST
+    non-purchase event by the same user inside a 30-minute lookback
+    ('direct' when none). The lookback join is the c6b banded equi-join
+    specialized with the user in the key — (user, time-band) buckets,
+    the purchase side exploding the exactly-2 bands its window can
+    touch — so neither side broadcasts and cost stays ∝ matches + band
+    occupancy (a per-user range join would be a nested loop). Timestamps
+    compare in exact integer microseconds; ties break on event id."""
+    ev = load(spark, sf_dir, "events")
+    w = _ATTR_W_US
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("_pus"),
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("_tid"),
+        F.unix_micros("ts").alias("_tus"),
+        F.expr(f"unix_micros(ts) div {w}").alias("_band"),
+    )
+    pb = p.withColumn(
+        "_band",
+        F.explode(
+            F.sequence(
+                F.expr(f"(_pus - {w}) div {w}"), F.expr(f"_pus div {w}")
+            )
+        ),
+    )
+    cand = pb.join(t, ["user_id", "_band"]).filter(
+        (F.col("_tus") < F.col("_pus")) & (F.col("_tus") >= F.col("_pus") - w)
+    )
+    wdw = Window.partitionBy("purchase_id").orderBy("_tus", "_tid")
+    first = (
+        cand.withColumn("_rn", F.row_number().over(wdw))
+        .filter(F.col("_rn") == 1)
+        .select("purchase_id", F.col("event_type").alias("_ft"))
+    )
+    return p.join(first, "purchase_id", "left").select(
+        "purchase_id",
+        "user_id",
+        F.coalesce("_ft", F.lit("direct")).alias("first_touch"),
+    )

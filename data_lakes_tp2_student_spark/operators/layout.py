@@ -98,8 +98,8 @@ def hilbert_key(x: Column, y: Column, bits: int = 8) -> Column:
     8 bits = a 256x256 grid = 65536 buckets, plenty for FILE-level
     clustering (you need about as many cells as target files, not row
     resolution)."""
-    if bits > 12:
-        raise ValueError("hilbert_key: expression tree doubles per bit; use <= 12")
+    if bits > 8:
+        raise ValueError("hilbert_key: expression tree doubles per bit; use <= 8")
     X, Y = x.cast("long"), y.cast("long")
     d = F.lit(0).cast("long")
     s = 1 << (bits - 1)
