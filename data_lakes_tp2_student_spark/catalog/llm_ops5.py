@@ -1,7 +1,12 @@
 """Catalog entries — round-5 extension wave (SURVEY.md §2 group X):
-semantic dedup (x38), Variant semi-structured extraction (x39),
-weighted sampling (x35), graph triangle counting (x36), Bloom-filter
-decontamination (x37), and a Spark 4 Python UDTF (j4).
+weighted / stratified-weighted sampling (x35, x43), graph analytics over
+the shared kNN similarity graph (x36 triangles, x40 label propagation),
+Bloom-filter decontamination (x37), SemDeDup semantic dedup (x38),
+Spark 4 Variant extraction (x39) and a Python UDTF (j4), incremental MV
+maintenance (x41), sorted-neighborhood entity resolution (x42), shingle
+containment (x44), sweep-line interval concurrency (x45), fixed-point
+Lloyd k-means (x46), sparse TF-IDF cosine (x47), and first-touch
+attribution (x48).
 
 The reference (sarafa19/Data-Lakes-tp2-student) has none of these — its
 whole surface is pandas ETL over one protein CSV (SURVEY.md §0); all of

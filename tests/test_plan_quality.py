@@ -329,6 +329,7 @@ def test_no_cartesian_product_anywhere_in_registry(spark):
         "x3_knn_bruteforce",
         "x3c_knn_ivf",
         "x40_label_propagation",
+        "x47_sparse_cosine",  # 1-row corpus-count broadcast (IDF scalar)
         "x4d_tfidf_topk",
         "x6_tpch_q11",
         "x6_tpch_q22",
