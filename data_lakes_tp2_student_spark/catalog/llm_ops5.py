@@ -773,12 +773,14 @@ _TFIDF_TOPK = 20
     df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     post AS (
         SELECT tf.doc_id, tf.term,
-               tf.tf * CAST(floor(ln(CAST(n_docs.n AS DOUBLE) / df.df)
-                                  * {_TFIDF_FP}.0) AS BIGINT) AS w
+               least(tf.tf * CAST(floor(ln(CAST(n_docs.n AS DOUBLE) / df.df)
+                                        * {_TFIDF_FP}.0) AS BIGINT),
+                     30000000) AS w
         FROM tf JOIN df USING (term), n_docs
         WHERE df.df <= {_TFIDF_MAXDF}
     ),
-    norms AS (SELECT doc_id, sum(w * w) AS n2 FROM post GROUP BY doc_id),
+    norms AS (SELECT doc_id, sum(w * w) AS n2 FROM post GROUP BY doc_id
+              HAVING sum(w * w) > 0),
     dots AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
         FROM post a JOIN post b
@@ -825,17 +827,28 @@ def x47_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
-            (
+            # clamp: an extreme-tf document must saturate, not
+            # ANSI-overflow the BIGINT w*w sums (the x15/x46 policy);
+            # 3e7 keeps 1e4 postings/doc inside Long.MAX
+            F.least(
                 F.col("tf")
                 * F.floor(
                     F.log(F.col("n").cast("double") / F.col("df"))
                     * _TFIDF_FP
-                ).cast("bigint")
+                ).cast("bigint"),
+                F.lit(30_000_000).cast("bigint"),
             ).alias("w"),
         )
         .persist()  # feeds the norms pass and BOTH sides of the self-join
     )
-    norms = post.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    # zero-norm docs (every surviving term has idf 0) are droppable, not
+    # divisible: Spark dot/0.0 = NaN sorts FIRST desc while DuckDB NULL
+    # sorts last — an engine-divergent top-k (found in review)
+    norms = (
+        post.groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+        .filter(F.col("n2") > 0)
+    )
     a = post.select(F.col("doc_id").alias("id_a"), "term", F.col("w").alias("_wa"))
     b = post.select(F.col("doc_id").alias("id_b"), "term", F.col("w").alias("_wb"))
     dots = (

@@ -177,22 +177,22 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_verify(
+def _pair_overlap(
     pairs: DataFrame,
     df: DataFrame,
     id_col: str,
     text_col: str,
-    shingles: DataFrame | None = None,
+    shingles: DataFrame | None,
 ) -> DataFrame:
-    """x2 — exact shingle-set Jaccard for candidate pairs (the verify stage
-    after LSH; only candidates pay set costs), join-based: intersection =
-    equi-join of the two exploded distinct-shingle sides on (pair, shingle),
-    union = |A| + |B| − |A∩B|. No per-pair array materialization; every stage
-    codegen'd; LSH false positives with zero overlap keep jaccard 0 via the
-    left join. The distinct-shingle table and the pairs table are persisted
-    and materialized up front — each feeds two+ branches of the join tree,
-    several of them broadcast builds that would otherwise recompute the
-    whole upstream pipeline concurrently (see functions.compute.eager)."""
+    """Shared verify core for jaccard_verify / containment_verify: per
+    candidate pair, the exact distinct-shingle intersection plus both set
+    sizes — (id_a, id_b, _inter, _na, _nb). Intersection is the equi-join
+    of the two exploded distinct-shingle sides on (pair, shingle); LSH
+    false positives with zero overlap keep _inter = 0 via the left join.
+    Both the pairs and the distinct-shingle table persist+materialize up
+    front — each feeds two+ branches, several broadcast builds, which
+    would otherwise recompute the upstream pipeline concurrently (see
+    functions.compute.eager)."""
     pairs = eager(pairs)
     raw = (
         shingles
@@ -216,15 +216,33 @@ def jaccard_verify(
         .na.fill({"_inter": 0})
         .join(na, "id_a")
         .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("_inter").cast("double")
-                / (F.col("_na") + F.col("_nb") - F.col("_inter")),
-                6,
-            ).alias("jaccard"),
-        )
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """x2 — exact shingle-set Jaccard for candidate pairs (the verify stage
+    after LSH; only candidates pay set costs), join-based: intersection =
+    equi-join of the two exploded distinct-shingle sides on (pair, shingle),
+    union = |A| + |B| − |A∩B|. No per-pair array materialization; every stage
+    codegen'd; LSH false positives with zero overlap keep jaccard 0 via the
+    left join. The distinct-shingle table and the pairs table are persisted
+    and materialized up front — each feeds two+ branches of the join tree,
+    several of them broadcast builds that would otherwise recompute the
+    whole upstream pipeline concurrently (see functions.compute.eager)."""
+    return _pair_overlap(pairs, df, id_col, text_col, shingles).select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("_inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+            6,
+        ).alias("jaccard"),
     )
 
 
@@ -246,31 +264,10 @@ def containment_verify(
     Same join shape and persistence discipline as `jaccard_verify`
     (intersection = equi-join on (pair, shingle); only LSH candidates pay
     set costs; the shingle table feeds multiple branches → eager)."""
-    pairs = eager(pairs)
-    raw = (
-        shingles
-        if shingles is not None
-        else exploded_shingles(spread(df), id_col, text_col)
-    )
-    sh = eager(raw.distinct())
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col(id_col).alias("id_a"), "s")
-    b = sh.select(F.col(id_col).alias("id_b"), "s")
-    inter = (
-        pairs.join(a, "id_a")
-        .join(b, ["id_b", "s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("_na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("_nb"))
     ca = F.round(F.col("_inter").cast("double") / F.col("_na"), 6)
     cb = F.round(F.col("_inter").cast("double") / F.col("_nb"), 6)
     return (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .na.fill({"_inter": 0})
-        .join(na, "id_a")
-        .join(nb, "id_b")
+        _pair_overlap(pairs, df, id_col, text_col, shingles)
         .select(
             "id_a",
             "id_b",

@@ -95,11 +95,12 @@ def hilbert_key(x: Column, y: Column, bits: int = 8) -> Column:
     Pure unrolled column expressions (the classic bitwise xy2d walk, one
     rotation/reflection level per bit) — no UDF, whole-stage codegen. The
     expression tree doubles per level, so `bits` stays small by default:
-    8 bits = a 256x256 grid = 65536 buckets, plenty for FILE-level
+    6 bits = a 64x64 grid = 4096 buckets, plenty for FILE-level
     clustering (you need about as many cells as target files, not row
-    resolution)."""
-    if bits > 8:
-        raise ValueError("hilbert_key: expression tree doubles per bit; use <= 8")
+    resolution); 8 bits measured a planner/codegen heap blow-up on a
+    loaded driver, so the guard stops at the measured-safe ceiling."""
+    if bits > 6:
+        raise ValueError("hilbert_key: expression tree doubles per bit; use <= 6")
     X, Y = x.cast("long"), y.cast("long")
     d = F.lit(0).cast("long")
     s = 1 << (bits - 1)

@@ -334,8 +334,17 @@ def test_no_cartesian_product_anywhere_in_registry(spark):
         "x6_tpch_q11",
         "x6_tpch_q22",
     }
+    # Streaming entries drain through a memory sink and return
+    # spark.table(<sink>) — a LocalTableScan whose plan can never show
+    # the streaming job's joins, so sweeping them costs a full stream
+    # execution for zero signal. Their join shapes are pinned by their
+    # own contract tests (test_stream_*).
+    STREAMING_SINK = {n for n in REGISTRY
+                      if n.startswith("i") and "_stream" in n}
     cartesian, rogue_nlj = [], []
     for name, q in sorted(REGISTRY.items()):
+        if name in STREAMING_SINK:
+            continue
         p = plan_of(q.fn(spark, "/root/testdata/sf0.001"))
         if "CartesianProduct" in p:
             cartesian.append(name)

@@ -38,6 +38,7 @@ FUZZ_QUERIES = [
     "x43_stratified_weighted_sample",
     "x37_bloom_decontaminate",
     "x44_containment",
+    "x47_sparse_cosine",
     "j4_udtf_chunks",
 ]
 
