@@ -198,15 +198,19 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(deduped, "append")
 
 
-def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """i7 — stream-stream interval join (view → purchase attribution):
-    purchases join views of the same user within [view_ts, view_ts+10min).
-    Both sides carry watermarks so the join state is bounded (Spark evicts
-    buffered rows once the watermark passes the interval bound — the
-    property that makes this run forever on a real stream). Inner-join
-    results emit as soon as they match, so draining the file source yields
-    exactly the batch join — the SQL oracle applies."""
-    ev = read_events_stream(spark, sf_dir)
+def build_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    how: str = "inner",
+    with_sentinel: bool = False,
+) -> DataFrame:
+    """Shared (undrained) stream-stream interval join plan for i7/i11:
+    watermarked views x purchases of the same user within
+    [view_ts, view_ts + 10 min). Exposed separately so plan tests can
+    assert the STREAMING physical join (StreamingSymmetricHashJoin keyed
+    on user) without draining — the drained memory-sink table the i*
+    queries return shows only a table scan."""
+    ev = read_events_stream(spark, sf_dir, with_sentinel=with_sentinel)
     views = (
         ev.filter(F.col("event_type") == "view")
         .select(
@@ -225,13 +229,27 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("purchase_ts", "10 minutes")
     )
-    joined = views.join(
+    return views.join(
         purchases,
         F.expr(
             "v_user = user_id AND purchase_ts >= view_ts "
             "AND purchase_ts < view_ts + interval 10 minutes"
         ),
-    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+        how,
+    )
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i7 — stream-stream interval join (view → purchase attribution):
+    purchases join views of the same user within [view_ts, view_ts+10min).
+    Both sides carry watermarks so the join state is bounded (Spark evicts
+    buffered rows once the watermark passes the interval bound — the
+    property that makes this run forever on a real stream). Inner-join
+    results emit as soon as they match, so draining the file source yields
+    exactly the batch join — the SQL oracle applies."""
+    joined = build_interval_join(spark, sf_dir, "inner").select(
+        "user_id", "view_id", "purchase_id", "view_ts", "purchase_ts"
+    )
     return _run_to_memory(joined, "append")
 
 
@@ -259,32 +277,8 @@ def stream_outer_interval_join(
     terminal watermark past every real view's join horizon — the drained
     result then EQUALS the batch left-outer join exactly (sentinel rows
     filtered back out), so the standard SQL oracle applies."""
-    ev = read_events_stream(spark, sf_dir, with_sentinel=with_sentinel)
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id").alias("v_user"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("view_ts"),
-        )
-        .withWatermark("view_ts", "10 minutes")
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("user_id"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "10 minutes")
-    )
-    joined = views.join(
-        purchases,
-        F.expr(
-            "v_user = user_id AND purchase_ts >= view_ts "
-            "AND purchase_ts < view_ts + interval 10 minutes"
-        ),
-        "left_outer",
+    joined = build_interval_join(
+        spark, sf_dir, "left_outer", with_sentinel=with_sentinel
     ).select("v_user", "view_id", "view_ts", "purchase_id", "purchase_ts")
     out = _run_to_memory(joined, "append")
     if with_sentinel:

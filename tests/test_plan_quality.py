@@ -352,3 +352,20 @@ def test_no_cartesian_product_anywhere_in_registry(spark):
             rogue_nlj.append(name)
     assert cartesian == [], cartesian
     assert rogue_nlj == [], rogue_nlj
+
+
+def test_stream_interval_join_plans_symmetric_hash(spark):
+    """Streaming plans are invisible to the registry sweep (the queries
+    return drained memory-sink tables), so the stream-stream join shape
+    is pinned here on the UNDRAINED plan: the interval join must be a
+    StreamingSymmetricHashJoin keyed on the user equi-column — never a
+    nested loop buffering both streams."""
+    from data_lakes_tp2_student_spark.streaming.jobs import (
+        build_interval_join,
+    )
+
+    for how in ("inner", "left_outer"):
+        p = plan_of(build_interval_join(spark, "/root/testdata/sf0.001", how))
+        assert "StreamingSymmetricHashJoin" in p, (how, p)
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
