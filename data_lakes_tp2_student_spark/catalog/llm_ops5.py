@@ -15,6 +15,8 @@ this is Layer-B training-data-pipeline extension surface.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.bloom import M_BITS, WORD, bloom_build, bloom_probe
@@ -953,4 +955,134 @@ def x48_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         "user_id",
         F.coalesce("_ft", F.lit("direct")).alias("first_touch"),
+    )
+
+
+# --------------------------- j5 pandas GROUPED_AGG UDAF (trimmed mean)
+
+
+@register(
+    "j5_grouped_agg_udaf",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
+               o_orderkey
+        FROM orders
+    ),
+    ranked AS (
+        SELECT o_orderpriority, c,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority ORDER BY c, o_orderkey
+               ) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM cents
+    ),
+    trimmed AS (
+        SELECT o_orderpriority, c
+        FROM ranked
+        WHERE rn > n // 10 AND rn <= n - n // 10
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_kept,
+           round(CAST(sum(c) AS DOUBLE) / count(*) / 100.0, 6)
+               AS trimmed_mean
+    FROM trimmed GROUP BY o_orderpriority
+    """,
+)
+def j5_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j5 — a REAL pandas GROUPED_AGG UDAF (Arrow-batched per-group
+    aggregation, the Spark analog of a custom aggregate function): 10%
+    two-sided trimmed mean of order value per priority. Inside the UDAF
+    everything is integer cents — sort, trim counts, int64 sum — so the
+    result is bit-identical to the oracle's window formulation no matter
+    how Arrow batches arrive (a float accumulation would drift with
+    batch order). The UDAF path exists for aggregation logic SQL can't
+    state in one expression; the engine's default remains built-in
+    aggregates (d-group), which stay JVM-side."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def trimmed_mean_cents(c: pd.Series) -> float:
+        vals = c.sort_values(kind="stable").to_numpy()
+        k = len(vals) // 10
+        kept = vals[k : len(vals) - k]
+        return round(float(kept.sum()) / len(kept) / 100.0, 6)
+
+    @pandas_udf("long")
+    def trimmed_count(c: pd.Series) -> int:
+        k = len(c) // 10
+        return int(len(c) - 2 * k)
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("_c"),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        trimmed_count(F.col("_c")).alias("n_kept"),
+        trimmed_mean_cents(F.col("_c")).alias("trimmed_mean"),
+    )
+
+
+# ------------------------- j6 applyInPandas grouped-map (z-score)
+
+
+@register(
+    "j6_grouped_map_udf",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+        FROM orders
+    ),
+    g AS (
+        SELECT o_orderpriority, sum(c) AS sc, sum(c * c) AS sc2,
+               count(*) AS n
+        FROM cents GROUP BY o_orderpriority
+    )
+    SELECT c.o_orderkey, c.o_orderpriority,
+           round((CAST(c.c AS DOUBLE) - CAST(g.sc AS DOUBLE) / g.n)
+                 / sqrt(CAST(g.n * g.sc2 - g.sc * g.sc AS DOUBLE)
+                        / CAST(g.n * (g.n - 1) AS DOUBLE)),
+                 6) AS z
+    FROM cents c JOIN g USING (o_orderpriority)
+    """,
+)
+def j6_grouped_map_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j6 — a REAL applyInPandas grouped-map transform (whole group in,
+    whole group out): per-priority z-score standardization of order
+    value. The group moments are exact INTEGER sums in arbitrary-
+    precision Python ints (an int64 sum of squares overflows around 30k
+    rows/group; a float sum drifts with Arrow batch order), and the
+    float expression then runs in the same operation order as the
+    oracle, so every z is bit-identical. applyInPandas is for per-group
+    logic needing the whole group materialized; the expression-only
+    formulation (the oracle's join shape) remains the scale default —
+    this entry pins the API and its determinism discipline. Requires
+    every group >= 2 rows (sample std)."""
+    def standardize(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        ints = [int(v) for v in pdf["_c"]]
+        n = len(ints)
+        sc = sum(ints)
+        sc2 = sum(v * v for v in ints)
+        mean = float(sc) / n
+        std = math.sqrt(float(n * sc2 - sc * sc) / float(n * (n - 1)))
+        z = ((pdf["_c"].astype("float64") - mean) / std).round(6)
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_orderpriority": pdf["o_orderpriority"],
+                "z": z,
+            }
+        )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("_c"),
+    )
+    return o.groupBy("o_orderpriority").applyInPandas(
+        standardize, "o_orderkey long, o_orderpriority string, z double"
     )
