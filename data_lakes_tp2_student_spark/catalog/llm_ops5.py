@@ -1086,3 +1086,87 @@ def j6_grouped_map_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").applyInPandas(
         standardize, "o_orderkey long, o_orderpriority string, z double"
     )
+
+
+# ------------------------------------ x49 WebDataset TAR shard reading
+
+_TAR_MEMBER_CTE = """
+    m AS (
+        SELECT doc_id,
+               unnest(range(0, doc_id % 3 + 1)) AS j
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               printf('%08d', doc_id) || '.' ||
+                   CASE j WHEN 0 THEN 'txt' WHEN 1 THEN 'jpg'
+                          ELSE 'cls' END AS member_name,
+               CAST((doc_id * 7 + j * 13) % 200 + 1 AS BIGINT)
+                   AS member_bytes,
+               CAST(list_sum(list_transform(
+                        range(0, (doc_id * 7 + j * 13) % 200 + 1),
+                        k -> (doc_id * 5 + j * 17 + k) % 256))
+                    AS BIGINT) AS payload_sum
+        FROM m
+    )
+"""
+
+
+@register(
+    "x49_tar_members",
+    oracle=f"""
+    WITH {_TAR_MEMBER_CTE}
+    SELECT doc_id, member_name, member_bytes, payload_sum,
+           true AS valid
+    FROM feat
+    """,
+)
+def x49_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x49 — WebDataset-style TAR shard reading: each document id gets a
+    REAL generated ustar archive (members share a basename, differ by
+    extension — the WebDataset sample convention); the lib-free member
+    walk (header checksums, octal sizes, 512-block stepping) emits one
+    row per member and the oracle predicts every member's name, size,
+    and payload byte-sum arithmetically
+    (operators/multimodal.py:parse_tar_members)."""
+    from ..operators.multimodal import attach_tar_media, parse_tar_members
+
+    docs = load(spark, sf_dir, "documents")
+    return parse_tar_members(attach_tar_media(docs, "doc_id"))
+
+
+@register(
+    "x49b_wds_samples",
+    oracle=f"""
+    WITH {_TAR_MEMBER_CTE}
+    SELECT doc_id,
+           count(*) AS n_members,
+           CAST(sum(member_bytes) AS BIGINT) AS total_bytes,
+           CAST(max(CASE WHEN member_name LIKE '%.txt'
+                         THEN payload_sum END) AS BIGINT) AS txt_sum,
+           CAST(max(CASE WHEN member_name LIKE '%.jpg'
+                         THEN payload_sum END) AS BIGINT) AS jpg_sum
+    FROM feat GROUP BY doc_id
+    """,
+)
+def x49b_wds_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x49b — WebDataset SAMPLE assembly: members re-group by their
+    shared basename into one training-sample row with per-modality
+    columns (the tar-member rows pivot by extension) — the read side of
+    the WebDataset contract: shard -> members -> (text, image, label)
+    tuples. One groupBy on the member rows; at scale the shard scan
+    parallelizes by file and no shuffle precedes this aggregation."""
+    from ..operators.multimodal import attach_tar_media, parse_tar_members
+
+    docs = load(spark, sf_dir, "documents")
+    members = parse_tar_members(attach_tar_media(docs, "doc_id"))
+    return members.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("member_bytes").alias("total_bytes"),
+        F.max(
+            F.when(F.col("member_name").endswith(".txt"), F.col("payload_sum"))
+        ).alias("txt_sum"),
+        F.max(
+            F.when(F.col("member_name").endswith(".jpg"), F.col("payload_sum"))
+        ).alias("jpg_sum"),
+    )

@@ -1008,3 +1008,131 @@ def sample_frames(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
         "doc_id",
         F.posexplode(frames).alias("frame_no", "frame"),
     )
+
+
+# --------------------------------------------------- WebDataset-style TAR
+
+_TAR_EXTS = ("txt", "jpg", "cls")
+
+
+def _tar_member_payload(i: int, j: int) -> bytes:
+    length = (i * 7 + j * 13) % 200 + 1
+    return bytes((i * 5 + j * 17 + k) % 256 for k in range(length))
+
+
+def _tar_header(name: bytes, size: int) -> bytes:
+    """One ustar 512-byte header with a correct checksum."""
+    h = bytearray(512)
+    h[0 : len(name)] = name  # name (100)
+    h[100:108] = b"0000644\x00"  # mode
+    h[108:116] = b"0000000\x00"  # uid
+    h[116:124] = b"0000000\x00"  # gid
+    h[124:136] = f"{size:011o}".encode() + b"\x00"  # size (octal)
+    h[136:148] = b"00000000000\x00"  # mtime
+    h[148:156] = b" " * 8  # chksum field counts as spaces
+    h[156] = 0x30  # typeflag '0' regular file
+    h[257:263] = b"ustar\x00"  # magic
+    h[263:265] = b"00"  # version
+    chk = sum(h)
+    h[148:156] = f"{chk:06o}".encode() + b"\x00 "
+    return bytes(h)
+
+
+def attach_tar_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Build a REAL (tiny) POSIX ustar TAR shard per row — the WebDataset
+    container convention: members share a basename and differ by
+    extension ({basename}.txt / .jpg / .cls), (id % 3 + 1) members, with
+    name, size, and payload bytes all deterministic functions of the id
+    so a SQL oracle can predict every member's byte sum. Same fixture
+    contract as attach_bmp_media/attach_wav_media."""
+    out_schema = "doc_id bigint, media binary"
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                buf = bytearray()
+                for j in range(i % 3 + 1):
+                    payload = _tar_member_payload(i, j)
+                    name = f"{i:08d}.{_TAR_EXTS[j]}".encode()
+                    buf += _tar_header(name, len(payload))
+                    buf += payload
+                    if len(payload) % 512:
+                        buf += b"\x00" * (512 - len(payload) % 512)
+                buf += b"\x00" * 1024  # end-of-archive
+                ids.append(i)
+                blobs.append(bytes(buf))
+            yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        build, out_schema
+    )
+
+
+def parse_tar_members(media_df: DataFrame) -> DataFrame:
+    """x49 — lib-free TAR member walk (the WebDataset shard reader): step
+    512-byte ustar headers, verify magic + checksum, read the octal size,
+    slice the payload, emit ONE ROW PER MEMBER with scalar features —
+    (doc_id, member_name, member_bytes, payload_sum, valid). A corrupt
+    archive degrades to a single valid=false row, never a mid-batch
+    throw (the media-parser contract).
+
+    Scale shape: shards stream through Arrow batches; member extraction
+    is pure per-row Python over the binary column — no shuffle; the
+    member rows feed the existing decode chain (a .jpg member body is
+    exactly what parse_jpeg/image_dhash consume)."""
+    out_schema = (
+        "doc_id bigint, member_name string, member_bytes bigint, "
+        "payload_sum bigint, valid boolean"
+    )
+
+    def members(b: bytes):
+        pos, out = 0, []
+        while pos + 512 <= len(b):
+            h = b[pos : pos + 512]
+            if h == b"\x00" * 512:
+                return out  # end-of-archive
+            if h[257:263] != b"ustar\x00":
+                return None
+            stored = int(h[148:156].rstrip(b"\x00 ") or b"0", 8)
+            if sum(h[:148]) + 8 * 0x20 + sum(h[156:]) != stored:
+                return None
+            try:
+                size = int(h[124:136].rstrip(b"\x00 ") or b"0", 8)
+            except ValueError:
+                return None
+            name = h[:100].rstrip(b"\x00").decode("ascii", "replace")
+            payload = b[pos + 512 : pos + 512 + size]
+            if len(payload) != size:
+                return None  # truncated member
+            out.append((name, size, sum(payload)))
+            pos += 512 + size
+            if size % 512:
+                pos += 512 - size % 512
+        return None  # ran off the end without the zero-block terminator
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "member_name", "member_bytes", "payload_sum",
+                "valid")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                i = int(doc_id)
+                ms = members(bytes(payload))
+                if ms is None:
+                    out["doc_id"].append(i)
+                    out["member_name"].append(None)
+                    out["member_bytes"].append(None)
+                    out["payload_sum"].append(None)
+                    out["valid"].append(False)
+                    continue
+                for name, size, psum in ms:
+                    out["doc_id"].append(i)
+                    out["member_name"].append(name)
+                    out["member_bytes"].append(size)
+                    out["payload_sum"].append(psum)
+                    out["valid"].append(True)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(run, out_schema)

@@ -3,7 +3,7 @@ weighted sampling, Bloom decontamination, semantic dedup."""
 
 from __future__ import annotations
 
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from data_lakes_tp2_student_spark.operators.bloom import bloom_build, bloom_probe
 from data_lakes_tp2_student_spark.operators.graph import triangle_count
@@ -269,3 +269,88 @@ class TestGraphAgainstBruteForce:
                 for r in label_propagation(_edges(spark, pairs), 3).collect()
             }
             assert got == labels, seed
+
+
+class TestTarParsing:
+    def _parse(self, spark, blobs):
+        from pyspark.sql import Row
+        from data_lakes_tp2_student_spark.operators.multimodal import (
+            parse_tar_members,
+        )
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, media=b) for i, b in enumerate(blobs)],
+            "doc_id long, media binary",
+        )
+        return parse_tar_members(df).collect()
+
+    def test_stdlib_tarfile_reads_our_archives(self, spark, tmp_path):
+        """Cross-validation: Python's tarfile must accept the generated
+        ustar bytes, and its member list must match our parser's."""
+        import io
+        import tarfile
+
+        from data_lakes_tp2_student_spark.operators.multimodal import (
+            attach_tar_media,
+        )
+
+        docs = spark.range(5, 9).select(F.col("id").alias("doc_id"))
+        blobs = {
+            r.doc_id: bytes(r.media)
+            for r in attach_tar_media(docs, "doc_id").collect()
+        }
+        for i, blob in blobs.items():
+            with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+                names = tf.getnames()
+                assert len(names) == i % 3 + 1
+                for j, name in enumerate(sorted(names)[:1]):
+                    assert name.startswith(f"{i:08d}.")
+                for m in tf.getmembers():
+                    assert m.size == sum(
+                        1 for _ in range(m.size)
+                    )  # size sane
+                    payload = tf.extractfile(m).read()
+                    assert len(payload) == m.size
+
+    def test_our_parser_reads_stdlib_tar(self, spark):
+        """And the reverse: a tarfile-written archive parses member-for-
+        member (ustar format)."""
+        import io
+        import tarfile
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+            for name, payload in (("a.txt", b"hello"), ("a.jpg", b"\x01\x02\x03")):
+                info = tarfile.TarInfo(name)
+                info.size = len(payload)
+                tf.addfile(info, io.BytesIO(payload))
+        rows = self._parse(spark, [buf.getvalue()])
+        got = {(r.member_name, r.member_bytes, r.payload_sum) for r in rows}
+        assert got == {("a.txt", 5, sum(b"hello")), ("a.jpg", 3, 6)}
+        assert all(r.valid for r in rows)
+
+    def test_corrupt_archives_degrade_to_invalid_rows(self, spark):
+        from data_lakes_tp2_student_spark.operators.multimodal import (
+            _tar_header,
+            _tar_member_payload,
+        )
+
+        good = (
+            _tar_header(b"x.txt", 4) + b"abcd" + b"\x00" * 508 + b"\x00" * 1024
+        )
+        bad_magic = bytearray(good)
+        bad_magic[257:263] = b"notar\x00"
+        bad_chksum = bytearray(good)
+        bad_chksum[148:156] = b"0000000\x00"
+        truncated = good[: 512 + 2]  # header promises 4 bytes, only 2 exist
+        no_terminator = good[:-1024]
+        rows = self._parse(
+            spark,
+            [bytes(bad_magic), bytes(bad_chksum), truncated, no_terminator, good],
+        )
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for d in (0, 1, 2, 3):
+            assert len(by_doc[d]) == 1 and not by_doc[d][0].valid, d
+        assert by_doc[4][0].valid and by_doc[4][0].payload_sum == sum(b"abcd")
