@@ -1170,3 +1170,48 @@ def x49b_wds_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("member_name").endswith(".jpg"), F.col("payload_sum"))
         ).alias("jpg_sum"),
     )
+
+
+# ------------------------- x49c TAR -> JPEG decode chain (WebDataset)
+
+
+@register(
+    "x49c_tar_jpeg_chain",
+    oracle="""
+    -- docs with a .jpg member (id % 3 != 0); the member body is a REAL
+    -- baseline JPEG whose decoded luma plane the x5j arithmetic predicts
+    SELECT doc_id,
+           true AS valid,
+           CAST(8 * (doc_id % 3 + 2) AS BIGINT) AS width,
+           CAST(8 * (doc_id % 2 + 1) AS BIGINT) AS height,
+           CAST(64 * list_sum(list_transform(
+                    range(0, (doc_id % 3 + 2) * (doc_id % 2 + 1)),
+                    k -> (doc_id * 17
+                          + (k // (doc_id % 3 + 2)) * 29
+                          + (k % (doc_id % 3 + 2)) * 43) % 256))
+               AS BIGINT) AS px_sum
+    FROM documents
+    WHERE doc_id % 3 <> 0
+    """,
+)
+def x49c_tar_jpeg_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x49c — the full WebDataset read chain, format inside format: a
+    generated ustar shard per document carries a REAL baseline JPEG as
+    its .jpg member; the lib-free tar walk extracts the member BYTES
+    (emit_payload), and the lib-free JPEG decoder consumes them —
+    shard -> member -> entropy decode -> dequant -> IDCT, with the x5j
+    arithmetic oracle verifying the decoded luma sum end-to-end. This is
+    the exact data path of multimodal pretraining ingestion."""
+    from ..operators.jpeg import parse_jpeg
+    from ..operators.multimodal import attach_tar_media, parse_tar_members
+
+    docs = load(spark, sf_dir, "documents")
+    members = parse_tar_members(
+        attach_tar_media(docs, "doc_id", real_jpeg=True), emit_payload=True
+    )
+    jpgs = members.filter(
+        F.col("valid") & F.col("member_name").endswith(".jpg")
+    ).select("doc_id", F.col("payload").alias("media"))
+    return parse_jpeg(jpgs).select(
+        "doc_id", "valid", "width", "height", "px_sum"
+    )

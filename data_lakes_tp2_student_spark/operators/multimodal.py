@@ -1038,13 +1038,18 @@ def _tar_header(name: bytes, size: int) -> bytes:
     return bytes(h)
 
 
-def attach_tar_media(df: DataFrame, id_col: str) -> DataFrame:
+def attach_tar_media(
+    df: DataFrame, id_col: str, real_jpeg: bool = False
+) -> DataFrame:
     """Build a REAL (tiny) POSIX ustar TAR shard per row — the WebDataset
     container convention: members share a basename and differ by
     extension ({basename}.txt / .jpg / .cls), (id % 3 + 1) members, with
     name, size, and payload bytes all deterministic functions of the id
     so a SQL oracle can predict every member's byte sum. Same fixture
-    contract as attach_bmp_media/attach_wav_media."""
+    contract as attach_bmp_media/attach_wav_media. With ``real_jpeg``
+    the .jpg member carries an actual decodable baseline JPEG
+    (operators/jpeg.py:jpeg_bytes) instead of synthetic bytes — the
+    format-in-format fixture for the shard -> member -> decode chain."""
     out_schema = "doc_id bigint, media binary"
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1054,7 +1059,12 @@ def attach_tar_media(df: DataFrame, id_col: str) -> DataFrame:
                 i = int(doc_id)
                 buf = bytearray()
                 for j in range(i % 3 + 1):
-                    payload = _tar_member_payload(i, j)
+                    if real_jpeg and _TAR_EXTS[j] == "jpg":
+                        from .jpeg import jpeg_bytes
+
+                        payload = jpeg_bytes(i)
+                    else:
+                        payload = _tar_member_payload(i, j)
                     name = f"{i:08d}.{_TAR_EXTS[j]}".encode()
                     buf += _tar_header(name, len(payload))
                     buf += payload
@@ -1070,7 +1080,9 @@ def attach_tar_media(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def parse_tar_members(media_df: DataFrame) -> DataFrame:
+def parse_tar_members(
+    media_df: DataFrame, emit_payload: bool = False
+) -> DataFrame:
     """x49 — lib-free TAR member walk (the WebDataset shard reader): step
     512-byte ustar headers, verify magic + checksum, read the octal size,
     slice the payload, emit ONE ROW PER MEMBER with scalar features —
@@ -1086,8 +1098,17 @@ def parse_tar_members(media_df: DataFrame) -> DataFrame:
         "doc_id bigint, member_name string, member_bytes bigint, "
         "payload_sum bigint, valid boolean"
     )
+    if emit_payload:  # the downstream-decode shape (bytes survive)
+        out_schema += ", payload binary"
 
     def members(b: bytes):
+        if b[:2] == b"\x1f\x8b":  # gzip-wrapped shard (.tar.gz)
+            import zlib
+
+            try:
+                b = zlib.decompress(b, wbits=31)
+            except zlib.error:
+                return None
         pos, out = 0, []
         while pos + 512 <= len(b):
             h = b[pos : pos + 512]
@@ -1106,7 +1127,7 @@ def parse_tar_members(media_df: DataFrame) -> DataFrame:
             payload = b[pos + 512 : pos + 512 + size]
             if len(payload) != size:
                 return None  # truncated member
-            out.append((name, size, sum(payload)))
+            out.append((name, size, sum(payload), payload))
             pos += 512 + size
             if size % 512:
                 pos += 512 - size % 512
@@ -1114,9 +1135,11 @@ def parse_tar_members(media_df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in (
-                "doc_id", "member_name", "member_bytes", "payload_sum",
-                "valid")}
+            cols = ["doc_id", "member_name", "member_bytes",
+                    "payload_sum", "valid"]
+            if emit_payload:
+                cols.append("payload")
+            out = {k: [] for k in cols}
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
                 i = int(doc_id)
                 ms = members(bytes(payload))
@@ -1126,13 +1149,17 @@ def parse_tar_members(media_df: DataFrame) -> DataFrame:
                     out["member_bytes"].append(None)
                     out["payload_sum"].append(None)
                     out["valid"].append(False)
+                    if emit_payload:
+                        out["payload"].append(None)
                     continue
-                for name, size, psum in ms:
+                for name, size, psum, body in ms:
                     out["doc_id"].append(i)
                     out["member_name"].append(name)
                     out["member_bytes"].append(size)
                     out["payload_sum"].append(psum)
                     out["valid"].append(True)
+                    if emit_payload:
+                        out["payload"].append(body)
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(run, out_schema)

@@ -354,3 +354,20 @@ class TestTarParsing:
         for d in (0, 1, 2, 3):
             assert len(by_doc[d]) == 1 and not by_doc[d][0].valid, d
         assert by_doc[4][0].valid and by_doc[4][0].payload_sum == sum(b"abcd")
+
+    def test_gzip_wrapped_shard_unwraps(self, spark):
+        import gzip
+        import io
+        import tarfile
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+            info = tarfile.TarInfo("s.txt")
+            info.size = 3
+            tf.addfile(info, io.BytesIO(b"abc"))
+        gz = gzip.compress(buf.getvalue())
+        rows = self._parse(spark, [gz, b"\x1f\x8b" + b"junk"])
+        by_doc = {r.doc_id: r for r in rows}
+        assert by_doc[0].valid and by_doc[0].member_name == "s.txt"
+        assert by_doc[0].payload_sum == sum(b"abc")
+        assert not by_doc[1].valid  # corrupt gzip degrades, no throw
