@@ -1215,3 +1215,47 @@ def x49c_tar_jpeg_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_jpeg(jpgs).select(
         "doc_id", "valid", "width", "height", "px_sum"
     )
+
+
+# ------------------------- e3d analytic-window rank family completion
+
+
+@register(
+    "e3d_window_rank_family",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           first_value(o_orderkey) OVER
+               (w ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS cheapest_key,
+           nth_value(o_orderkey, 3) OVER
+               (w ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS third_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def e3d_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e3 extension — the remaining analytic rank family in one pass:
+    percent_rank (relative position), cume_dist (empirical CDF),
+    first_value / nth_value over the full frame (per-group champion and
+    3rd-cheapest order). One hash exchange by priority feeds all four —
+    Spark evaluates every function over the same sorted window run, so
+    completing the family costs no extra shuffle. Ordering is the total
+    (price, key) order, making ranks engine-identical."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(wf).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 3).over(wf).alias("third_key"),
+    )
