@@ -12,7 +12,7 @@ through one process).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 # The reference's raw contract: 5 string columns, headerless
@@ -52,3 +52,49 @@ def read_csv_headered(
     else:
         reader = reader.option("inferSchema", True)
     return reader.csv(paths)
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: T.StructType,
+    header: bool = False,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Resilient ingest: PERMISSIVE CSV read that returns
+    ``(good_rows, quarantine)`` instead of failing the job or silently
+    null-filling garbage.
+
+    A malformed line (wrong arity, unparseable typed field) lands with
+    its RAW TEXT in `corrupt_col` and nulls elsewhere; the split sends
+    clean rows onward and quarantines the raw lines for repair/audit —
+    the lakehouse badRecords pattern without a vendor sink. At 100 TB
+    this is the difference between one bad shard killing a 10-hour
+    ingest (FAILFAST), corrupting it silently (DROPMALFORMED), and a
+    reviewable quarantine table.
+
+    Spark only materializes `corrupt_col` when the parsed rows are
+    cached or the column is selected from the same scan — both frames
+    here derive from ONE cached PERMISSIVE scan, so the file is read
+    once and the semantics are stable (the reference's pandas read_csv
+    simply raises on ragged lines — its whole ingest is FAILFAST).
+
+    The quarantine frame carries (`corrupt_col`) only."""
+    if isinstance(paths, str):
+        paths = [paths]
+    full = T.StructType(
+        schema.fields + [T.StructField(corrupt_col, T.StringType())]
+    )
+    parsed = (
+        spark.read.schema(full)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(paths)
+        .cache()
+    )
+    good = parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = parsed.filter(F.col(corrupt_col).isNotNull()).select(
+        corrupt_col
+    )
+    return good, quarantine
