@@ -369,3 +369,25 @@ def test_stream_interval_join_plans_symmetric_hash(spark):
         assert "StreamingSymmetricHashJoin" in p, (how, p)
         assert "BroadcastNestedLoopJoin" not in p
         assert "CartesianProduct" not in p
+
+
+def test_join_strategy_hints_steer_the_planner(spark):
+    """The join-strategy control surface: the same orders x lineitem
+    equi-join plans as broadcast, shuffled-hash, or sort-merge purely by
+    hint, and every variant returns identical results — the knob used at
+    100 TB when the optimizer's size estimates are wrong (a misestimated
+    broadcast OOMs an executor; a forced shuffle_hash skips the sort)."""
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    base = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
+    sh = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    sm = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "BroadcastHashJoin" in plan_of(base)
+    assert "ShuffledHashJoin" in plan_of(sh)
+    assert "SortMergeJoin" in plan_of(sm)
+    counts = {df.count() for df in (base, sh, sm)}
+    assert len(counts) == 1
