@@ -1259,3 +1259,89 @@ def e3d_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(wf).alias("cheapest_key"),
         F.nth_value("o_orderkey", 3).over(wf).alias("third_key"),
     )
+
+
+# --------------------------- x50 equi-depth histogram (two-phase rank)
+
+_EQD_BINS = 8
+_EQD_SLICES = 32
+
+
+@register(
+    "x50_equidepth_histogram",
+    oracle=f"""
+    WITH r AS (
+        SELECT l_extendedprice AS p,
+               ntile({_EQD_BINS}) OVER (
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) AS bin
+        FROM lineitem
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(p), 2) AS lo,
+           round(max(p), 2) AS hi
+    FROM r GROUP BY bin
+    """,
+)
+def x50_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x50 — EQUI-DEPTH histogram (the selectivity-estimation complement
+    to d11's equi-width binning): 8 buckets with equal row counts, each
+    reporting its [lo, hi] value range — what an optimizer's column
+    statistics actually store.
+
+    A naive global ntile is ONE window task sorting the whole table; the
+    e3c two-phase rank applies unchanged minus the group column: (1)
+    deterministic value-range bands from global min/max, (2) tiny
+    per-band counts -> broadcast rank offsets, (3) per-band local sort +
+    offset = exact global rank, (4) the bin is pure arithmetic on
+    (rank, n). Bands are monotone in the total (price, orderkey,
+    linenumber) order, so offset+local rank is exact in any engine."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_extendedprice").alias("p")
+    )
+    stats = li.agg(
+        F.min("p").alias("_lo"), F.max("p").alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    band = F.least(
+        F.lit(_EQD_SLICES - 1),
+        F.floor(
+            (F.col("p") - F.col("_lo"))
+            / ((F.col("_hi") - F.col("_lo") + F.lit(1e-6)) / _EQD_SLICES)
+        ),
+    ).cast("int")
+    banded = li.crossJoin(F.broadcast(stats)).withColumn("_band", band)
+    pc = banded.groupBy("_band").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = pc.select(
+        "_band", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = Window.partitionBy("_band").orderBy(
+        "p", "l_orderkey", "l_linenumber"
+    )
+    k = _EQD_BINS
+    ranked = (
+        banded.withColumn("_lrn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "_band")
+        .withColumn("_rn", F.col("_off") + F.col("_lrn"))
+    )
+    q_sz = F.col("_n") / k
+    big = (F.col("_n") % k) * (F.floor(q_sz) + 1)
+    bin_ = F.when(
+        F.col("_rn") <= big, F.ceil(F.col("_rn") / (F.floor(q_sz) + 1))
+    ).otherwise(
+        (F.col("_n") % k)
+        + F.ceil((F.col("_rn") - big) / F.greatest(F.floor(q_sz), F.lit(1)))
+    )
+    return (
+        ranked.withColumn("bin", bin_.cast("bigint"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("p"), 2).alias("lo"),
+            F.round(F.max("p"), 2).alias("hi"),
+        )
+    )

@@ -330,6 +330,7 @@ def test_no_cartesian_product_anywhere_in_registry(spark):
         "x3c_knn_ivf",
         "x40_label_propagation",
         "x47_sparse_cosine",  # 1-row corpus-count broadcast (IDF scalar)
+        "x50_equidepth_histogram",  # 1-row min/max/n stats broadcast
         "x4d_tfidf_topk",
         "x6_tpch_q11",
         "x6_tpch_q22",
