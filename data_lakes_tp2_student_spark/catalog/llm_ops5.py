@@ -1345,3 +1345,43 @@ def x50_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("p"), 2).alias("hi"),
         )
     )
+
+
+# --------------------------------- x51 column profiling (unpivot audit)
+
+
+@register(
+    "x51_column_profile",
+    oracle="""
+    SELECT 'lang' AS col,
+           count(*) - count(lang) AS n_nulls,
+           count(DISTINCT lang) AS n_distinct FROM documents
+    UNION ALL
+    SELECT 'source', count(*) - count(source), count(DISTINCT source)
+    FROM documents
+    UNION ALL
+    SELECT 'text', count(*) - count(text), count(DISTINCT text)
+    FROM documents
+    """,
+)
+def x51_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x51 — per-column data profile (nulls + distinct cardinality), the
+    warehouse catalog-statistics pass that complements x18's row-level
+    constraint audit. One UNPIVOT (stack) melts the columns so a single
+    grouped aggregation profiles them all — one table scan however many
+    columns are profiled, instead of one scan per column; at 100 TB the
+    distinct counts swap to approx_count_distinct (d2x) with identical
+    shape."""
+    docs = load(spark, sf_dir, "documents")
+    melted = docs.select(
+        F.expr(
+            "stack(3, 'lang', lang, 'source', source, 'text', text) "
+            "AS (col, val)"
+        )
+    )
+    return melted.groupBy("col").agg(
+        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.countDistinct("val").alias("n_distinct"),
+    )
