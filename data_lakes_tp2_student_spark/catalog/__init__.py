@@ -16,6 +16,7 @@ from . import llm_ops2  # noqa: F401,E402
 from . import llm_ops3  # noqa: F401,E402
 from . import llm_ops4  # noqa: F401,E402
 from . import llm_ops5  # noqa: F401,E402
+from . import llm_ops6  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402

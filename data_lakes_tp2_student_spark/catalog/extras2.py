@@ -130,7 +130,9 @@ def i9_stream_lake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same stale-fixture hazard as a10).
     shutil.rmtree(dest, ignore_errors=True)
     stream_upsert_partitions(spark, sf_dir, dest)
-    back = spark.read.parquet(dest)
+    from ..io.manifest import ManifestTable
+
+    back = ManifestTable(dest).read(spark)
     from ..functions.money import dec2
 
     return back.groupBy("day").agg(

@@ -1,0 +1,308 @@
+"""Snapshot-isolated table commits: a minimal manifest log over parquet.
+
+The reference's only "transaction" is whole-file CSV clobbering (e.g.
+/root/reference/build/unpack_to_raw.py:57 re-uploads the entire zone
+object); the plain-parquet zones this repo writes (`io/sinks.py`,
+`streaming/jobs.py:stream_upsert_partitions`) improved that to dynamic
+partition overwrite — but an overwrite is still not atomic ACROSS
+partitions: a driver that dies mid-write leaves some partitions replaced
+and others not, and a concurrent reader can see the mix.
+
+This module closes that gap with the public Delta/Iceberg log design,
+reduced to its load-bearing core:
+
+- **Data files are immutable.** Every commit writes its parquet files into
+  a fresh `data/txn=<uuid>/` directory; nothing ever rewrites or deletes a
+  live file. (The `txn=` spelling makes every path segment a `k=v` pair,
+  so Spark's own partition discovery parses the layout — the reader is a
+  vanilla `spark.read.option("basePath", root).parquet(*files)`, no custom
+  relation needed; the synthetic `txn` column is dropped after read.)
+- **A manifest pins a version.** `_manifest/v{N}.json` lists exactly the
+  data files (+ their partition values, + the schema) visible at version
+  N. Readers resolve a version (latest by default), then read only its
+  files — a half-written version N+1 is INVISIBLE because its manifest
+  does not exist yet and its data files are in txn dirs no manifest
+  references.
+- **Commit = atomic put-if-absent of the next manifest.** The manifest is
+  staged to a temp name and published with `os.link` (hard link), which
+  fails with EEXIST if some other writer won the version — the HDFS-style
+  rename-no-overwrite primitive. Losers rebase on the new latest and
+  retry (optimistic concurrency); append/replace commits re-derive their
+  file list against the winner's snapshot, so no lost updates. (On S3
+  proper this single primitive is what a DynamoDB/conditional-put
+  LogStore supplies; everything else is unchanged.)
+- **Crash recovery is structural.** A writer that dies after the data
+  write but before the manifest link leaves only an orphan txn dir;
+  readers never see it, and `vacuum()` removes any txn dir no manifest
+  references once a later commit (or none) lands.
+
+Scale notes: the manifest lists file PATHS and partition values, not data
+— O(files), the same contract as a Delta JSON commit; at 100 TB the log
+compacts to checkpoints, which this minimal layer leaves out (versions
+here are full snapshots, so every manifest IS a checkpoint — simpler, at
+the cost of O(files) per commit, acceptable up to ~10^5 files). Partition
+pruning still works: `read()` can prune by partition value against the
+manifest before Spark ever lists a file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+import uuid
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _parse_partition(rel_path: str) -> dict[str, str | None]:
+    """Partition values from a relative file path's `k=v` dir segments
+    (Hive layout; `txn` is the commit id, not a table partition)."""
+    out: dict[str, str | None] = {}
+    for seg in rel_path.split("/")[:-1]:
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        if k == "txn":
+            continue
+        out[k] = None if v == HIVE_NULL else unquote(v)
+    return out
+
+
+class ManifestTable:
+    """A versioned parquet table at `root` with snapshot-isolated commits."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.log_dir = os.path.join(root, "_manifest")
+        self.data_dir = os.path.join(root, "data")
+
+    # ---------- log primitives ----------
+
+    def _version_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"v{version:020d}.json")
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def manifest(self, version: int) -> dict:
+        with open(self._version_path(version)) as f:
+            return json.load(f)
+
+    def _publish(self, manifest: dict) -> bool:
+        """Atomic put-if-absent of `manifest` as its version file. Returns
+        False if another writer already published that version number."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            prefix=".commit-", suffix=".json", dir=self.log_dir
+        )
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
+            try:
+                # hard link = atomic create-if-absent on POSIX/HDFS-likes
+                os.link(tmp, self._version_path(manifest["version"]))
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            os.unlink(tmp)
+
+    # ---------- data write ----------
+
+    def _write_txn(
+        self, df: DataFrame, partition_by: list[str] | None
+    ) -> tuple[str, list[dict]]:
+        """Write `df`'s parquet files into a fresh txn dir; return
+        (txn id, file entries with table-relative paths + partition
+        values). Immutable: a crash after this leaves only an orphan."""
+        txn = uuid.uuid4().hex
+        txn_dir = os.path.join(self.data_dir, f"txn={txn}")
+        w = df.write
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(txn_dir)
+        entries = []
+        for dirpath, _dirs, names in os.walk(txn_dir):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, self.root)
+                entries.append(
+                    {"path": rel, "partition": _parse_partition(rel)}
+                )
+        return txn, entries
+
+    # ---------- commits ----------
+
+    def _commit(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None,
+        action: str,
+        keep_parent_file,  # (entry) -> bool, given the parent snapshot
+        max_attempts: int = 20,
+    ) -> int:
+        schema_json = df.schema.json()
+        _txn, new_files = self._write_txn(df, partition_by)
+        # Optimistic loop: the data write happens ONCE (files are
+        # immutable and version-independent); only the manifest derivation
+        # rebases when a concurrent writer wins the version race.
+        for _ in range(max_attempts):
+            parent = self.latest_version()
+            if parent is None:
+                parent_files: list[dict] = []
+            else:
+                parent_files = self.manifest(parent)["files"]
+            files = [e for e in parent_files if keep_parent_file(e)] + new_files
+            manifest = {
+                "version": (parent if parent is not None else -1) + 1,
+                "parent": parent,
+                "action": action,
+                "partition_by": partition_by or [],
+                "schema": schema_json,
+                "files": files,
+                "committed_at": time.time(),
+            }
+            if self._publish(manifest):
+                return manifest["version"]
+        raise RuntimeError(
+            f"manifest commit lost the version race {max_attempts} times"
+        )
+
+    def commit_overwrite(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> int:
+        """Full-table replace: the new version lists only this commit's
+        files. Old versions stay readable until vacuum."""
+        return self._commit(df, partition_by, "overwrite", lambda e: False)
+
+    def commit_append(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> int:
+        """Append: new version = parent's files + this commit's files."""
+        return self._commit(df, partition_by, "append", lambda e: True)
+
+    def commit_replace_partitions(
+        self, df: DataFrame, partition_by: list[str]
+    ) -> int:
+        """Atomic dynamic-partition overwrite: parent files in partitions
+        `df` writes are dropped from the snapshot, all other partitions
+        carry over untouched — the `overwrite_partitions` semantics
+        (io/sinks.py) but atomic across ALL touched partitions: readers
+        see every partition pre-commit or every partition post-commit,
+        never a mix."""
+        _txn, new_files = self._write_txn(df, partition_by)
+        touched = {tuple(sorted(e["partition"].items())) for e in new_files}
+        for _ in range(20):
+            parent = self.latest_version()
+            parent_files = (
+                self.manifest(parent)["files"] if parent is not None else []
+            )
+            files = [
+                e
+                for e in parent_files
+                if tuple(sorted(e["partition"].items())) not in touched
+            ] + new_files
+            manifest = {
+                "version": (parent if parent is not None else -1) + 1,
+                "parent": parent,
+                "action": "replace_partitions",
+                "partition_by": partition_by,
+                "schema": df.schema.json(),
+                "files": files,
+                "committed_at": time.time(),
+            }
+            if self._publish(manifest):
+                return manifest["version"]
+        raise RuntimeError("manifest commit lost the version race 20 times")
+
+    # ---------- read ----------
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        partition_filter=None,
+    ) -> DataFrame:
+        """Snapshot read. `version=None` pins the CURRENT latest at call
+        time (later commits don't change this DataFrame's file list —
+        that IS the isolation). `partition_filter` ({col: value-or-list})
+        prunes files against the MANIFEST, before Spark lists anything."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self.manifest(version)
+        files = m["files"]
+        if partition_filter:
+            want = {
+                k: {None if v is None else str(v) for v in (vs if isinstance(vs, (list, set, tuple)) else [vs])}
+                for k, vs in partition_filter.items()
+            }
+            files = [
+                e
+                for e in files
+                if all(e["partition"].get(k) in vs for k, vs in want.items())
+            ]
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if not files:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, e["path"]) for e in files]
+        df = spark.read.option("basePath", self.root).parquet(*paths)
+        out = df.drop("txn")
+        # Normalize to the committed schema: partition discovery appends
+        # partition cols at the END and type-INFERS them from the path
+        # string (a "2024-01-01" day would come back DATE even if the
+        # committed column is string) — the cast pins the committed type.
+        return out.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+
+    # ---------- maintenance ----------
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Remove txn dirs referenced by NO retained manifest — orphans
+        from crashed commits and files superseded past the retention
+        window. Retains the newest `keep_versions` manifests (≥1; readers
+        of vacuumed history get a loud FileNotFoundError, same contract
+        as Delta's VACUUM). Returns removed txn dir names."""
+        import shutil
+
+        vs = self.versions()
+        keep = vs[-max(1, keep_versions):] if vs else []
+        live: set[str] = set()
+        for v in keep:
+            for e in self.manifest(v)["files"]:
+                first = e["path"].split("/")[1] if "/" in e["path"] else ""
+                live.add(first)  # "txn=<id>"
+        removed = []
+        if os.path.isdir(self.data_dir):
+            for name in os.listdir(self.data_dir):
+                if name.startswith("txn=") and name not in live:
+                    shutil.rmtree(os.path.join(self.data_dir, name))
+                    removed.append(name)
+        for v in vs:
+            if v not in keep:
+                os.unlink(self._version_path(v))
+        return removed

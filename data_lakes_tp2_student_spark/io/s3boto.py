@@ -176,8 +176,12 @@ def run_pipeline_s3(
         "tokens", F.concat_ws(",", F.col("tokens").cast("array<string>"))
     )
     store.put_csv(flat, "curated", "tokenized.csv")
+    # The curated write materialized every upstream temp fetch — drop them
+    # now (review r5) instead of holding them for the whole process, and
+    # hand back FRESH fetches whose temps the caller owns (next cleanup()).
+    store.cleanup()
     return {
-        "raw": raw_back,
-        "staged": staged_back,
+        "raw": store.get_csv(spark, "raw", "combined_raw.csv", schema=PFAM_RAW_SCHEMA),
+        "staged": store.get_csv(spark, "staging", "preprocessed.csv", schema=staged.schema),
         "curated": store.get_csv(spark, "curated", "tokenized.csv"),
     }

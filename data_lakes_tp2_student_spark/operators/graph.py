@@ -16,7 +16,14 @@ small side at dup-graph densities) + one partial-aggregated sum — the
 Pregel message-passing round as DataFrame ops. A FIXED iteration count
 keeps the lineage bounded (~2 plan nodes per round), so no checkpointing
 is needed — unbounded loops belong to `dup_clusters`, which documents the
-localCheckpoint contract."""
+localCheckpoint contract.
+
+Cache contract: these operators persist() loop-carried inputs and do NOT
+unpersist before returning — the returned DataFrame still depends on the
+cached frames, so an eager unpersist would force a full recompute at
+materialization. Callers running many queries in one session are expected
+to `spark.catalog.clearCache()` after each query materializes; both the
+bench harness (bench.py) and the local oracle gate (tests/oracle.py) do."""
 
 from __future__ import annotations
 

@@ -83,7 +83,7 @@ def zorder_by(df: DataFrame, cols: list[str], n_files: int, bits: int = 16) -> D
     return clustered
 
 
-def hilbert_key(x: Column, y: Column, bits: int = 8) -> Column:
+def hilbert_key(x: Column, y: Column, bits: int = 6) -> Column:
     """Hilbert-curve index of a 2-D grid point — the locality-tighter
     alternative to `zorder_key`: consecutive Hilbert indices are ALWAYS
     grid-adjacent (unit Manhattan step), while the Morton curve jumps

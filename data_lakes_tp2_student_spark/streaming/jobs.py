@@ -342,40 +342,38 @@ def stream_upsert_partitions(
     batch_id) is an optional observation hook for tests. Runs the file
     source dry synchronously (same test-bed contract as the other jobs).
 
-    Scale: the merge reads back only the touched partitions (the day list
-    is partition METADATA — bounded by days-per-batch, not data — the one
-    driver-side collect this sink makes; membership is null-safe so a
-    null-day partition merges like any other); the `localCheckpoint`
-    breaks lineage so the overwrite never reads the files it is
-    replacing."""
-    import functools
-    import os as _os
+    The lake is a SNAPSHOT-COMMITTED manifest table (io/manifest.py,
+    VERDICT r5 item 2): each micro-batch lands as ONE
+    `commit_replace_partitions`, so every touched day flips to the new
+    state atomically — a reader never sees day A post-batch and day B
+    pre-batch (the mixed state a raw dynamic partition overwrite can
+    expose mid-write), and a driver killed mid-batch leaves only an
+    orphan txn dir that the next `vacuum()` removes. Read the lake back
+    with `ManifestTable(dest).read(spark)`.
 
-    from ..io.sinks import overwrite_partitions
+    Scale: the merge reads back only the touched partitions — pruned
+    against the manifest's file list, so untouched history is never even
+    LISTED (the day list is partition metadata, bounded by days-per-batch,
+    the one driver-side collect this sink makes); the `localCheckpoint`
+    breaks lineage so the commit never re-reads files it supersedes."""
+    from ..io.manifest import ManifestTable
 
+    table = ManifestTable(dest)
     ev = read_events_stream(spark, sf_dir).withColumn("day", F.to_date("ts"))
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         if on_batch is not None:
             on_batch(batch, batch_id)
         merged = batch.dropDuplicates(["event_id"])
-        if _os.path.exists(dest):
+        if table.latest_version() is not None:
             days = [r.day for r in batch.select("day").distinct().collect()]
-            # eqNullSafe, not isin: isin([None]) is NULL (never true) and
-            # would silently drop an existing null-day partition's rows
-            # from the merge.
-            member = functools.reduce(
-                lambda a, b: a | b,
-                [F.col("day").eqNullSafe(F.lit(d)) for d in days],
-                F.lit(False),
-            )
-            existing = spark.read.parquet(dest).filter(member)
+            existing = table.read(spark, partition_filter={"day": days})
             merged = (
                 merged.unionByName(existing)
                 .dropDuplicates(["event_id"])
                 .localCheckpoint()
             )
-        overwrite_partitions(merged, dest, ["day"])
+        table.commit_replace_partitions(merged, ["day"])
 
     writer = ev.writeStream.outputMode("append").foreachBatch(upsert)
     if checkpoint_dir is not None:

@@ -94,6 +94,17 @@ def spark_nonportable_fields(sdf) -> list[str]:
 
 
 def compare_query(spark, name: str, sf_dir: str) -> None:
+    try:
+        _compare_query(spark, name, sf_dir)
+    finally:
+        # Some operators persist() intermediates (graph ops, k-means,
+        # sparse cosine) and leave eviction to the session; the full
+        # 178-query gate would otherwise accumulate cached blocks
+        # (review r5). The bench harness does the same per query.
+        spark.catalog.clearCache()
+
+
+def _compare_query(spark, name: str, sf_dir: str) -> None:
     q = REGISTRY[name]
     sdf = q.fn(spark, sf_dir)
     bad = spark_nonportable_fields(sdf)

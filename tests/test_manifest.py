@@ -1,0 +1,192 @@
+"""Snapshot-commit manifest layer (io/manifest.py) — VERDICT r5 item 2.
+
+The contract under test: readers pin a version; a version N reader is
+unaffected by any in-flight or committed version N+1; a crashed commit
+leaves no visible state and vacuums cleanly; replace_partitions is atomic
+across partitions; the put-if-absent publish resolves concurrent writers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lakes_tp2_student_spark.io.manifest import ManifestTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id int, v string, day string")
+
+
+@pytest.fixture()
+def tab(tmp_path):
+    return ManifestTable(str(tmp_path / "tab"))
+
+
+def rows(df):
+    return sorted((r.id, r.v, r.day) for r in df.collect())
+
+
+def test_commit_read_roundtrip_and_versions(spark, tab):
+    v0 = tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d2")]))
+    assert v0 == 0
+    v1 = tab.commit_append(_df(spark, [(3, "c", "d2")]))
+    assert v1 == 1
+    assert tab.versions() == [0, 1]
+    assert rows(tab.read(spark)) == [(1, "a", "d1"), (2, "b", "d2"), (3, "c", "d2")]
+    # time travel: version 0 still reads exactly its snapshot
+    assert rows(tab.read(spark, version=0)) == [(1, "a", "d1"), (2, "b", "d2")]
+
+
+def test_reader_pinned_while_next_version_half_written(spark, tab):
+    """THE isolation property: a reader resolved at version N sees exactly
+    version N even while N+1's data files already sit in the table dir
+    (manifest not yet published = commit not happened)."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    pinned = tab.read(spark)  # resolves (and freezes) the file list now
+    # half-written next commit: data files on disk, NO manifest entry
+    tab._write_txn(_df(spark, [(99, "zz", "d1"), (98, "yy", "d9")]), None)
+    assert rows(pinned) == [(1, "a", "d1")]
+    assert rows(tab.read(spark)) == [(1, "a", "d1")]  # fresh read too
+    assert tab.latest_version() == 0
+
+
+def test_crash_mid_commit_recovery(spark, tab):
+    """A writer that dies between data write and manifest publish leaves
+    an orphan txn dir: invisible to readers, removed by vacuum, and the
+    table accepts subsequent commits normally."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    tab._write_txn(_df(spark, [(50, "dead", "d1")]), None)  # "crash" here
+    orphan_count = len(
+        [d for d in os.listdir(tab.data_dir) if d.startswith("txn=")]
+    )
+    assert orphan_count == 2  # live + orphan
+    removed = tab.vacuum()
+    assert len(removed) == 1
+    assert rows(tab.read(spark)) == [(1, "a", "d1")]
+    # table still fully functional after recovery
+    tab.commit_append(_df(spark, [(2, "b", "d2")]))
+    assert rows(tab.read(spark)) == [(1, "a", "d1"), (2, "b", "d2")]
+
+
+def test_replace_partitions_touches_only_written_partitions(spark, tab):
+    tab.commit_overwrite(
+        _df(spark, [(1, "a", "d1"), (2, "b", "d2"), (3, "c", "d3")]),
+        partition_by=["day"],
+    )
+    # replace d2 only; d1/d3 files must carry over BYTE-identical (same
+    # manifest entries, no rewrite)
+    before = {
+        e["path"]
+        for e in tab.manifest(0)["files"]
+        if e["partition"]["day"] != "d2"
+    }
+    tab.commit_replace_partitions(
+        _df(spark, [(20, "B", "d2"), (21, "B2", "d2")]), ["day"]
+    )
+    after_entries = tab.manifest(1)["files"]
+    assert before <= {e["path"] for e in after_entries}
+    assert rows(tab.read(spark)) == [
+        (1, "a", "d1"),
+        (3, "c", "d3"),
+        (20, "B", "d2"),
+        (21, "B2", "d2"),
+    ]
+    # idempotent replay: committing the same batch again converges
+    tab.commit_replace_partitions(
+        _df(spark, [(20, "B", "d2"), (21, "B2", "d2")]), ["day"]
+    )
+    assert rows(tab.read(spark)) == [
+        (1, "a", "d1"),
+        (3, "c", "d3"),
+        (20, "B", "d2"),
+        (21, "B2", "d2"),
+    ]
+    # old snapshot still time-travels
+    assert rows(tab.read(spark, version=0)) == [
+        (1, "a", "d1"),
+        (2, "b", "d2"),
+        (3, "c", "d3"),
+    ]
+
+
+def test_partition_filter_prunes_against_manifest(spark, tab):
+    tab.commit_overwrite(
+        _df(spark, [(1, "a", "d1"), (2, "b", "d2")]), partition_by=["day"]
+    )
+    got = tab.read(spark, partition_filter={"day": "d2"})
+    assert rows(got) == [(2, "b", "d2")]
+
+
+def test_null_partition_value_roundtrip(spark, tab):
+    tab.commit_overwrite(
+        _df(spark, [(1, "a", None), (2, "b", "d1")]), partition_by=["day"]
+    )
+    assert rows(tab.read(spark)) == [(1, "a", None), (2, "b", "d1")]
+    got = tab.read(spark, partition_filter={"day": None})
+    assert rows(got) == [(1, "a", None)]
+
+
+def test_concurrent_commit_race_rebases(spark, tab):
+    """Loser of the version race must rebase, not clobber: simulate a
+    concurrent writer by publishing a manifest between the loser's data
+    write and its publish attempt."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+
+    real_publish = tab._publish
+    interloper = {"done": False}
+
+    def racing_publish(manifest):
+        if not interloper["done"]:
+            interloper["done"] = True
+            # the other writer wins version 1 first
+            other = ManifestTable(tab.root)
+            other.commit_append(_df(spark, [(7, "g", "d7")]))
+        return real_publish(manifest)
+
+    tab._publish = racing_publish
+    try:
+        v = tab.commit_append(_df(spark, [(2, "b", "d2")]))
+    finally:
+        tab._publish = real_publish
+    assert v == 2  # rebased onto the interloper's version 1
+    # NO lost update: both appends present
+    assert rows(tab.read(spark)) == [(1, "a", "d1"), (2, "b", "d2"), (7, "g", "d7")]
+
+
+def test_schema_survives_empty_and_column_order(spark, tab):
+    df = _df(spark, [(1, "a", "d1")]).filter(F.lit(False))
+    tab.commit_overwrite(df, partition_by=["day"])
+    got = tab.read(spark)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "v", "day"]
+    # committed dtypes pinned (partition col stays string, not inferred)
+    assert dict((f.name, f.dataType.simpleString()) for f in got.schema.fields) == {
+        "id": "int",
+        "v": "string",
+        "day": "string",
+    }
+
+
+def test_vacuum_retention_drops_old_versions(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    tab.commit_overwrite(_df(spark, [(2, "b", "d2")]))
+    tab.commit_overwrite(_df(spark, [(3, "c", "d3")]))
+    removed = tab.vacuum(keep_versions=1)
+    assert len(removed) == 2  # v0's and v1's txn dirs
+    assert tab.versions() == [2]
+    assert rows(tab.read(spark)) == [(3, "c", "d3")]
+    with pytest.raises(FileNotFoundError):
+        tab.read(spark, version=0)
+
+
+def test_manifest_is_json_with_schema_and_files(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]), partition_by=["day"])
+    m = json.load(open(tab._version_path(0)))
+    assert m["action"] == "overwrite"
+    assert m["partition_by"] == ["day"]
+    assert all(e["path"].startswith("data/txn=") for e in m["files"])
+    assert all(e["partition"] == {"day": "d1"} for e in m["files"])

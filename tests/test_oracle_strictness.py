@@ -100,3 +100,86 @@ def test_row_order_and_column_order_insensitive():
     a = pd.DataFrame({"x": [1, 2], "y": ["b", "a"]})
     b = pd.DataFrame({"y": ["a", "b"], "x": [2, 1]})
     assert canon_strings(a) == canon_strings(b)
+
+
+# ---------------------------------------------------------------------------
+# Mutation canaries (VERDICT r5 item 3): the local gate is the ONLY check for
+# the registry entries the driver never samples, so prove — per catalog
+# module — that compare_query actually FAILS when either side drifts. Each
+# canary perturbs a real query's oracle (value nudge / dropped row / extra
+# column) and expects the gate to throw; a gate that passes a mutated oracle
+# is a gate that proves nothing.
+# ---------------------------------------------------------------------------
+
+_VALUE_MUTATIONS = {
+    # one canary per catalog module, value-level (rows+schema unchanged so
+    # ONLY the hash can catch it)
+    "d3_group_sizes": "SELECT source, n + 1 AS n FROM ({o}) t",  # stats
+    "x6_tpch_q6": "SELECT revenue + 1 AS revenue FROM ({o}) t",  # relational
+    "i1_tumbling_window": (  # events_windows
+        "SELECT window_start, event_type, n, sum_value + 0.5 AS sum_value "
+        "FROM ({o}) t"
+    ),
+    "x4_term_frequency": "SELECT word, tf + 1 AS tf FROM ({o}) t",  # llm_ops
+    "f1_sort": "SELECT n_name, pos + 1 AS pos FROM ({o}) t",  # extras
+}
+
+
+def _with_mutated_oracle(name: str, template: str):
+    from data_lakes_tp2_student_spark.registry import REGISTRY, Query
+
+    q = REGISTRY[name]
+    return Query(
+        name=q.name, fn=q.fn, oracle=template.format(o=q.oracle), doc=q.doc
+    )
+
+
+def _expect_gate_failure(spark, name: str, template: str):
+    import pytest
+
+    import data_lakes_tp2_student_spark.catalog  # noqa: F401
+    from data_lakes_tp2_student_spark.registry import REGISTRY
+
+    from .oracle import compare_query
+
+    original = REGISTRY[name]
+    REGISTRY[name] = _with_mutated_oracle(name, template)
+    try:
+        with pytest.raises(AssertionError):
+            compare_query(spark, name, "/root/testdata/sf0.001")
+    finally:
+        REGISTRY[name] = original
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("name", sorted(_VALUE_MUTATIONS))
+def test_value_mutation_fails_gate(spark, name):
+    _expect_gate_failure(spark, name, _VALUE_MUTATIONS[name])
+
+
+def test_dropped_row_fails_gate(spark):
+    # analytics module canary: x13 returns 5 rows at sf0.001 — losing all
+    # but one must trip the row-count check
+    _expect_gate_failure(
+        spark, "x13_cohort_retention", "SELECT * FROM ({o}) t LIMIT 1"
+    )
+
+
+def test_extra_column_fails_gate(spark):
+    _expect_gate_failure(
+        spark, "d3_group_sizes", "SELECT *, 1 AS zz_canary FROM ({o}) t"
+    )
+
+
+def test_unmutated_canary_queries_pass_gate(spark):
+    """The canaries above prove the gate can fail; this proves the failure
+    is CAUSED by the mutation (not pre-existing breakage in the sampled
+    queries)."""
+    import data_lakes_tp2_student_spark.catalog  # noqa: F401
+
+    from .oracle import compare_query
+
+    for name in sorted(_VALUE_MUTATIONS) + ["x13_cohort_retention"]:
+        compare_query(spark, name, "/root/testdata/sf0.001")

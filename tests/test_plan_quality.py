@@ -214,18 +214,24 @@ def test_stream_upsert_partitions_matches_batch(spark, tmp_path):
         stream_upsert_partitions,
     )
 
+    from data_lakes_tp2_student_spark.io.manifest import ManifestTable
+
     dest = str(tmp_path / "events_lake")
     sf = "/root/testdata/sf0.001"
     stream_upsert_partitions(spark, sf, dest)
     batch = load(spark, sf, "events")
-    got = spark.read.parquet(dest)
+    table = ManifestTable(dest)
+    got = table.read(spark)
     assert got.count() == batch.count()
     assert set(got.select("event_id").toPandas()["event_id"]) == set(
         batch.select("event_id").toPandas()["event_id"]
     )
-    # idempotent replay: same input → same state, no duplication
+    # idempotent replay: same input → same state, no duplication —
+    # and each replayed batch lands as a NEW atomic manifest version
+    v_before = table.latest_version()
     stream_upsert_partitions(spark, sf, dest)
-    assert spark.read.parquet(dest).count() == batch.count()
+    assert table.read(spark).count() == batch.count()
+    assert table.latest_version() > v_before
 
 
 def test_substring_dedup_no_cartesian(spark):

@@ -60,8 +60,11 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     ).fetchone()[0]
     # the restarted query processed ONLY the late file — no reprocessing
     assert sum(seen) == n_all - n_even
-    # and the lake converged to exactly the batch table
-    got = spark.read.parquet(dest)
+    # and the lake converged to exactly the batch table (manifest read:
+    # the lake is a snapshot-committed table since r6)
+    from data_lakes_tp2_student_spark.io.manifest import ManifestTable
+
+    got = ManifestTable(dest).read(spark)
     batch = load(spark, SF, "events")
     assert got.count() == n_all
     assert set(r.event_id for r in got.select("event_id").collect()) == set(
