@@ -91,3 +91,73 @@ def x53_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _fresh_orders_table(spark, sf_dir, "x53")
     _commit_upsert(spark, table)  # version 1 exists...
     return table.read(spark, version=0)  # ...but we read version 0
+
+
+# ---------------------------------------------------------------------------
+# x5 family extension: compressed-audio + video-container metadata
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x5k_mp3_metadata",
+    oracle="""
+    SELECT doc_id,
+           true AS valid,
+           CAST(doc_id % 5 + 2 AS BIGINT) AS n_frames,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS BIGINT) AS sample_rate,
+           CAST(CASE doc_id % 14
+                WHEN 0 THEN 32 WHEN 1 THEN 40 WHEN 2 THEN 48 WHEN 3 THEN 56
+                WHEN 4 THEN 64 WHEN 5 THEN 80 WHEN 6 THEN 96 WHEN 7 THEN 112
+                WHEN 8 THEN 128 WHEN 9 THEN 160 WHEN 10 THEN 192
+                WHEN 11 THEN 224 WHEN 12 THEN 256 ELSE 320 END AS BIGINT)
+               AS bitrate_kbps,
+           CAST((doc_id % 5 + 2) * CASE doc_id % 3 WHEN 0 THEN 26122
+                WHEN 1 THEN 24000 ELSE 36000 END AS BIGINT) AS duration_us,
+           doc_id % 3 = 0 AS has_id3,
+           false AS is_vbr
+    FROM documents
+    """,
+)
+def x5k_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x5k — compressed-audio metadata (VERDICT r5 item 5): real MPEG-1
+    Layer III streams (deterministic from doc_id: optional ID3v2 tag +
+    2–6 CBR frames across the full bitrate/sample-rate index tables) are
+    walked frame-by-frame in an Arrow-batched mapInPandas stage — frame
+    count, integer-microsecond duration, mean bitrate, VBR flag, ID3
+    presence — with every output field predicted arithmetically by the
+    oracle. The 'drop audio shorter than N seconds / partition by
+    duration' primitive of a corpus pipeline, with no codec lib."""
+    from ..operators.media_containers import attach_mp3_media, parse_mp3
+
+    docs = load(spark, sf_dir, "documents")
+    return parse_mp3(attach_mp3_media(docs, "doc_id"))
+
+
+@register(
+    "x5l_mp4_metadata",
+    oracle="""
+    SELECT doc_id,
+           true AS valid,
+           'isom' AS brand,
+           CAST(3 AS BIGINT) AS n_top_boxes,
+           CAST(doc_id * 500 + 1000 AS BIGINT) AS duration_ms,
+           CAST(doc_id % 2 + 1 AS BIGINT) AS n_tracks,
+           'avc1' AS video_codec,
+           CASE WHEN doc_id % 2 = 1 THEN 'mp4a' END AS audio_codec,
+           CAST((doc_id * 3) % 50 + 8 AS BIGINT) AS mdat_bytes
+    FROM documents
+    """,
+)
+def x5l_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x5l — video-container metadata (VERDICT r5 item 5): real minimal
+    ISO-BMFF files (ftyp + moov(mvhd, 1–2 trak with hdlr/stsd) + mdat,
+    deterministic from doc_id) are box-walked in mapInPandas — brand,
+    mvhd duration, track count, video/audio codec fourccs, mdat payload
+    size — all oracle-predicted. The container-level profiling a video
+    corpus needs (codec mix, duration distribution, track screening)
+    without any decoder."""
+    from ..operators.media_containers import attach_mp4_media, parse_mp4
+
+    docs = load(spark, sf_dir, "documents")
+    return parse_mp4(attach_mp4_media(docs, "doc_id"))
