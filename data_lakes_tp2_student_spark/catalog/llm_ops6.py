@@ -161,3 +161,99 @@ def x5l_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return parse_mp4(attach_mp4_media(docs, "doc_id"))
+
+
+@register(
+    "x54_change_data_feed",
+    oracle="""
+    SELECT o_orderkey,
+           'update_postimage' AS change_type,
+           CAST(o_totalprice * 1.1 AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def x54_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x54 — change data feed between committed versions: after the x8
+    MERGE lands as version 1, diff v0→v1 (one full-outer join on the key,
+    null-safe struct comparison of the values, unchanged keys filtered
+    before any downstream work) and emit the Delta-CDF change rows. The
+    oracle predicts exactly the repriced 10%: the merge touches nothing
+    else, so insert/delete counts are zero and every change row is an
+    update_postimage carrying the 1.1x price. The primitive incremental
+    consumers (downstream MV refresh, reverse ETL, cache invalidation)
+    read instead of rescanning the table."""
+    table = _fresh_orders_table(spark, sf_dir, "x54")
+    _commit_upsert(spark, table)
+    diff = table.snapshot_diff(spark, 0, 1, ["o_orderkey"])
+    return diff.select("o_orderkey", "change_type", "o_totalprice")
+
+
+@register(
+    "x55_cdf_mv_refresh",
+    oracle="""
+    WITH merged AS (
+        SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0
+        UNION ALL
+        SELECT o_custkey, CAST(o_totalprice * 1.1 AS DOUBLE)
+        FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM merged GROUP BY o_custkey
+    """,
+)
+def x55_cdf_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x55 — incremental MV maintenance DRIVEN BY the change data feed:
+    the per-customer (count, total) MV is built on version 0, the x8
+    MERGE commits as version 1, and the refresh consumes ONLY
+    `snapshot_diff(0, 1, include_preimage=True)` — postimages/inserts
+    add, preimages/deletes retract (sign = ±1, one uniform expression for
+    both aggregates), one outer join applies the per-customer deltas.
+    The oracle recomputes the MV from scratch over the merged state; the
+    hash match proves retraction arithmetic is exact (all money math in
+    integer cents — associative, so incremental == recompute bit-for-bit,
+    which float sums cannot promise under reordering).
+
+    Scale: the refresh touches O(changed keys), not O(table) — with a
+    0.1% daily churn on a 100 TB fact table that is the difference
+    between a 100 GB job and a 100 TB job. Complements x41 (algebraic
+    base+delta merge with a HANDED delta): here the delta comes from the
+    committed log itself."""
+    table = _fresh_orders_table(spark, sf_dir, "x55")
+    # money in IEEE-exact integer cents: floor(x*100 + 0.5) is the same
+    # double arithmetic in Spark and DuckDB (a double->DECIMAL cast is
+    # NOT — the engines round halfway doubles in different directions,
+    # measured one-cent drift at sf0.01), and bigint sums are associative
+    # so incremental == recompute exactly
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    base = (
+        table.read(spark, version=0)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("_n0"),
+            F.sum(cents).alias("_s0"),
+        )
+    )
+    _commit_upsert(spark, table)
+    diff = table.snapshot_diff(
+        spark, 0, 1, ["o_orderkey"], include_preimage=True
+    )
+    sign = F.when(
+        F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = diff.groupBy("o_custkey").agg(
+        F.sum(sign).alias("_dn"),
+        F.sum(sign.cast("bigint") * cents).alias("_ds"),
+    )
+    refreshed = base.join(delta, "o_custkey", "full_outer").select(
+        "o_custkey",
+        (F.coalesce("_n0", F.lit(0)) + F.coalesce("_dn", F.lit(0)))
+        .cast("bigint")
+        .alias("n_orders"),
+        (F.coalesce("_s0", F.lit(0)) + F.coalesce("_ds", F.lit(0)))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+    return refreshed.filter(F.col("n_orders") > 0)

@@ -269,7 +269,16 @@ class ManifestTable:
         if not files:
             return spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, e["path"]) for e in files]
-        df = spark.read.option("basePath", self.root).parquet(*paths)
+        # mergeSchema: a snapshot may span commits with evolved schemas
+        # (commit_append with a new column); the select-cast below then
+        # projects the union down to exactly THIS version's schema, with
+        # pre-evolution rows null-filled — the public Delta/Iceberg
+        # schema-evolution read semantics.
+        df = (
+            spark.read.option("basePath", self.root)
+            .option("mergeSchema", "true")
+            .parquet(*paths)
+        )
         out = df.drop("txn")
         # Normalize to the committed schema: partition discovery appends
         # partition cols at the END and type-INFERS them from the path
@@ -278,6 +287,125 @@ class ManifestTable:
         return out.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
+
+    # ---------- table services over the log ----------
+
+    def history(self, spark: SparkSession) -> DataFrame:
+        """The commit log as a DataFrame: (version, parent, action,
+        n_files, n_partition_cols, committed_at) — Delta's DESCRIBE
+        HISTORY. Driver-side log read: O(versions), no data touched."""
+        rows = []
+        for v in self.versions():
+            m = self.manifest(v)
+            rows.append(
+                (
+                    v,
+                    m["parent"],
+                    m["action"],
+                    len(m["files"]),
+                    len(m["partition_by"]),
+                    float(m["committed_at"]),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "version int, parent int, action string, n_files int, "
+            "n_partition_cols int, committed_at double",
+        )
+
+    def snapshot_diff(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int,
+        key_cols: list[str],
+        include_preimage: bool = False,
+    ) -> DataFrame:
+        """Change data feed between two committed versions: one row per
+        changed key with `change_type` ∈ insert / delete /
+        update_postimage, carrying the post-change values (pre-change for
+        deletes) — the Delta CDF contract, derived from the two immutable
+        snapshots instead of per-commit change files. With
+        `include_preimage`, updates additionally emit an
+        `update_preimage` row carrying the OLD values (what incremental
+        aggregate maintenance needs to retract — see x55).
+
+        Plan shape: ONE full outer join on the key; value comparison is a
+        null-safe struct equality on the non-key columns (single
+        expression, no per-column shuffle). At scale both sides are the
+        same table two versions apart, so the join keys are co-partitioned
+        by the same hash — AQE handles the rest. Unchanged keys are
+        filtered out BEFORE any downstream work."""
+        old = self.read(spark, version=v_from)
+        new = self.read(spark, version=v_to)
+        val_cols = [c for c in new.columns if c not in key_cols]
+        # key-only table: no values to compare → insert/delete only
+        vals = [F.col(c) for c in val_cols] or [F.lit(0).alias("_sentinel")]
+        o = old.select(
+            *[F.col(c).alias(f"_k_{c}") for c in key_cols],
+            F.struct(*vals).alias("_old_vals"),
+        )
+        n = new.select(
+            *[F.col(c).alias(f"_k_{c}") for c in key_cols],
+            F.struct(*vals).alias("_new_vals"),
+        )
+        cond = [o[f"_k_{c}"].eqNullSafe(n[f"_k_{c}"]) for c in key_cols]
+        j = o.join(n, cond, "full_outer")
+        change = (
+            F.when(o["_old_vals"].isNull(), F.lit("insert"))
+            .when(n["_new_vals"].isNull(), F.lit("delete"))
+            .when(
+                ~o["_old_vals"].eqNullSafe(n["_new_vals"]),
+                F.lit("update_postimage"),
+            )
+        )
+        keys = [
+            F.coalesce(n[f"_k_{c}"], o[f"_k_{c}"]).alias(c) for c in key_cols
+        ]
+        changed = j.select(
+            *keys,
+            change.alias("change_type"),
+            o["_old_vals"].alias("_old_vals"),
+            n["_new_vals"].alias("_new_vals"),
+        ).filter(F.col("change_type").isNotNull())
+        picked = F.coalesce(F.col("_new_vals"), F.col("_old_vals"))
+        out = changed.select(
+            *key_cols,
+            "change_type",
+            *[picked[c].alias(c) for c in val_cols],
+        )
+        if not include_preimage:
+            return out
+        pre = changed.filter(F.col("change_type") == "update_postimage").select(
+            *key_cols,
+            F.lit("update_preimage").alias("change_type"),
+            *[F.col("_old_vals")[c].alias(c) for c in val_cols],
+        )
+        return out.unionByName(pre)
+
+    def compact(
+        self, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> int:
+        """Small-files compaction THROUGH the commit log: rewrite the
+        latest snapshot into ~target-size files and commit as a new
+        version (action visible in history; old versions still
+        time-travel until vacuum). The streaming sink's many per-batch
+        txn dirs fold into one — readers switch atomically. Returns the
+        new version. Maintenance op: assumes no concurrent writer (a
+        commit landing between the snapshot read and the publish would be
+        clobbered — run it like VACUUM, from the table owner)."""
+        import math
+
+        m = self.manifest(self.latest_version())
+        total = sum(
+            os.path.getsize(os.path.join(self.root, e["path"]))
+            for e in m["files"]
+        )
+        n = max(1, math.ceil(total / target_file_bytes))
+        df = self.read(spark).repartition(n)
+        part_by = m["partition_by"] or None
+        v = self._commit(df, part_by, "compact", lambda e: False)
+        return v
 
     # ---------- maintenance ----------
 

@@ -190,3 +190,66 @@ def test_manifest_is_json_with_schema_and_files(spark, tab):
     assert m["partition_by"] == ["day"]
     assert all(e["path"].startswith("data/txn=") for e in m["files"])
     assert all(e["partition"] == {"day": "d1"} for e in m["files"])
+
+
+def test_history_reflects_commits(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]), partition_by=["day"])
+    tab.commit_append(_df(spark, [(2, "b", "d2")]), partition_by=["day"])
+    h = {r.version: r for r in tab.history(spark).collect()}
+    assert h[0].action == "overwrite" and h[0].parent is None
+    assert h[1].action == "append" and h[1].parent == 0
+    assert h[1].n_files > h[0].n_files  # append carries v0's files forward
+    assert h[0].n_partition_cols == 1
+
+
+def test_snapshot_diff_insert_update_delete(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d2"), (3, "c", "d3")]))
+    # v1: update id=2, delete id=3, insert id=4
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "B!", "d2"), (4, "d", "d4")]))
+    diff = tab.snapshot_diff(spark, 0, 1, ["id"])
+    got = {r.id: (r.change_type, r.v) for r in diff.collect()}
+    assert got == {
+        2: ("update_postimage", "B!"),
+        3: ("delete", "c"),
+        4: ("insert", "d"),
+    }  # id=1 unchanged -> absent
+
+
+def test_snapshot_diff_null_value_transitions(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, None, "d1"), (2, "x", None)]))
+    tab.commit_overwrite(_df(spark, [(1, None, "d1"), (2, "x", "now")]))
+    diff = tab.snapshot_diff(spark, 0, 1, ["id"])
+    got = {r.id: r.change_type for r in diff.collect()}
+    # null==null must compare EQUAL (id=1 unchanged); null->value is update
+    assert got == {2: "update_postimage"}
+
+
+def test_schema_evolution_append_new_column(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    wider = spark.createDataFrame(
+        [(2, "b", "d2", 9.5)], "id int, v string, day string, score double"
+    )
+    tab.commit_append(wider)
+    latest = tab.read(spark)
+    assert [f.name for f in latest.schema.fields] == ["id", "v", "day", "score"]
+    got = {r.id: r.score for r in latest.collect()}
+    assert got[1] is None and got[2] == 9.5  # pre-evolution rows null-fill
+    # time travel to v0 shows the OLD schema, no score column
+    assert [f.name for f in tab.read(spark, version=0).schema.fields] == [
+        "id", "v", "day",
+    ]
+
+
+def test_compact_folds_files_and_preserves_data(spark, tab):
+    for k in range(4):  # many small commits -> many txn dirs
+        tab.commit_append(_df(spark, [(k, f"v{k}", f"d{k % 2}")]), partition_by=["day"])
+    n_before = len(tab.manifest(tab.latest_version())["files"])
+    v = tab.compact(spark)
+    m = tab.manifest(v)
+    assert m["action"] == "compact"
+    assert len(m["files"]) < n_before
+    assert rows(tab.read(spark)) == [
+        (0, "v0", "d0"), (1, "v1", "d1"), (2, "v2", "d0"), (3, "v3", "d1"),
+    ]
+    # compaction is a new version: pre-compaction snapshot still readable
+    assert rows(tab.read(spark, version=v - 1)) == rows(tab.read(spark, version=v))
