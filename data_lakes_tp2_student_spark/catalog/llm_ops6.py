@@ -257,3 +257,46 @@ def x55_cdf_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_cents"),
     )
     return refreshed.filter(F.col("n_orders") > 0)
+
+
+@register(
+    "x56_zorder_skipping_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 260 AND o_orderkey BETWEEN 1 AND 30000
+    """,
+)
+def x56_zorder_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x56 — manifest data skipping, correctness-gated end to end: orders
+    is committed with per-file (o_custkey, o_orderkey) stats, OPTIMIZE
+    ZORDER BY rewrites it Morton-clustered, and the query reads THROUGH
+    `range_filter` file skipping plus the row-level predicate. The oracle
+    is the plain filter over the raw table — if the manifest pruning ever
+    skipped a file it must not (stats bug, boundary-inclusive bug), rows
+    disappear and the hash breaks. The skipping RATE is asserted in
+    tests/test_manifest.py; this entry pins its SOUNDNESS."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+
+    root = _os.path.join(
+        _TMP, "x56_" + _hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    table = ManifestTable(root, stats_cols=["o_custkey", "o_orderkey"])
+    table.commit_overwrite(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+    )
+    table.optimize_zorder(spark, ["o_custkey", "o_orderkey"], n_files=16, bits=12)
+    pruned = table.read(
+        spark,
+        range_filter={"o_custkey": (100, 260), "o_orderkey": (1, 30000)},
+    )
+    return pruned.filter(
+        (F.col("o_custkey").between(100, 260))
+        & (F.col("o_orderkey").between(1, 30000))
+    )

@@ -61,6 +61,53 @@ from pyspark.sql.types import StructType
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _json_safe(v):
+    """Parquet-footer statistic → JSON-storable canonical value."""
+    import datetime as _dt
+
+    import numpy as _np
+
+    if v is None or isinstance(v, (bool, str)):
+        return v
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("utf-8", "replace")
+    if isinstance(v, _np.integer):
+        return int(v)
+    if isinstance(v, _np.floating):
+        return float(v)
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, (int, float)):
+        return v
+    return str(v)
+
+
+def _file_stats(path: str, cols: list[str]) -> dict[str, list]:
+    """Per-file [min, max] for `cols`, read from the parquet FOOTER the
+    write just produced (pyarrow metadata — no data pages touched).
+    Columns without usable stats (all-null, missing, unsupported type)
+    are omitted; readers treat missing stats as 'cannot skip'."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict[str, list] = {}
+    for c in cols:
+        if c not in idx:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+        if lo is not None:
+            out[c] = [_json_safe(lo), _json_safe(hi)]
+    return out
+
+
 def _parse_partition(rel_path: str) -> dict[str, str | None]:
     """Partition values from a relative file path's `k=v` dir segments
     (Hive layout; `txn` is the commit id, not a table partition)."""
@@ -76,12 +123,20 @@ def _parse_partition(rel_path: str) -> dict[str, str | None]:
 
 
 class ManifestTable:
-    """A versioned parquet table at `root` with snapshot-isolated commits."""
+    """A versioned parquet table at `root` with snapshot-isolated commits.
 
-    def __init__(self, root: str) -> None:
+    With `stats_cols`, every commit also records per-FILE min/max for
+    those columns in the manifest (read from the parquet footers the
+    write just produced — no extra data pass), enabling
+    `read(range_filter=...)` to skip files from the manifest alone: the
+    Delta/Iceberg data-skipping design. Pair with `optimize_zorder` so
+    the min/max boxes are actually tight."""
+
+    def __init__(self, root: str, stats_cols: list[str] | None = None) -> None:
         self.root = root
         self.log_dir = os.path.join(root, "_manifest")
         self.data_dir = os.path.join(root, "data")
+        self.stats_cols = list(stats_cols or [])
 
     # ---------- log primitives ----------
 
@@ -148,9 +203,10 @@ class ManifestTable:
                     continue
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, self.root)
-                entries.append(
-                    {"path": rel, "partition": _parse_partition(rel)}
-                )
+                entry = {"path": rel, "partition": _parse_partition(rel)}
+                if self.stats_cols:
+                    entry["stats"] = _file_stats(full, self.stats_cols)
+                entries.append(entry)
         return txn, entries
 
     # ---------- commits ----------
@@ -244,17 +300,33 @@ class ManifestTable:
         spark: SparkSession,
         version: int | None = None,
         partition_filter=None,
+        range_filter=None,
     ) -> DataFrame:
         """Snapshot read. `version=None` pins the CURRENT latest at call
         time (later commits don't change this DataFrame's file list —
         that IS the isolation). `partition_filter` ({col: value-or-list})
-        prunes files against the MANIFEST, before Spark lists anything."""
+        prunes files against the MANIFEST, before Spark lists anything.
+        `range_filter` ({col: (lo, hi) inclusive}) additionally skips
+        every file whose recorded [min, max] does not overlap — manifest
+        data skipping; files without stats for the column are kept
+        (skipping is an optimization, never a filter). NOTE: range_filter
+        prunes FILES only — apply the row-level predicate on the returned
+        DataFrame too (surviving files still contain non-matching rows)."""
         if version is None:
             version = self.latest_version()
         if version is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         m = self.manifest(version)
         files = m["files"]
+        if range_filter:
+            for c, (lo, hi) in range_filter.items():
+                files = [
+                    e
+                    for e in files
+                    if "stats" not in e
+                    or c not in e["stats"]
+                    or (e["stats"][c][0] <= hi and e["stats"][c][1] >= lo)
+                ]
         if partition_filter:
             want = {
                 k: {None if v is None else str(v) for v in (vs if isinstance(vs, (list, set, tuple)) else [vs])}
@@ -406,6 +478,26 @@ class ManifestTable:
         part_by = m["partition_by"] or None
         v = self._commit(df, part_by, "compact", lambda e: False)
         return v
+
+    def optimize_zorder(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        n_files: int,
+        bits: int = 16,
+    ) -> int:
+        """OPTIMIZE ZORDER BY through the commit log: rewrite the latest
+        snapshot Morton-clustered on `cols` (operators/layout.py — one
+        range exchange + local sort) into `n_files` files and commit as a
+        new version. With `stats_cols` covering the z-columns, every
+        rewritten file gets a tight multi-dim min/max box in the manifest,
+        so `read(range_filter=...)` skips most files for ANY predicate on
+        a subset of the z-columns — the Delta OPTIMIZE ZORDER + data-
+        skipping pair. Maintenance op like `compact`: single writer."""
+        from ..operators.layout import zorder_by
+
+        df = zorder_by(self.read(spark), cols, n_files, bits)
+        return self._commit(df, None, "optimize", lambda e: False)
 
     # ---------- maintenance ----------
 

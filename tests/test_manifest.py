@@ -253,3 +253,122 @@ def test_compact_folds_files_and_preserves_data(spark, tab):
     ]
     # compaction is a new version: pre-compaction snapshot still readable
     assert rows(tab.read(spark, version=v - 1)) == rows(tab.read(spark, version=v))
+
+
+def test_file_stats_recorded_and_range_skipping(spark, tmp_path):
+    """Manifest data skipping: per-file [min,max] from the parquet footers
+    at commit time; a range_filter prunes files from the manifest alone."""
+    tab = ManifestTable(str(tmp_path / "stats_tab"), stats_cols=["x"])
+    df = spark.range(1000).selectExpr("id", "id AS x")
+    # sorted by x + range partitioned -> each file covers a disjoint slice
+    tab.commit_overwrite(df.repartitionByRange(8, "x").sortWithinPartitions("x"))
+    m = tab.manifest(0)
+    assert all("stats" in e and "x" in e["stats"] for e in m["files"])
+    n_all = len(m["files"])
+    assert n_all >= 4
+    # a narrow range should hit ~1 file; count via the pruned file list
+    pruned = tab.read(spark, range_filter={"x": (10, 20)})
+    kept = [
+        e for e in m["files"]
+        if e["stats"]["x"][0] <= 20 and e["stats"]["x"][1] >= 10
+    ]
+    assert len(kept) < n_all
+    # skipping is file-level: apply the row predicate on top for rows
+    got = sorted(r.x for r in pruned.filter("x BETWEEN 10 AND 20").collect())
+    assert got == list(range(10, 21))
+
+
+def test_range_filter_keeps_files_without_stats(spark, tmp_path):
+    tab = ManifestTable(str(tmp_path / "nostats_tab"))  # no stats_cols
+    tab.commit_overwrite(spark.range(100).selectExpr("id", "id AS x"))
+    # no stats recorded -> nothing can be skipped, everything is readable
+    assert tab.read(spark, range_filter={"x": (0, 1)}).count() == 100
+
+
+def test_optimize_zorder_enables_multidim_skipping(spark, tmp_path):
+    """After OPTIMIZE ZORDER BY (x, y), a box predicate on EITHER column
+    skips files; the pre-optimize row-major layout cannot skip on y."""
+    tab = ManifestTable(str(tmp_path / "z_tab"), stats_cols=["x", "y"])
+    df = spark.range(4096).selectExpr(
+        "id", "CAST(id % 64 AS BIGINT) AS x", "CAST(id DIV 64 AS BIGINT) AS y"
+    )
+    # row-major arrival order: x cycles fast -> every file spans all of x
+    tab.commit_overwrite(df.repartitionByRange(16, "id"))
+    files_v0 = tab.manifest(0)["files"]
+    x_skippable_v0 = [
+        e for e in files_v0 if not (e["stats"]["x"][0] <= 5 and e["stats"]["x"][1] >= 0)
+    ]
+    assert len(x_skippable_v0) == 0  # x stats useless pre-optimize
+
+    v = tab.optimize_zorder(spark, ["x", "y"], n_files=16, bits=6)
+    m = tab.manifest(v)
+    assert m["action"] == "optimize"
+    files = m["files"]
+
+    def surviving(col, lo, hi):
+        return [
+            e for e in files
+            if e["stats"][col][0] <= hi and e["stats"][col][1] >= lo
+        ]
+
+    # both dimensions now skip: a narrow band on x OR y drops most files
+    assert len(surviving("x", 0, 7)) < len(files)
+    assert len(surviving("y", 0, 7)) < len(files)
+    # correctness unchanged through the rewrite
+    box = tab.read(spark, range_filter={"x": (0, 7), "y": (0, 7)}).filter(
+        "x <= 7 AND y <= 7"
+    )
+    assert box.count() == 8 * 8
+    assert tab.read(spark).count() == 4096
+
+
+def test_many_concurrent_appenders_no_lost_updates(spark, tmp_path):
+    """Commit-race stress: N threads append concurrently; the put-if-
+    absent publish + rebase loop must serialize them with NO lost update
+    and NO duplicate version."""
+    import threading
+
+    tab = ManifestTable(str(tmp_path / "race_tab"))
+    tab.commit_overwrite(_df(spark, [(0, "base", "d0")]))
+    errs = []
+
+    def appender(k):
+        try:
+            ManifestTable(tab.root).commit_append(
+                _df(spark, [(k, f"w{k}", "d1")])
+            )
+        except Exception as e:  # surface in the main thread
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(k,)) for k in range(1, 9)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert tab.versions() == list(range(9))  # 0..8, gapless
+    assert rows(tab.read(spark)) == [(0, "base", "d0")] + [
+        (k, f"w{k}", "d1") for k in range(1, 9)
+    ]
+
+
+def test_string_and_date_stats_skipping(spark, tmp_path):
+    """Footer stats work for strings and dates too (JSON-canonicalized);
+    range_filter compares in the canonical domain."""
+    tab = ManifestTable(str(tmp_path / "str_tab"), stats_cols=["name", "d"])
+    df = spark.createDataFrame(
+        [(f"{c}{i}", f"2024-0{m}-01") for m in (1, 2, 3) for c in "abcd" for i in range(3)],
+        "name string, d string",
+    ).selectExpr("name", "CAST(d AS DATE) AS d")
+    tab.commit_overwrite(df.repartitionByRange(4, "name").sortWithinPartitions("name"))
+    m = tab.manifest(0)
+    assert all("name" in e["stats"] and "d" in e["stats"] for e in m["files"])
+    kept = [
+        e for e in m["files"]
+        if e["stats"]["name"][0] <= "a~" and e["stats"]["name"][1] >= "a"
+    ]
+    assert 0 < len(kept) < len(m["files"])
+    got = tab.read(spark, range_filter={"name": ("a", "a~")}).filter(
+        "name LIKE 'a%'"
+    )
+    assert got.count() == 9
