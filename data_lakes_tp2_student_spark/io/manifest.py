@@ -190,6 +190,13 @@ class ManifestTable:
         """Write `df`'s parquet files into a fresh txn dir; return
         (txn id, file entries with table-relative paths + partition
         values). Immutable: a crash after this leaves only an orphan."""
+        if "txn" in df.columns:
+            # reserved: the commit-id path segment is spelled txn=<id> so
+            # partition discovery parses the layout; a data column of the
+            # same name would collide on read (review r6)
+            raise ValueError(
+                "column name 'txn' is reserved by the manifest layout"
+            )
         txn = uuid.uuid4().hex
         txn_dir = os.path.join(self.data_dir, f"txn={txn}")
         w = df.write
@@ -216,21 +223,24 @@ class ManifestTable:
         df: DataFrame,
         partition_by: list[str] | None,
         action: str,
-        keep_parent_file,  # (entry) -> bool, given the parent snapshot
+        keep_factory,  # (new_files) -> ((entry) -> bool) over parent files
         max_attempts: int = 20,
     ) -> int:
+        """The ONE commit loop (review r6: replace_partitions used to
+        duplicate it and the copies had already drifted). The data write
+        happens once — files are immutable and version-independent; only
+        the manifest derivation rebases when a concurrent writer wins the
+        version race."""
         schema_json = df.schema.json()
         _txn, new_files = self._write_txn(df, partition_by)
-        # Optimistic loop: the data write happens ONCE (files are
-        # immutable and version-independent); only the manifest derivation
-        # rebases when a concurrent writer wins the version race.
+        keep = keep_factory(new_files)
         for _ in range(max_attempts):
             parent = self.latest_version()
             if parent is None:
                 parent_files: list[dict] = []
             else:
                 parent_files = self.manifest(parent)["files"]
-            files = [e for e in parent_files if keep_parent_file(e)] + new_files
+            files = [e for e in parent_files if keep(e)] + new_files
             manifest = {
                 "version": (parent if parent is not None else -1) + 1,
                 "parent": parent,
@@ -251,13 +261,17 @@ class ManifestTable:
     ) -> int:
         """Full-table replace: the new version lists only this commit's
         files. Old versions stay readable until vacuum."""
-        return self._commit(df, partition_by, "overwrite", lambda e: False)
+        return self._commit(
+            df, partition_by, "overwrite", lambda nf: (lambda e: False)
+        )
 
     def commit_append(
         self, df: DataFrame, partition_by: list[str] | None = None
     ) -> int:
         """Append: new version = parent's files + this commit's files."""
-        return self._commit(df, partition_by, "append", lambda e: True)
+        return self._commit(
+            df, partition_by, "append", lambda nf: (lambda e: True)
+        )
 
     def commit_replace_partitions(
         self, df: DataFrame, partition_by: list[str]
@@ -268,30 +282,16 @@ class ManifestTable:
         (io/sinks.py) but atomic across ALL touched partitions: readers
         see every partition pre-commit or every partition post-commit,
         never a mix."""
-        _txn, new_files = self._write_txn(df, partition_by)
-        touched = {tuple(sorted(e["partition"].items())) for e in new_files}
-        for _ in range(20):
-            parent = self.latest_version()
-            parent_files = (
-                self.manifest(parent)["files"] if parent is not None else []
-            )
-            files = [
-                e
-                for e in parent_files
-                if tuple(sorted(e["partition"].items())) not in touched
-            ] + new_files
-            manifest = {
-                "version": (parent if parent is not None else -1) + 1,
-                "parent": parent,
-                "action": "replace_partitions",
-                "partition_by": partition_by,
-                "schema": df.schema.json(),
-                "files": files,
-                "committed_at": time.time(),
+
+        def factory(new_files):
+            touched = {
+                tuple(sorted(e["partition"].items())) for e in new_files
             }
-            if self._publish(manifest):
-                return manifest["version"]
-        raise RuntimeError("manifest commit lost the version race 20 times")
+            return (
+                lambda e: tuple(sorted(e["partition"].items())) not in touched
+            )
+
+        return self._commit(df, partition_by, "replace_partitions", factory)
 
     # ---------- read ----------
 
@@ -410,16 +410,36 @@ class ManifestTable:
         filtered out BEFORE any downstream work."""
         old = self.read(spark, version=v_from)
         new = self.read(spark, version=v_to)
-        val_cols = [c for c in new.columns if c not in key_cols]
-        # key-only table: no values to compare → insert/delete only
-        vals = [F.col(c) for c in val_cols] or [F.lit(0).alias("_sentinel")]
+        # Value columns span BOTH schemas (review r6: diffing across a
+        # schema-evolution boundary used to throw on the column only one
+        # side has); the missing side contributes typed nulls — an added
+        # column therefore reads as an update for rows whose new value is
+        # non-null, exactly the Delta CDF behavior.
+        new_types = {f.name: f.dataType for f in new.schema.fields}
+        old_types = {f.name: f.dataType for f in old.schema.fields}
+        val_cols = [c for c in new.columns if c not in key_cols] + [
+            c for c in old.columns if c not in key_cols and c not in new.columns
+        ]
+
+        def side_struct(df, types):
+            # key-only table: no values to compare → insert/delete only
+            vals = [
+                (
+                    F.col(c)
+                    if c in types
+                    else F.lit(None).cast(new_types.get(c) or old_types[c])
+                ).alias(c)
+                for c in val_cols
+            ] or [F.lit(0).alias("_sentinel")]
+            return F.struct(*vals)
+
         o = old.select(
             *[F.col(c).alias(f"_k_{c}") for c in key_cols],
-            F.struct(*vals).alias("_old_vals"),
+            side_struct(old, old_types).alias("_old_vals"),
         )
         n = new.select(
             *[F.col(c).alias(f"_k_{c}") for c in key_cols],
-            F.struct(*vals).alias("_new_vals"),
+            side_struct(new, new_types).alias("_new_vals"),
         )
         cond = [o[f"_k_{c}"].eqNullSafe(n[f"_k_{c}"]) for c in key_cols]
         j = o.join(n, cond, "full_outer")
@@ -440,20 +460,31 @@ class ManifestTable:
             o["_old_vals"].alias("_old_vals"),
             n["_new_vals"].alias("_new_vals"),
         ).filter(F.col("change_type").isNotNull())
-        picked = F.coalesce(F.col("_new_vals"), F.col("_old_vals"))
-        out = changed.select(
-            *key_cols,
-            "change_type",
-            *[picked[c].alias(c) for c in val_cols],
+        # Single pass for both images (review r6: the preimage branch
+        # used to re-run the whole join): each changed row explodes into
+        # its image rows — one for inserts/deletes/post, plus the
+        # preimage for updates when requested.
+        post = F.struct(
+            F.col("change_type").alias("_ct"),
+            F.coalesce(F.col("_new_vals"), F.col("_old_vals")).alias("_v"),
         )
-        if not include_preimage:
-            return out
-        pre = changed.filter(F.col("change_type") == "update_postimage").select(
+        if include_preimage:
+            pre = F.struct(
+                F.lit("update_preimage").alias("_ct"),
+                F.col("_old_vals").alias("_v"),
+            )
+            imgs = F.when(
+                F.col("change_type") == "update_postimage", F.array(post, pre)
+            ).otherwise(F.array(post))
+        else:
+            imgs = F.array(post)
+        return changed.select(
+            *key_cols, F.explode(imgs).alias("_img")
+        ).select(
             *key_cols,
-            F.lit("update_preimage").alias("change_type"),
-            *[F.col("_old_vals")[c].alias(c) for c in val_cols],
+            F.col("_img._ct").alias("change_type"),
+            *[F.col("_img._v")[c].alias(c) for c in val_cols],
         )
-        return out.unionByName(pre)
 
     def compact(
         self, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024
@@ -476,8 +507,9 @@ class ManifestTable:
         n = max(1, math.ceil(total / target_file_bytes))
         df = self.read(spark).repartition(n)
         part_by = m["partition_by"] or None
-        v = self._commit(df, part_by, "compact", lambda e: False)
-        return v
+        return self._commit(
+            df, part_by, "compact", lambda nf: (lambda e: False)
+        )
 
     def optimize_zorder(
         self,
@@ -496,17 +528,33 @@ class ManifestTable:
         skipping pair. Maintenance op like `compact`: single writer."""
         from ..operators.layout import zorder_by
 
+        # Preserve the table's partition spec (review r6: committing
+        # unpartitioned erased partition metadata, so a later
+        # partition_filter read silently returned 0 rows and the
+        # streaming sink's next replace_partitions double-counted).
+        part_by = self.manifest(self.latest_version())["partition_by"] or None
         df = zorder_by(self.read(spark), cols, n_files, bits)
-        return self._commit(df, None, "optimize", lambda e: False)
+        return self._commit(
+            df, part_by, "optimize", lambda nf: (lambda e: False)
+        )
 
     # ---------- maintenance ----------
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, min_age_seconds: float = 3600.0
+    ) -> list[str]:
         """Remove txn dirs referenced by NO retained manifest — orphans
         from crashed commits and files superseded past the retention
         window. Retains the newest `keep_versions` manifests (≥1; readers
         of vacuumed history get a loud FileNotFoundError, same contract
-        as Delta's VACUUM). Returns removed txn dir names."""
+        as Delta's VACUUM). Returns removed txn dir names.
+
+        `min_age_seconds` is the in-flight-writer guard (review r6): an
+        unreferenced txn dir younger than this is indistinguishable from
+        a commit BETWEEN its data write and its manifest publish —
+        deleting it would let the writer publish a manifest listing
+        deleted files. Delta's retention window serves the same purpose;
+        lower it only when no writer can be active (tests, sole owner)."""
         import shutil
 
         vs = self.versions()
@@ -517,10 +565,18 @@ class ManifestTable:
                 first = e["path"].split("/")[1] if "/" in e["path"] else ""
                 live.add(first)  # "txn=<id>"
         removed = []
+        now = time.time()
         if os.path.isdir(self.data_dir):
             for name in os.listdir(self.data_dir):
                 if name.startswith("txn=") and name not in live:
-                    shutil.rmtree(os.path.join(self.data_dir, name))
+                    path = os.path.join(self.data_dir, name)
+                    try:
+                        age = now - os.path.getmtime(path)
+                    except OSError:
+                        continue  # concurrently removed
+                    if age < min_age_seconds:
+                        continue  # possible commit-in-progress
+                    shutil.rmtree(path)
                     removed.append(name)
         for v in vs:
             if v not in keep:

@@ -247,6 +247,9 @@ def _boxes(b: bytes, start: int, end: int):
         hdr = 8
         if size == 1:
             if pos + 16 > end:
+                # truncated largesize header is malformed, not a clean
+                # tail — must surface like every other bad-size path
+                yield (b"\x00bad", pos, pos)
                 return
             size = struct.unpack(">Q", b[pos + 8:pos + 16])[0]
             hdr = 16
@@ -286,10 +289,15 @@ def _mp4_walk(b: bytes) -> dict:
                     return out
                 if t2 == b"mvhd" and e2 - s2 >= 20:
                     ver = b[s2]
-                    if ver == 1:
+                    # v1 uses 64-bit times: its timescale/duration span
+                    # [s2+20, s2+32) — a 20–31-byte truncated payload
+                    # must degrade, not raise (never-throw contract)
+                    if ver == 1 and e2 - s2 >= 32:
                         ts, dur = struct.unpack(">IQ", b[s2 + 20:s2 + 32])
-                    else:
+                    elif ver == 0:
                         ts, dur = struct.unpack(">II", b[s2 + 12:s2 + 20])
+                    else:
+                        ts = dur = 0
                     if ts:
                         out["duration_ms"] = dur * 1000 // ts
                 elif t2 == b"trak":

@@ -64,7 +64,10 @@ def test_crash_mid_commit_recovery(spark, tab):
         [d for d in os.listdir(tab.data_dir) if d.startswith("txn=")]
     )
     assert orphan_count == 2  # live + orphan
-    removed = tab.vacuum()
+    # default retention REFUSES to touch a fresh unreferenced txn dir —
+    # it could be a commit between data write and manifest publish
+    assert tab.vacuum() == []
+    removed = tab.vacuum(min_age_seconds=0)  # sole owner: safe to force
     assert len(removed) == 1
     assert rows(tab.read(spark)) == [(1, "a", "d1")]
     # table still fully functional after recovery
@@ -175,7 +178,7 @@ def test_vacuum_retention_drops_old_versions(spark, tab):
     tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
     tab.commit_overwrite(_df(spark, [(2, "b", "d2")]))
     tab.commit_overwrite(_df(spark, [(3, "c", "d3")]))
-    removed = tab.vacuum(keep_versions=1)
+    removed = tab.vacuum(keep_versions=1, min_age_seconds=0)
     assert len(removed) == 2  # v0's and v1's txn dirs
     assert tab.versions() == [2]
     assert rows(tab.read(spark)) == [(3, "c", "d3")]
@@ -372,3 +375,77 @@ def test_string_and_date_stats_skipping(spark, tmp_path):
         "name LIKE 'a%'"
     )
     assert got.count() == 9
+
+
+# --- review-r6 regression tests ------------------------------------------
+
+
+def test_txn_column_name_reserved(spark, tmp_path):
+    tab = ManifestTable(str(tmp_path / "resv_tab"))
+    bad = spark.createDataFrame([(1, "x")], "id int, txn string")
+    with pytest.raises(ValueError, match="reserved"):
+        tab.commit_overwrite(bad)
+
+
+def test_optimize_zorder_preserves_partition_metadata(spark, tmp_path):
+    """review r6: OPTIMIZE used to commit unpartitioned, erasing partition
+    metadata — a later partition_filter read silently returned 0 rows and
+    the streaming sink's next replace_partitions double-counted."""
+    tab = ManifestTable(str(tmp_path / "zpart_tab"))
+    df = spark.createDataFrame(
+        [(i, i % 10, i % 3, f"d{i % 2}") for i in range(100)],
+        "id int, x int, y int, day string",
+    )
+    tab.commit_overwrite(df, partition_by=["day"])
+    v = tab.optimize_zorder(spark, ["x", "y"], n_files=4, bits=4)
+    m = tab.manifest(v)
+    assert m["partition_by"] == ["day"]
+    assert all(e["partition"].get("day") in ("d0", "d1") for e in m["files"])
+    got = tab.read(spark, partition_filter={"day": "d1"})
+    assert got.count() == 50
+    # and replace_partitions after optimize still targets only its day
+    tab.commit_replace_partitions(
+        spark.createDataFrame([(999, 0, 0, "d1")], "id int, x int, y int, day string"),
+        ["day"],
+    )
+    assert tab.read(spark).count() == 51  # 50 d0 rows + 1 new d1 row
+
+
+def test_snapshot_diff_across_schema_evolution(spark, tmp_path):
+    """review r6: diffing across an added column used to raise
+    UNRESOLVED_COLUMN; the missing side must read as typed nulls."""
+    tab = ManifestTable(str(tmp_path / "evo_diff_tab"))
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d2")]))
+    wider = spark.createDataFrame(
+        [(1, "a", "d1", None), (2, "b", "d2", 9.5), (3, "c", "d3", 1.0)],
+        "id int, v string, day string, score double",
+    )
+    tab.commit_overwrite(wider)
+    diff = tab.snapshot_diff(spark, 0, 1, ["id"])
+    got = {r.id: (r.change_type, r.score) for r in diff.collect()}
+    # id=1: score null on both sides -> unchanged; id=2: null->9.5 update
+    assert got == {2: ("update_postimage", 9.5), 3: ("insert", 1.0)}
+
+
+def test_snapshot_diff_preimage_single_join(spark, tab):
+    """review r6: include_preimage must not re-run the full-outer join —
+    the plan contains exactly ONE join (images come from one explode)."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d2")]))
+    tab.commit_overwrite(_df(spark, [(1, "A", "d1"), (3, "c", "d3")]))
+    diff = tab.snapshot_diff(spark, 0, 1, ["id"], include_preimage=True)
+    got = sorted((r.id, r.change_type, r.v) for r in diff.collect())
+    assert got == [
+        (1, "update_postimage", "A"),
+        (1, "update_preimage", "a"),
+        (2, "delete", "b"),
+        (3, "insert", "c"),
+    ]
+    # count joins in the FINAL plan only (after execution the AQE text
+    # repeats the tree under "== Initial Plan ==")
+    plan = diff._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert n_joins == 1, plan

@@ -170,3 +170,25 @@ def test_spark_end_to_end_mp3_mp4(spark):
     assert len(mp3) == 12 and all(r.valid for r in mp3)
     mp4 = parse_mp4(attach_mp4_media(ids, "doc_id")).collect()
     assert len(mp4) == 12 and all(r.valid for r in mp4)
+
+
+# --- review-r6 regression tests ------------------------------------------
+
+
+def test_mp4_truncated_v1_mvhd_degrades_not_throws():
+    """review r6: a 20-31 byte version-1 mvhd payload used to raise
+    struct.error out of the never-throw walk."""
+    for pad in range(16, 28):  # payload 20..31 bytes (4 ver/flags + pad)
+        mvhd = _box(b"mvhd", struct.pack(">B3x", 1) + bytes(pad))
+        f = _box(b"ftyp", b"isom" + bytes(12)) + _box(b"moov", mvhd)
+        m = _mp4_walk(f)  # must not raise
+        assert m["valid"] is False and m["duration_ms"] is None
+
+
+def test_mp4_truncated_largesize_tail_rejected():
+    """review r6: an 8-15 byte truncated largesize box at EOF was
+    silently swallowed and the file reported valid."""
+    base = mp4_bytes(2)
+    for tail_pad in range(0, 8):
+        bad = base + struct.pack(">I", 1) + b"mdat" + bytes(tail_pad)
+        assert _mp4_walk(bad)["valid"] is False
