@@ -242,7 +242,7 @@ def _sql_bucket(vec: str, planes: int = 6, dim: int = 64, table: int = 0) -> str
     return "concat(" + ", ".join(bits) + ")"
 
 
-_LSH_PLANES, _LSH_TABLES = 4, 8
+_LSH_PLANES, _LSH_TABLES = 4, 16
 _LSH_BUCKET_COLS = ", ".join(
     f"{_sql_bucket('embedding', _LSH_PLANES, 64, table=t)} AS b{t}"
     for t in range(_LSH_TABLES)
@@ -276,13 +276,17 @@ _LSH_MATCH = " OR ".join(f"e.b{t} = q.b{t}" for t in range(_LSH_TABLES))
 )
 def x3b_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x3 scale path — multi-table sign-LSH ANN: a candidate is any corpus
-    vector sharing a bucket with the query in ANY of 8 independent 4-bit
+    vector sharing a bucket with the query in ANY of 16 independent 4-bit
     hash tables (equi-join per table + pair dedup), exact cosine only on
     candidates. Multi-table is the recall lever: one 6-bit table measured
-    recall@10 ≈ 0.03 on this corpus, 4×4-bit ≈ 0.4, and the 8×4-bit
-    default ≈ 0.65 — gated ≥ 0.6 in tests/test_ann_quality.py (VERDICT r4
-    item 6). The oracle mirrors the union with an OR-of-buckets join +
-    DISTINCT."""
+    recall@10 ≈ 0.03 on this corpus, 4×4-bit ≈ 0.4, 8×4-bit ≈ 0.65, and
+    the 16×4-bit default ≈ 0.90 (both sf0.01 and sf0.1) — gated ≥ 0.8 in
+    tests/test_ann_quality.py. Promoted r6 after measuring the extra
+    tables cost nothing at this shape (1.21 s vs 1.18 s at sf0.1: the
+    probe side is small, the bucket pass is ONE Arrow sweep either way);
+    at a 100 TB corpus the tables× bucket-entry explode IS the cost knob —
+    recall budget buys shuffle volume. The oracle mirrors the union with
+    an OR-of-buckets join + DISTINCT."""
     emb = load(spark, sf_dir, "embeddings")
     return knn_lsh(
         emb,

@@ -327,8 +327,9 @@ def knn_lsh(
 
     Recall scales as 1-(1-p^planes)^tables, so multiple short tables beat
     one long code — a single 6-bit table measured recall@10 ≈ 0.03 on the
-    driver's near-isotropic synthetic embeddings; 4×4-bit tables ≈ 0.4 and
-    the 8×4-bit default ≈ 0.65 (tests/test_ann_quality.py gates ≥ 0.6).
+    driver's near-isotropic synthetic embeddings; 4×4-bit tables ≈ 0.4,
+    8×4-bit ≈ 0.65, and the 16×4-bit x3b default ≈ 0.90
+    (tests/test_ann_quality.py gates ≥ 0.8).
     The candidate join stays an equi-join on (table, bucket) — the shuffle
     key at scale.
 

@@ -110,3 +110,25 @@ def test_wav_parse_and_stats_never_throw_on_fuzz(spark):
     df = spark.createDataFrame(rows, "doc_id long, media binary")
     assert parse_wav(df).count() == len(rows)
     assert audio_sample_stats(df).count() == len(rows)
+
+
+def test_mp3_walk_never_throws_on_fuzz():
+    from data_lakes_tp2_student_spark.operators.media_containers import (
+        _mp3_walk,
+        mp3_bytes,
+    )
+
+    for i in (0, 7):
+        for mutant in _mutations(mp3_bytes(i), seed=500 + i):
+            _mp3_walk(mutant)  # any verdict is fine; a raise is the bug
+
+
+def test_mp4_walk_never_throws_on_fuzz():
+    from data_lakes_tp2_student_spark.operators.media_containers import (
+        _mp4_walk,
+        mp4_bytes,
+    )
+
+    for i in (0, 7):
+        for mutant in _mutations(mp4_bytes(i), seed=600 + i):
+            _mp4_walk(mutant)
