@@ -43,16 +43,25 @@ _X8_ORACLE = """
     """
 
 
-def _fresh_orders_table(spark: SparkSession, sf_dir: str, tag: str) -> ManifestTable:
-    """Version 0 = the orders table, committed fresh per run (a leftover
-    log from an older fixture would merge stale rows — same hazard as
-    i9's lake dir)."""
+def _fresh_orders_table(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    stats_cols: list[str] | None = None,
+    select: list[str] | None = None,
+) -> ManifestTable:
+    """Version 0 = the orders table (optionally projected / with file
+    stats), committed fresh per run (a leftover log from an older fixture
+    would merge stale rows — same hazard as i9's lake dir)."""
     root = os.path.join(
         _TMP, f"{tag}_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     )
     shutil.rmtree(root, ignore_errors=True)
-    table = ManifestTable(root)
-    table.commit_overwrite(load(spark, sf_dir, "orders"))
+    table = ManifestTable(root, stats_cols=stats_cols)
+    df = load(spark, sf_dir, "orders")
+    if select:
+        df = df.select(*select)
+    table.commit_overwrite(df)
     return table
 
 
@@ -277,19 +286,12 @@ def x56_zorder_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipped a file it must not (stats bug, boundary-inclusive bug), rows
     disappear and the hash breaks. The skipping RATE is asserted in
     tests/test_manifest.py; this entry pins its SOUNDNESS."""
-    import hashlib as _hashlib
-    import os as _os
-    import shutil as _shutil
-
-    root = _os.path.join(
-        _TMP, "x56_" + _hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    )
-    _shutil.rmtree(root, ignore_errors=True)
-    table = ManifestTable(root, stats_cols=["o_custkey", "o_orderkey"])
-    table.commit_overwrite(
-        load(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_totalprice"
-        )
+    table = _fresh_orders_table(
+        spark,
+        sf_dir,
+        "x56",
+        stats_cols=["o_custkey", "o_orderkey"],
+        select=["o_orderkey", "o_custkey", "o_totalprice"],
     )
     table.optimize_zorder(spark, ["o_custkey", "o_orderkey"], n_files=16, bits=12)
     pruned = table.read(

@@ -108,6 +108,17 @@ def _file_stats(path: str, cols: list[str]) -> dict[str, list]:
     return out
 
 
+def _path_value(v) -> str | None:
+    """A partition-filter value → the string Spark renders in the path
+    segment (review r6: Python ``str(True)`` is ``'True'`` but Spark
+    writes ``flag=true`` — the mismatch silently returned 0 rows)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _parse_partition(rel_path: str) -> dict[str, str | None]:
     """Partition values from a relative file path's `k=v` dir segments
     (Hive layout; `txn` is the commit id, not a table partition)."""
@@ -241,6 +252,19 @@ class ManifestTable:
             else:
                 parent_files = self.manifest(parent)["files"]
             files = [e for e in parent_files if keep(e)] + new_files
+            # A snapshot mixing partition LAYOUTS is unreadable (Spark:
+            # CONFLICTING_PARTITION_COLUMN_NAMES) — catch the forgotten
+            # partition_by at COMMIT time, not at every later read
+            # (review r6: commit_append with the default None into a
+            # day-partitioned table bricked the table).
+            layouts = {frozenset(e["partition"]) for e in files}
+            if len(layouts) > 1:
+                raise ValueError(
+                    f"commit would mix partition layouts "
+                    f"{sorted(sorted(s) for s in layouts)} — pass the "
+                    f"table's partition_by (parent has "
+                    f"{self.manifest(parent)['partition_by'] if parent is not None else []})"
+                )
             manifest = {
                 "version": (parent if parent is not None else -1) + 1,
                 "parent": parent,
@@ -309,9 +333,12 @@ class ManifestTable:
         `range_filter` ({col: (lo, hi) inclusive}) additionally skips
         every file whose recorded [min, max] does not overlap — manifest
         data skipping; files without stats for the column are kept
-        (skipping is an optimization, never a filter). NOTE: range_filter
-        prunes FILES only — apply the row-level predicate on the returned
-        DataFrame too (surviving files still contain non-matching rows)."""
+        (skipping is an optimization, never a filter). Bounds are compared
+        in the stats' canonical domain (numbers as numbers, dates and
+        timestamps as ISO strings — pass either the native value or its
+        isoformat). NOTE: range_filter prunes FILES only — apply the
+        row-level predicate on the returned DataFrame too (surviving
+        files still contain non-matching rows)."""
         if version is None:
             version = self.latest_version()
         if version is None:
@@ -320,6 +347,9 @@ class ManifestTable:
         files = m["files"]
         if range_filter:
             for c, (lo, hi) in range_filter.items():
+                # canonicalize to the stats' stored domain (review r6:
+                # a date bound against ISO-string stats raised TypeError)
+                lo, hi = _json_safe(lo), _json_safe(hi)
                 files = [
                     e
                     for e in files
@@ -328,8 +358,16 @@ class ManifestTable:
                     or (e["stats"][c][0] <= hi and e["stats"][c][1] >= lo)
                 ]
         if partition_filter:
+            unknown = set(partition_filter) - set(m["partition_by"])
+            if unknown:
+                # a typo'd key would otherwise prune EVERY file and read
+                # as an empty table (review r6) — fail loud instead
+                raise ValueError(
+                    f"partition_filter keys {sorted(unknown)} are not "
+                    f"partition columns {m['partition_by']} of version {version}"
+                )
             want = {
-                k: {None if v is None else str(v) for v in (vs if isinstance(vs, (list, set, tuple)) else [vs])}
+                k: {_path_value(v) for v in (vs if isinstance(vs, (list, set, tuple)) else [vs])}
                 for k, vs in partition_filter.items()
             }
             files = [
@@ -499,14 +537,23 @@ class ManifestTable:
         clobbered — run it like VACUUM, from the table owner)."""
         import math
 
-        m = self.manifest(self.latest_version())
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self.manifest(latest)
         total = sum(
             os.path.getsize(os.path.join(self.root, e["path"]))
             for e in m["files"]
         )
         n = max(1, math.ceil(total / target_file_bytes))
-        df = self.read(spark).repartition(n)
         part_by = m["partition_by"] or None
+        df = self.read(spark)
+        # On a partitioned table, hash-distribute BY the partition columns
+        # so each value lands in one task → ~one file per partition; a
+        # plain repartition(n) scatters every partition's rows across all
+        # n tasks and the partitionBy write then emits up to n×values
+        # files — compaction MULTIPLYING small files (review r6).
+        df = df.repartition(n, *part_by) if part_by else df.repartition(n)
         return self._commit(
             df, part_by, "compact", lambda nf: (lambda e: False)
         )
@@ -528,11 +575,14 @@ class ManifestTable:
         skipping pair. Maintenance op like `compact`: single writer."""
         from ..operators.layout import zorder_by
 
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
         # Preserve the table's partition spec (review r6: committing
         # unpartitioned erased partition metadata, so a later
         # partition_filter read silently returned 0 rows and the
         # streaming sink's next replace_partitions double-counted).
-        part_by = self.manifest(self.latest_version())["partition_by"] or None
+        part_by = self.manifest(latest)["partition_by"] or None
         df = zorder_by(self.read(spark), cols, n_files, bits)
         return self._commit(
             df, part_by, "optimize", lambda nf: (lambda e: False)

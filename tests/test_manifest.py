@@ -449,3 +449,80 @@ def test_snapshot_diff_preimage_single_join(spark, tab):
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
     assert n_joins == 1, plan
+
+
+# --- review-r6 second-pass regression tests -------------------------------
+
+
+def test_mixed_partition_layout_commit_rejected(spark, tab):
+    """review r6: commit_append with the default partition_by=None into a
+    day-partitioned table used to COMMIT fine and brick every later read
+    (CONFLICTING_PARTITION_COLUMN_NAMES)."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]), partition_by=["day"])
+    with pytest.raises(ValueError, match="partition layouts"):
+        tab.commit_append(_df(spark, [(2, "b", "d2")]))  # forgot partition_by
+    # table NOT bricked: latest still readable, correct spec still works
+    assert rows(tab.read(spark)) == [(1, "a", "d1")]
+    tab.commit_append(_df(spark, [(2, "b", "d2")]), partition_by=["day"])
+    assert rows(tab.read(spark)) == [(1, "a", "d1"), (2, "b", "d2")]
+
+
+def test_partition_filter_unknown_key_raises(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]), partition_by=["day"])
+    with pytest.raises(ValueError, match="dya"):
+        tab.read(spark, partition_filter={"dya": "d1"})
+
+
+def test_partition_filter_boolean_value(spark, tmp_path):
+    """review r6: str(True) is 'True' but Spark writes flag=true — the
+    filter used to silently return 0 rows."""
+    tab = ManifestTable(str(tmp_path / "bool_tab"))
+    df = spark.createDataFrame([(1, True), (2, False)], "id int, flag boolean")
+    tab.commit_overwrite(df, partition_by=["flag"])
+    got = tab.read(spark, partition_filter={"flag": True})
+    assert [r.id for r in got.collect()] == [1]
+
+
+def test_range_filter_accepts_native_dates(spark, tmp_path):
+    """review r6: a datetime.date bound against the ISO-string stats used
+    to raise TypeError."""
+    import datetime as dt
+
+    tab = ManifestTable(str(tmp_path / "date_tab"), stats_cols=["d"])
+    df = spark.createDataFrame(
+        [(i, f"2024-{m:02d}-15") for i, m in enumerate([1, 2, 3, 4])],
+        "id int, d string",
+    ).selectExpr("id", "CAST(d AS DATE) AS d")
+    tab.commit_overwrite(df.repartitionByRange(4, "d").sortWithinPartitions("d"))
+    got = tab.read(
+        spark,
+        range_filter={"d": (dt.date(2024, 2, 1), dt.date(2024, 3, 31))},
+    ).filter("d BETWEEN DATE '2024-02-01' AND DATE '2024-03-31'")
+    assert sorted(r.id for r in got.collect()) == [1, 2]
+
+
+def test_compact_on_partitioned_table_reduces_files(spark, tmp_path):
+    """review r6: compact() used plain repartition(n), which scattered
+    every partition's rows across all tasks — partitionBy then wrote up
+    to n x values files, MULTIPLYING small files."""
+    tab = ManifestTable(str(tmp_path / "cmp_tab"))
+    for k in range(6):  # 6 commits x 3 days -> many small files
+        df = spark.createDataFrame(
+            [(k * 10 + d, f"v{k}", f"d{d}") for d in range(3)],
+            "id int, v string, day string",
+        )
+        tab.commit_append(df, partition_by=["day"])
+    n_before = len(tab.manifest(tab.latest_version())["files"])
+    v = tab.compact(spark)
+    n_after = len(tab.manifest(v)["files"])
+    assert n_after < n_before
+    assert n_after <= 3  # ~one file per day partition
+    assert tab.read(spark).count() == 18
+
+
+def test_maintenance_on_empty_table_raises_cleanly(spark, tmp_path):
+    tab = ManifestTable(str(tmp_path / "void_tab"))
+    with pytest.raises(FileNotFoundError):
+        tab.compact(spark)
+    with pytest.raises(FileNotFoundError):
+        tab.optimize_zorder(spark, ["x"], n_files=2)
