@@ -51,3 +51,35 @@ class Warehouse:
         if "://" not in self.root:
             for z in ZONES:
                 os.makedirs(os.path.join(self.root, z), exist_ok=True)
+
+
+@dataclass(frozen=True)
+class SnapshotWarehouse(Warehouse):
+    """Zones as snapshot-committed manifest tables (io/manifest.py): every
+    `write` is an atomic versioned commit and every `read` pins a
+    snapshot — re-running a stage (or the whole dvc-repro flow) produces
+    a NEW version of each refreshed table while the previous run stays
+    byte-readable (time travel), and a stage killed mid-write leaves the
+    zone exactly as it was. The reference's whole-file CSV clobbering
+    (build/unpack_to_raw.py:57) offers none of this; the plain
+    `Warehouse` improves it to parquet-dir overwrites but a failed
+    overwrite still destroys the previous state. Drop-in: `run_pipeline`
+    takes either via its `wh` parameter."""
+
+    def table(self, zone: str, table: str):
+        from .manifest import ManifestTable
+
+        return ManifestTable(self.path(zone, table))
+
+    def write(
+        self,
+        df: DataFrame,
+        zone: str,
+        table: str,
+        partition_by: list[str] | None = None,
+    ) -> str:
+        self.table(zone, table).commit_overwrite(df, partition_by=partition_by)
+        return self.path(zone, table)
+
+    def read(self, spark: SparkSession, zone: str, table: str) -> DataFrame:
+        return self.table(zone, table).read(spark)

@@ -93,10 +93,17 @@ def export_csv(df: DataFrame, path: str) -> None:
 
 
 def run_pipeline(
-    spark: SparkSession, shard_root: str, warehouse_root: str, max_len: int = 1024
+    spark: SparkSession,
+    shard_root: str,
+    warehouse_root: str,
+    max_len: int = 1024,
+    wh: Warehouse | None = None,
 ) -> dict[str, DataFrame]:
-    """EP1 — the whole dvc-repro flow in one session (SURVEY.md §3)."""
-    wh = Warehouse(warehouse_root)
+    """EP1 — the whole dvc-repro flow in one session (SURVEY.md §3).
+    Pass `wh=SnapshotWarehouse(root)` for atomic versioned zone commits
+    with time travel (io/zones.py); default is the plain parquet-dir
+    warehouse."""
+    wh = wh or Warehouse(warehouse_root)
     wh.ensure()
     unpack_to_raw(spark, shard_root, wh)
     staged = preprocess_to_staging(spark, wh)
