@@ -524,6 +524,46 @@ class ManifestTable:
             *[F.col("_img._v")[c].alias(c) for c in val_cols],
         )
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+    ) -> int:
+        """MERGE INTO as a committed version: source rows upsert into the
+        latest snapshot on `key_cols` (matched → replaced by source, not
+        matched → inserted; `operators/merge.py` semantics) and the
+        result commits atomically — the convenience wrapper around the
+        read→merge→commit_overwrite dance x52 spells out. Returns the new
+        version; the pre-merge snapshot stays time-travelable."""
+        from ..operators.merge import merge_upsert
+
+        if len(key_cols) != 1:
+            raise ValueError("merge_into currently supports a single key column")
+        merged = merge_upsert(self.read(spark), source, key_cols[0])
+        part_by = self.manifest(self.latest_version())["partition_by"] or None
+        return self.commit_overwrite(merged, partition_by=part_by)
+
+    def changes_since(
+        self,
+        spark: SparkSession,
+        version: int,
+        key_cols: list[str],
+        include_preimage: bool = False,
+    ) -> DataFrame:
+        """Incremental-consumer sugar: the net change feed from
+        `version` to the current latest (snapshot_diff against latest).
+        A consumer stores the version it last processed and calls this
+        each cycle — the polling form of a CDC subscription; per-commit
+        granularity is `snapshot_diff(v, v+1)` over `history()`."""
+        return self.snapshot_diff(
+            spark,
+            version,
+            self.latest_version(),
+            key_cols,
+            include_preimage=include_preimage,
+        )
+
     def compact(
         self, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024
     ) -> int:

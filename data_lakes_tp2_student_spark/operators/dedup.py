@@ -20,6 +20,14 @@ Scale & execution design:
   (band_index, band_hash) — fan-out controlled by band width, never O(n²);
 - candidate pairs are verified with exact shingle Jaccard only on the
   (small) candidate set, against a persisted shingle table.
+
+Cache contract: `eager()`/persist sites in this module (candidate tables,
+pair-overlap inputs) are NOT unpersisted before return — the returned
+DataFrames still read the cached blocks. Long sessions running many
+queries are expected to `spark.catalog.clearCache()` after each query
+materializes, which both the bench harness (bench.py) and the local
+oracle gate (tests/oracle.py) do; see operators/graph.py for the same
+documented contract.
 """
 
 from __future__ import annotations
@@ -462,19 +470,34 @@ def simhash_pairs(
 
 def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
     """x2 — 32-bit SimHash over words as a bit string: bit b is 1 when the
-    word-population's b-th md5 bit majority is positive.
+    word-population's b-th md5 bit majority is positive (bit b = the b-th
+    MSB of the first 8 hex digits of md5(word)).
 
-    Bit b of a word = bit (3 - b%4) of hex digit b//4 of md5(word), extracted
-    with pure integer arithmetic (locate on a hex alphabet + div/mod) so the
-    oracle reproduces it exactly.
+    One md5 PER WORD (review r6): the word array is hashed once into a
+    materialized 32-bit-int column, and the 32 per-bit majority folds run
+    over the precomputed ints with pure bit arithmetic — the old form
+    re-evaluated md5 inside every per-bit aggregate (32x the hash work,
+    the exact k-fold shape this module's docstring rejects for MinHash).
+    Catalyst keeps the hash array materialized (CollapseProject does not
+    inline a non-cheap alias referenced 32 times — verified: ONE md5 in
+    the optimized plan), and the emitted bits are bit-identical to the
+    old hex-digit extraction (b-th MSB either way; equality checked over
+    random docs), so the DuckDB oracle is unchanged.
     """
-    expr = f"""
+    wh = (
+        f"transform(split({text_col}, ' '), "
+        "w -> CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT))"
+    )
+    expr = """
     array_join(transform(sequence(0, 31), b ->
-      CASE WHEN aggregate(split({text_col}, ' '), 0, (acc, w) ->
-        acc + (CASE WHEN (
-            (locate(substr(md5(w), CAST(b div 4 AS int) + 1, 1), '0123456789abcdef') - 1)
-            div (CASE CAST(b % 4 AS int) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)
-          ) % 2 = 1 THEN 1 ELSE -1 END)
+      CASE WHEN aggregate(_wh, 0, (acc, h) ->
+        acc + (CASE WHEN (h div shiftleft(CAST(1 AS BIGINT), 31 - b)) % 2 = 1
+               THEN 1 ELSE -1 END)
       ) > 0 THEN '1' ELSE '0' END), '')
     """
-    return spread(df).withColumn(out_col, F.expr(expr))
+    return (
+        spread(df)
+        .withColumn("_wh", F.expr(wh))
+        .withColumn(out_col, F.expr(expr))
+        .drop("_wh")
+    )

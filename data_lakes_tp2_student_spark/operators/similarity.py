@@ -61,6 +61,11 @@ def _cosine_raw_fn(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series([], dtype="float64")
 
     def fold(u, v):  # per-row fallback, same left-fold order
+        if len(u) != len(v):
+            # the `cosine` expression form zip_with-pads with null ->
+            # null result; truncating here would silently diverge
+            # (review r6)
+            return None
         d = na = nb = 0.0
         for x, y in zip(u, v):
             x, y = float(x), float(y)
@@ -71,7 +76,11 @@ def _cosine_raw_fn(a: pd.Series, b: pd.Series) -> pd.Series:
         A = np.stack(a.to_numpy()).astype(np.float64)
         B = np.stack(b.to_numpy()).astype(np.float64)
     except ValueError:  # ragged batch (mixed dims) — row-at-a-time
-        return pd.Series([fold(u, v) for u, v in zip(a, b)], dtype="float64")
+        return pd.Series([fold(u, v) for u, v in zip(a, b)], dtype=object)
+    if A.shape[1] != B.shape[1]:
+        # uniform but mismatched dims: expression form is NULL per row
+        # (review r6: B[:, i] used to raise IndexError mid-task)
+        return pd.Series([None] * A.shape[0], dtype=object)
     n = A.shape[0]
     dot, na, nb = np.zeros(n), np.zeros(n), np.zeros(n)
     for i in range(A.shape[1]):
@@ -187,6 +196,12 @@ def lsh_buckets_batch(
     def fold_row(u) -> list[str]:
         bits = []
         for row in flat:
+            if len(u) != len(row):
+                # expression form: zip_with pads with null -> proj null ->
+                # CASE WHEN null fails -> bit '0'; truncating the fold
+                # here would bucket the vector differently (review r6)
+                bits.append(False)
+                continue
             acc = 0.0
             for x, c in zip(u, row):
                 acc = acc + float(x) * c
@@ -405,9 +420,17 @@ def semdedup(
     strings); this is Layer-B extension surface for training-data curation
     (SURVEY.md §2 X).
     """
+    from ..functions.compute import eager
+
     cent = ivf_centroids(corpus, id_col, vec_col, n_cells)
-    assigned = ivf_cells(corpus, cent, id_col, vec_col, nprobe=1).select(
-        id_col, vec_col, "_cell"
+    # eager(): the assignment subtree (crossJoin + pandas-UDF cosine +
+    # window) anchors BOTH sides of the self-join and the final output
+    # join — unpersisted it recomputes up to three times, the cache
+    # stampede functions/compute.eager documents (review r6)
+    assigned = eager(
+        ivf_cells(corpus, cent, id_col, vec_col, nprobe=1).select(
+            id_col, vec_col, "_cell"
+        )
     )
     a = assigned.select(
         F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "_cell"

@@ -47,8 +47,15 @@ def _stage_dir(sf_dir: str, table: str) -> str:
     d = os.path.join(_STAGE_ROOT, hashlib.md5(src.encode()).hexdigest()[:12])
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{table}.parquet")
-    if not os.path.exists(link):
+    # lexists + EEXIST-tolerant: exists() follows symlinks (a dangling
+    # leftover reads False but still blocks creation) and two concurrent
+    # processes can race the check (review r6)
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)  # dangling leftover from a removed sf_dir
+    try:
         os.symlink(src, link)
+    except FileExistsError:
+        pass
     return d
 
 
@@ -192,9 +199,17 @@ def stream_session_agg(
 
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """i5 — stateful streaming dedup on event_id within the watermark
-    horizon; emits each id once (append mode)."""
+    horizon; emits each id once (append mode).
+
+    `dropDuplicatesWithinWatermark`, NOT plain `dropDuplicates`: with the
+    event-time column absent from the subset, plain dropDuplicates keeps
+    every id ever seen — the watermark never evicts its state and an
+    infinite stream OOMs (review r6). The WithinWatermark variant expires
+    each key once the watermark passes its event time, which is exactly
+    the bounded-state contract the docstring promises; on the drained
+    finite fixture both emit each id once, so the oracle is unchanged."""
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
-    deduped = ev.dropDuplicates(["event_id"]).select("event_id")
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"]).select("event_id")
     return _run_to_memory(deduped, "append")
 
 
@@ -293,8 +308,13 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a real cluster Spark broadcasts it per micro-batch, so stream state
     stays zero and late data cannot affect the dim. Inner join over the
     drained file source equals the batch join — SQL oracle applies."""
+    from ..registry import load
+
+    # registry.load, not a raw read: it owns the TIMESTAMP(NANOS) parquet
+    # adaptation — a raw eager read here crashed when i10 was the first
+    # events query of the session (review r6)
     profile = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        load(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .withColumn(

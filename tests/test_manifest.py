@@ -526,3 +526,21 @@ def test_maintenance_on_empty_table_raises_cleanly(spark, tmp_path):
         tab.compact(spark)
     with pytest.raises(FileNotFoundError):
         tab.optimize_zorder(spark, ["x"], n_files=2)
+
+
+def test_merge_into_and_changes_since(spark, tab):
+    """The MERGE INTO + incremental-consumer sugar: merge commits a new
+    version; changes_since(last_processed) hands a consumer exactly the
+    net change rows."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d2")]))
+    v = tab.merge_into(
+        spark, _df(spark, [(2, "B!", "d2"), (3, "c", "d3")]), ["id"]
+    )
+    assert v == 1
+    assert rows(tab.read(spark)) == [(1, "a", "d1"), (2, "B!", "d2"), (3, "c", "d3")]
+    assert rows(tab.read(spark, version=0)) == [(1, "a", "d1"), (2, "b", "d2")]
+    changes = tab.changes_since(spark, 0, ["id"])
+    got = {r.id: (r.change_type, r.v) for r in changes.collect()}
+    assert got == {2: ("update_postimage", "B!"), 3: ("insert", "c")}
+    with pytest.raises(ValueError, match="single key"):
+        tab.merge_into(spark, _df(spark, [(9, "z", "d9")]), ["id", "day"])
