@@ -86,8 +86,11 @@ _BAND_SELECTS = "\n        UNION ALL ".join(
     for b in range(_N_BANDS)
 )
 
-_MINHASH_CTE = f"""
-    WITH words AS (
+# The ONE oracle-side shingle definition (3-word windows, short-doc =
+# whole text) — every oracle that shingles MUST compose this stanza so it
+# cannot drift from operators/dedup.py (x2 family here, x37/x44 in
+# llm_ops5; review r6 removed a verbatim copy).
+_SHINGLE_CTE = """words AS (
         SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
     ),
     sh AS (
@@ -98,7 +101,10 @@ _MINHASH_CTE = f"""
                END AS shingles
         FROM words
     ),
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)"""
+
+_MINHASH_CTE = f"""
+    WITH {_SHINGLE_CTE},
     hs AS (SELECT doc_id, md5(s) AS h FROM ex),
     sigw AS (
         SELECT doc_id,

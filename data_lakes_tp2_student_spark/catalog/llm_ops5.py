@@ -19,7 +19,9 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.compute import eager
 from ..operators.bloom import M_BITS, WORD, bloom_build, bloom_probe
+from .llm_ops import _SHINGLE_CTE
 from ..operators.dedup import exploded_shingles
 from ..operators.entity import snm_pairs
 from ..operators.graph import label_propagation, triangle_count
@@ -218,18 +220,8 @@ def x36_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------- x37 Bloom-filter decontamination
 
-_BLOOM_SHINGLES = """
-    words AS (SELECT doc_id, text, string_split(text, ' ') AS w
-              FROM documents),
-    sh AS (
-        SELECT doc_id,
-               CASE WHEN len(w) < 3 THEN [text]
-                    ELSE list_transform(range(0, len(w) - 2),
-                                        i -> array_to_string(w[i+1:i+3], ' '))
-               END AS shingles
-        FROM words
-    ),
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+_BLOOM_SHINGLES = ("""
+    """ + _SHINGLE_CTE + """,
     pos AS (
         SELECT doc_id, s,
                CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) % {m} AS p
@@ -239,7 +231,7 @@ _BLOOM_SHINGLES = """
                CAST(('0x' || substr(md5(s), 13, 12)) AS BIGINT) % {m} AS p
         FROM ex
     )
-""".format(m=M_BITS)
+""").format(m=M_BITS)
 
 
 @register(
@@ -725,8 +717,11 @@ def x46_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("qx"),
         )
-        .persist()  # feeds every round's distance AND update pass
     )
+    # eager, not bare persist: the round-1 broadcast build of `cent` is a
+    # separate job racing the main consumers over the uncached explode/
+    # quantize subtree (review r6; compute.eager documents the stampede)
+    vec = eager(vec)
     cent = vec.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cluster"), "dim", F.col("qx").alias("qc")
     )
@@ -841,8 +836,11 @@ def x47_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(30_000_000).cast("bigint"),
             ).alias("w"),
         )
-        .persist()  # feeds the norms pass and BOTH sides of the self-join
     )
+    # eager: three independent consumers (norms + both self-join sides)
+    # fan out concurrently — a lazy persist lets each recompute the
+    # tokens->tf->df->weight pipeline until the cache fills (review r6)
+    post = eager(post)
     # zero-norm docs (every surviving term has idf 0) are droppable, not
     # divisible: Spark dot/0.0 = NaN sorts FIRST desc while DuckDB NULL
     # sorts last — an engine-divergent top-k (found in review)
@@ -1007,7 +1005,10 @@ def j5_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         vals = c.sort_values(kind="stable").to_numpy()
         k = len(vals) // 10
         kept = vals[k : len(vals) - k]
-        return round(float(kept.sum()) / len(kept) / 100.0, 6)
+        # rounding stays OUTSIDE the UDF (similarity.py discipline):
+        # Python round() is half-to-even, DuckDB/Spark round is half
+        # away from zero — a .5-exact double would diverge (review r6)
+        return float(kept.sum()) / len(kept) / 100.0
 
     @pandas_udf("long")
     def trimmed_count(c: pd.Series) -> int:
@@ -1020,7 +1021,7 @@ def j5_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.groupBy("o_orderpriority").agg(
         trimmed_count(F.col("_c")).alias("n_kept"),
-        trimmed_mean_cents(F.col("_c")).alias("trimmed_mean"),
+        F.round(trimmed_mean_cents(F.col("_c")), 6).alias("trimmed_mean"),
     )
 
 
@@ -1069,7 +1070,9 @@ def j6_grouped_map_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc2 = sum(v * v for v in ints)
         mean = float(sc) / n
         std = math.sqrt(float(n * sc2 - sc * sc) / float(n * (n - 1)))
-        z = ((pdf["_c"].astype("float64") - mean) / std).round(6)
+        # unrounded: engine-native F.round applies outside (review r6 —
+        # pandas .round is half-to-even, the oracle's round is not)
+        z = (pdf["_c"].astype("float64") - mean) / std
         return pd.DataFrame(
             {
                 "o_orderkey": pdf["o_orderkey"],
@@ -1085,7 +1088,7 @@ def j6_grouped_map_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.groupBy("o_orderpriority").applyInPandas(
         standardize, "o_orderkey long, o_orderpriority string, z double"
-    )
+    ).withColumn("z", F.round("z", 6))
 
 
 # ------------------------------------ x49 WebDataset TAR shard reading

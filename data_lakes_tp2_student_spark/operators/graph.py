@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.compute import eager
+
 SCALE = 10**12
 
 
@@ -53,9 +55,12 @@ def pagerank(
     # upstream pipeline (x34 feeds the full minhash->LSH chain), and
     # without a cache the edge/node subtrees re-run once per iteration
     # plus once for n — "built ONCE" (docstring) must hold in the plan,
-    # not just the code (review r5). nodes.count() doubles as the cache
-    # materializer, so no stampede when the loop fans out.
-    edges_deg = edges.join(deg, "src").persist()
+    # not just the code (review r5). eager, not bare persist, for the
+    # loop-carried edge frame: nodes.count() below fills only the nodes
+    # cache — the per-round consumers of edges_deg would otherwise race
+    # to compute its uncached subtree at materialization (review r6;
+    # compute.eager documents the stampede)
+    edges_deg = eager(edges.join(deg, "src"))
     nodes = nodes.persist()
 
     n = nodes.count()
@@ -108,7 +113,7 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
     # persist the edge list: it anchors five subtrees (sym twice via the
     # orient join, the closure probe, both degree passes) and `pairs` may
     # be an expensive upstream pipeline
-    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).persist()
+    e = eager(pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")))
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # orient: keep (a -> b) where (deg(a), a) < (deg(b), b)
@@ -173,9 +178,9 @@ def label_propagation(pairs: DataFrame, iterations: int = 3) -> DataFrame:
     e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     # persist: the edge table feeds every round (plus the label init) —
     # without it an expensive `pairs` pipeline re-runs per round
-    sym = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    sym = eager(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )

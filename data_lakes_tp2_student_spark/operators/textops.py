@@ -215,12 +215,15 @@ def windowed_fingerprints(
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("_w", k).over(w) for k in range(1, width)]
+    # width=1 degenerates to one md5 per word: there is no lead, the
+    # window IS the word (review r6: leads[-1] raised IndexError)
+    last = leads[-1] if leads else F.col("_w")
     return (
         words.select(
             F.col(id_col),
             F.col("pos"),
             F.concat_ws(" ", F.col("_w"), *leads).alias("_win"),
-            leads[-1].alias("_last"),
+            last.alias("_last"),
         )
         .filter(F.col("_last").isNotNull())
         .select(F.col(id_col), "pos", F.md5("_win").alias("h"))

@@ -126,3 +126,17 @@ def test_text_query_matches_oracle_on_adversarial_corpus(
     spark, fuzz_sf_dir, name
 ):
     compare_query(spark, name, fuzz_sf_dir)
+
+
+def test_windowed_fingerprints_width_one(spark):
+    """review r6: width=1 raised IndexError (empty leads list); it must
+    degenerate to one md5 per word."""
+    from data_lakes_tp2_student_spark.operators.textops import (
+        windowed_fingerprints,
+    )
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "solo")], "doc_id long, text string")
+    got = windowed_fingerprints(df, "doc_id", "text", width=1)
+    rows = got.collect()
+    assert len(rows) == 4  # one fingerprint per word
+    assert len({(r.doc_id, r.pos) for r in rows}) == 4
