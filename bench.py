@@ -122,7 +122,13 @@ def run_correctness(out_path: str) -> int:
         finally:
             spark.catalog.clearCache()
         results[name] = rec
-        status = "ok" if rec["err"] is None and rec.get("hash_match") in (True, None) else "FAIL"
+        # same predicate that increments `failures` (ADVICE r6: a
+        # schema-mismatch row printed 'ok' while counting as a failure)
+        ok = rec["err"] is None and (
+            rec["hash_match"] is None
+            or (rec["schema_match"] and rec["hash_match"])
+        )
+        status = "ok" if ok else "FAIL"
         print(f"  {name}: {status}", file=sys.stderr)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)

@@ -264,12 +264,24 @@ def _boxes(b: bytes, start: int, end: int):
         yield (b"\x00bad", pos, pos)
 
 
+_MP4_NULL = {
+    "valid": False, "brand": None, "n_top_boxes": None,
+    "duration_ms": None, "n_tracks": None, "video_codec": None,
+    "audio_codec": None, "mdat_bytes": None,
+}
+
+
 def _mp4_walk(b: bytes) -> dict:
-    out = {
-        "valid": False, "brand": None, "n_top_boxes": None,
-        "duration_ms": None, "n_tracks": None, "video_codec": None,
-        "audio_codec": None, "mdat_bytes": None,
-    }
+    """Invalid-row contract (ADVICE r6): valid=false rows carry ALL-NULL
+    metadata, matching the MP3 walker — a partially-populated invalid row
+    (e.g. brand set but duration null because a later trak was malformed)
+    made downstream per-column filters behave differently per format."""
+    out = _mp4_walk_inner(b)
+    return out if out["valid"] else dict(_MP4_NULL)
+
+
+def _mp4_walk_inner(b: bytes) -> dict:
+    out = dict(_MP4_NULL)
     top = list(_boxes(b, 0, len(b)))
     if not top or any(t == b"\x00bad" for t, _s, _e in top):
         return out

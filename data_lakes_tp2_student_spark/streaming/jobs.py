@@ -51,7 +51,10 @@ def _stage_dir(sf_dir: str, table: str) -> str:
     # leftover reads False but still blocks creation) and two concurrent
     # processes can race the check (review r6)
     if os.path.lexists(link) and not os.path.exists(link):
-        os.unlink(link)  # dangling leftover from a removed sf_dir
+        try:
+            os.unlink(link)  # dangling leftover from a removed sf_dir
+        except FileNotFoundError:
+            pass  # concurrent process won the cleanup race (ADVICE r6)
     try:
         os.symlink(src, link)
     except FileExistsError:

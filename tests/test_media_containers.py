@@ -192,3 +192,30 @@ def test_mp4_truncated_largesize_tail_rejected():
     for tail_pad in range(0, 8):
         bad = base + struct.pack(">I", 1) + b"mdat" + bytes(tail_pad)
         assert _mp4_walk(bad)["valid"] is False
+
+
+# --- round-7 ADVICE regression tests ---------------------------------------
+
+
+def test_mp4_invalid_rows_all_null_contract():
+    """ADVICE r6: invalid MP4 rows must carry ALL-NULL metadata (matching
+    the MP3 walker) — previously a malformed trak could leave brand,
+    n_top_boxes, even duration_ms populated on a valid=false row, so
+    per-column downstream filters behaved differently per format."""
+    from data_lakes_tp2_student_spark.operators.media_containers import _MP4_NULL
+
+    b = mp4_bytes(4)
+    corrupt = [
+        b[: len(b) // 2],                           # truncation
+        b"",                                        # empty
+        _box(b"ftyp", b"isom" + bytes(12)),         # missing moov
+        struct.pack(">I", 3) + b"ftyp" + bytes(20), # size < header
+    ]
+    # a moov whose trak box has a malformed inner size: ftyp parses fine
+    # (brand would be set) but the walk must still null everything
+    bad_trak = _box(b"trak", struct.pack(">I", 2) + b"tkhd")
+    corrupt.append(
+        _box(b"ftyp", b"isom" + bytes(12)) + _box(b"moov", bad_trak)
+    )
+    for payload in corrupt:
+        assert _mp4_walk(payload) == _MP4_NULL, payload[:16]
