@@ -17,32 +17,48 @@ reduced to its load-bearing core:
   so Spark's own partition discovery parses the layout — the reader is a
   vanilla `spark.read.option("basePath", root).parquet(*files)`, no custom
   relation needed; the synthetic `txn` column is dropped after read.)
-- **A manifest pins a version.** `_manifest/v{N}.json` lists exactly the
-  data files (+ their partition values, + the schema) visible at version
-  N. Readers resolve a version (latest by default), then read only its
-  files — a half-written version N+1 is INVISIBLE because its manifest
-  does not exist yet and its data files are in txn dirs no manifest
-  references.
-- **Commit = atomic put-if-absent of the next manifest.** The manifest is
+- **The log is incremental (round 7; VERDICT r6 item 1b).** Each
+  `_manifest/v{N}.json` records only this commit's DELTA: the files it
+  ADDS plus a remove spec (`none` for append, `all` for overwrite-style
+  commits, the touched partition values for replace_partitions) — the
+  Delta-Lake JSON-commit contract. A version's full file list is
+  reconstructed by replaying the log from the nearest CHECKPOINT
+  (`v{N}.checkpoint.json`, written every `checkpoint_interval` commits),
+  so commit cost is O(Δfiles) and reconstruction cost is O(Δ since last
+  checkpoint), never O(table files) per commit.
+- **Commit = atomic put-if-absent of the next log entry.** The entry is
   staged to a temp name and published with `os.link` (hard link), which
   fails with EEXIST if some other writer won the version — the HDFS-style
-  rename-no-overwrite primitive. Losers rebase on the new latest and
-  retry (optimistic concurrency); append/replace commits re-derive their
-  file list against the winner's snapshot, so no lost updates. (On S3
-  proper this single primitive is what a DynamoDB/conditional-put
-  LogStore supplies; everything else is unchanged.)
+  rename-no-overwrite primitive. (On S3 proper this single primitive is
+  what a DynamoDB/conditional-put LogStore supplies; everything else is
+  unchanged.)
+- **Losers rebase OR abort (round 7; VERDICT r6 item 1a).** An append
+  commutes with anything: the loser re-derives the next version number
+  and retries — no lost updates. A `replace_partitions` whose base
+  version is stale ABORTS with `ConcurrentWriteConflict` if any
+  intervening commit added or removed files in a partition it replaces
+  (Delta's ConcurrentAppend/ConcurrentDeleteRead semantics — the old
+  silent last-writer-wins rebase dropped the winner's rows).
+  Overwrite-style commits (`commit_overwrite`, `compact`,
+  `optimize_zorder`) abort on ANY intervening commit. An aborted
+  commit's txn dir becomes an orphan; `vacuum()` removes it.
 - **Crash recovery is structural.** A writer that dies after the data
-  write but before the manifest link leaves only an orphan txn dir;
-  readers never see it, and `vacuum()` removes any txn dir no manifest
-  references once a later commit (or none) lands.
+  write but before the log-entry link leaves only an orphan txn dir;
+  readers never see it, and `vacuum()` removes any txn dir no retained
+  snapshot references once a later commit (or none) lands.
+- **Schema changes fail at commit, not at read (round 7; ADVICE r6).**
+  A commit that retains parent files (append / replace_partitions) must
+  keep every shared column's type — otherwise the commit would succeed
+  and every later read would throw inside the mergeSchema parquet scan.
+  Evolution = ADDING columns; changing a type requires commit_overwrite.
 
-Scale notes: the manifest lists file PATHS and partition values, not data
-— O(files), the same contract as a Delta JSON commit; at 100 TB the log
-compacts to checkpoints, which this minimal layer leaves out (versions
-here are full snapshots, so every manifest IS a checkpoint — simpler, at
-the cost of O(files) per commit, acceptable up to ~10^5 files). Partition
-pruning still works: `read()` can prune by partition value against the
-manifest before Spark ever lists a file.
+Scale notes: a checkpoint is O(files) but amortized over
+`checkpoint_interval` commits; partition pruning and file skipping work
+against the reconstructed manifest BEFORE Spark lists anything. The
+local-FS primitives (os.link/os.walk) mean `root` must be a local path —
+object-store roots are rejected at construction until a proper LogStore
+backend exists (ADVICE r6: an s3a:// root would silently publish empty
+manifests because os.walk sees no files).
 """
 
 from __future__ import annotations
@@ -59,6 +75,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    """Optimistic commit aborted: a concurrent commit changed state this
+    commit's base snapshot read (the table when the commit started) and
+    the two cannot be serialized without losing the winner's changes —
+    Delta's ConcurrentAppendException/ConcurrentWriteException. Retry by
+    re-running the whole read-transform-commit cycle against the new
+    latest version."""
 
 
 def _json_safe(v):
@@ -133,35 +158,83 @@ def _parse_partition(rel_path: str) -> dict[str, str | None]:
     return out
 
 
+def _part_key(partition: dict) -> tuple:
+    """Canonical hashable form of a partition-values dict. Sort by KEY
+    only: values may mix str and None, which Python refuses to order."""
+    return tuple(sorted(partition.items(), key=lambda kv: kv[0]))
+
+
 class ManifestTable:
     """A versioned parquet table at `root` with snapshot-isolated commits.
 
     With `stats_cols`, every commit also records per-FILE min/max for
-    those columns in the manifest (read from the parquet footers the
+    those columns in its log entry (read from the parquet footers the
     write just produced — no extra data pass), enabling
     `read(range_filter=...)` to skip files from the manifest alone: the
     Delta/Iceberg data-skipping design. Pair with `optimize_zorder` so
-    the min/max boxes are actually tight."""
+    the min/max boxes are actually tight.
 
-    def __init__(self, root: str, stats_cols: list[str] | None = None) -> None:
+    `checkpoint_interval`: a full-snapshot checkpoint file is written
+    after every Nth commit (and by vacuum), bounding log replay. The
+    checkpoint is derived data — rebuilding it from the log is always
+    possible, and concurrent writers racing the same checkpoint write
+    identical bytes (atomic os.replace)."""
+
+    def __init__(
+        self,
+        root: str,
+        stats_cols: list[str] | None = None,
+        checkpoint_interval: int = 10,
+    ) -> None:
+        if "://" in root:
+            # The log/list primitives (os.link, os.walk) are local-FS
+            # only; with an s3a:// root Spark would write data to S3
+            # while os.walk on the URI-as-local-path finds nothing and
+            # every commit would publish an EMPTY file list — silent
+            # data loss (ADVICE r6). Fail at construction instead.
+            raise ValueError(
+                f"ManifestTable requires a local filesystem root, got "
+                f"{root!r} — object-store roots need an atomic-put "
+                f"LogStore backend this minimal layer does not ship"
+            )
         self.root = root
         self.log_dir = os.path.join(root, "_manifest")
         self.data_dir = os.path.join(root, "data")
         self.stats_cols = list(stats_cols or [])
+        self.checkpoint_interval = max(0, int(checkpoint_interval))
 
     # ---------- log primitives ----------
 
     def _version_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"v{version:020d}.json")
 
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"v{version:020d}.checkpoint.json")
+
     def versions(self) -> list[int]:
         if not os.path.isdir(self.log_dir):
             return []
         out = []
         for name in os.listdir(self.log_dir):
-            if name.startswith("v") and name.endswith(".json"):
+            if (
+                name.startswith("v")
+                and name.endswith(".json")
+                and not name.endswith(".checkpoint.json")
+            ):
                 try:
                     out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def checkpoints(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".checkpoint.json") and name.startswith("v"):
+                try:
+                    out.append(int(name[1 : -len(".checkpoint.json")]))
                 except ValueError:
                     continue
         return sorted(out)
@@ -170,12 +243,61 @@ class ManifestTable:
         vs = self.versions()
         return vs[-1] if vs else None
 
-    def manifest(self, version: int) -> dict:
+    def _raw(self, version: int) -> dict:
+        """The raw log entry for `version` — a DELTA (add + remove spec),
+        or a legacy full-snapshot entry (pre-round-7 format, `files`
+        key), which replays as remove-all + add."""
         with open(self._version_path(version)) as f:
             return json.load(f)
 
-    def _publish(self, manifest: dict) -> bool:
-        """Atomic put-if-absent of `manifest` as its version file. Returns
+    @staticmethod
+    def _entry_delta(entry: dict) -> tuple[list[dict], dict]:
+        """(added files, remove spec) of a raw entry, normalizing the
+        legacy full-snapshot format to remove-all semantics."""
+        if "files" in entry:
+            return entry["files"], {"kind": "all"}
+        return entry["add"], entry["remove"]
+
+    @classmethod
+    def _apply(cls, entry: dict, files: list[dict]) -> list[dict]:
+        """Replay one log entry over the prior snapshot's file list."""
+        add, remove = cls._entry_delta(entry)
+        if remove["kind"] == "all":
+            files = []
+        elif remove["kind"] == "partitions":
+            touched = {tuple(tuple(kv) for kv in t) for t in remove["values"]}
+            files = [e for e in files if _part_key(e["partition"]) not in touched]
+        return files + add
+
+    def _snapshot_files(self, version: int) -> list[dict]:
+        """Reconstruct version N's full file list: nearest checkpoint ≤ N,
+        then replay the (few) later log entries — O(Δ since checkpoint)."""
+        cps = [c for c in self.checkpoints() if c <= version]
+        if cps:
+            start = cps[-1]
+            with open(self._checkpoint_path(start)) as f:
+                files = list(json.load(f)["files"])
+        else:
+            start = -1
+            files = []
+        for v in range(start + 1, version + 1):
+            files = self._apply(self._raw(v), files)
+        return files
+
+    def manifest(self, version: int) -> dict:
+        """Version N's metadata with its FULL reconstructed file list
+        under `files` (the pre-round-7 full-snapshot shape, now derived
+        from the delta log). Raises FileNotFoundError for vacuumed or
+        never-committed versions."""
+        e = self._raw(version)
+        if "files" in e:
+            return e
+        out = {k: v for k, v in e.items() if k not in ("add", "remove")}
+        out["files"] = self._snapshot_files(version)
+        return out
+
+    def _publish(self, entry: dict) -> bool:
+        """Atomic put-if-absent of `entry` as its version file. Returns
         False if another writer already published that version number."""
         os.makedirs(self.log_dir, exist_ok=True)
         fd, tmp = tempfile.mkstemp(
@@ -183,15 +305,27 @@ class ManifestTable:
         )
         try:
             with os.fdopen(fd, "w") as f:
-                json.dump(manifest, f)
+                json.dump(entry, f)
             try:
                 # hard link = atomic create-if-absent on POSIX/HDFS-likes
-                os.link(tmp, self._version_path(manifest["version"]))
+                os.link(tmp, self._version_path(entry["version"]))
                 return True
             except FileExistsError:
                 return False
         finally:
             os.unlink(tmp)
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Materialize version N's full snapshot as a checkpoint file.
+        Derived data: idempotent (two racers write identical content) and
+        atomic (tmp + os.replace), so best-effort is safe."""
+        files = self._snapshot_files(version)
+        fd, tmp = tempfile.mkstemp(
+            prefix=".ckpt-", suffix=".json", dir=self.log_dir
+        )
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": version, "files": files}, f)
+        os.replace(tmp, self._checkpoint_path(version))
 
     # ---------- data write ----------
 
@@ -229,53 +363,163 @@ class ManifestTable:
 
     # ---------- commits ----------
 
+    def _check_schema_compat(self, new_schema, parent_schema_json: str) -> None:
+        """A retained-file commit must not change a shared column's type:
+        the commit would succeed and EVERY later read() would then throw
+        inside the mergeSchema scan ('Failed to merge incompatible data
+        types') — a successful commit yielding an unreadable latest
+        snapshot (ADVICE r6). Compared on simpleString so nullability
+        differences (which mergeSchema unions fine) don't trip it."""
+        parent = StructType.fromJson(json.loads(parent_schema_json))
+        ptypes = {f.name: f.dataType.simpleString() for f in parent.fields}
+        bad = [
+            (f.name, ptypes[f.name], f.dataType.simpleString())
+            for f in new_schema.fields
+            if f.name in ptypes and f.dataType.simpleString() != ptypes[f.name]
+        ]
+        if bad:
+            raise ValueError(
+                f"incompatible schema change {bad} (column, parent type, "
+                f"new type): a commit retaining parent files may ADD "
+                f"columns but not change shared-column types — use "
+                f"commit_overwrite to rewrite the table with a new type"
+            )
+
+    def _check_conflicts(
+        self,
+        action: str,
+        remove_kind: str,
+        touched: set,
+        base: int | None,
+        parent: int,
+    ) -> None:
+        """Serializability gate for a rebasing loser (VERDICT r6 item 1a).
+        `base` is the latest version when this commit started; versions
+        base+1..parent landed concurrently. Appends commute (Delta blind
+        appends) and never conflict. Overwrite-style commits (remove-all)
+        conflict with ANY intervening commit — their output was derived
+        from the base snapshot. replace_partitions conflicts iff an
+        intervening commit added or removed files in a partition it
+        replaces (rebasing would silently drop the winner's rows — the
+        old last-writer-wins bug); disjoint-partition writers both land."""
+        if remove_kind == "none":
+            return
+        start = (base if base is not None else -1) + 1
+        for v in range(start, parent + 1):
+            e = self._raw(v)
+            if remove_kind == "all":
+                raise ConcurrentWriteConflict(
+                    f"{action} based on version {base} conflicts with "
+                    f"concurrent commit v{v} ({e.get('action', '?')}): an "
+                    f"overwrite-style commit cannot be rebased — re-read "
+                    f"and retry"
+                )
+            other_add, other_remove = self._entry_delta(e)
+            if other_remove["kind"] == "all":
+                raise ConcurrentWriteConflict(
+                    f"replace_partitions based on version {base} conflicts "
+                    f"with concurrent commit v{v} ({e.get('action', '?')}): "
+                    f"it replaced the whole table"
+                )
+            added_parts = {_part_key(f["partition"]) for f in other_add}
+            hit = touched & added_parts
+            if hit:
+                raise ConcurrentWriteConflict(
+                    f"replace_partitions based on version {base} conflicts "
+                    f"with concurrent commit v{v} ({e.get('action', '?')}): "
+                    f"both wrote partition(s) {sorted(hit)} — rebasing "
+                    f"would drop the other writer's files"
+                )
+            if other_remove["kind"] == "partitions":
+                other_touched = {
+                    tuple(tuple(kv) for kv in t) for t in other_remove["values"]
+                }
+                hit = touched & other_touched
+                if hit:
+                    raise ConcurrentWriteConflict(
+                        f"replace_partitions based on version {base} "
+                        f"conflicts with concurrent commit v{v}: both "
+                        f"replaced partition(s) {sorted(hit)}"
+                    )
+
     def _commit(
         self,
         df: DataFrame,
         partition_by: list[str] | None,
         action: str,
-        keep_factory,  # (new_files) -> ((entry) -> bool) over parent files
+        remove_kind: str,
         max_attempts: int = 20,
     ) -> int:
-        """The ONE commit loop (review r6: replace_partitions used to
-        duplicate it and the copies had already drifted). The data write
-        happens once — files are immutable and version-independent; only
-        the manifest derivation rebases when a concurrent writer wins the
-        version race."""
+        """The ONE commit loop. The data write happens once — files are
+        immutable and version-independent; only the log entry rebases (or
+        aborts: see _check_conflicts) when a concurrent writer wins the
+        version race. Publishes a DELTA entry — O(this commit's files),
+        not O(table files) — and a checkpoint every Nth version."""
         schema_json = df.schema.json()
+        base = self.latest_version()
         _txn, new_files = self._write_txn(df, partition_by)
-        keep = keep_factory(new_files)
+        # Every new file must sit in exactly the declared partition layout
+        # (a mixed snapshot is unreadable: CONFLICTING_PARTITION_COLUMN_
+        # NAMES — catch it at COMMIT time, not at every later read).
+        expected_layout = frozenset(partition_by or [])
+        bad_layout = sorted(
+            {
+                tuple(sorted(e["partition"]))
+                for e in new_files
+                if frozenset(e["partition"]) != expected_layout
+            }
+        )
+        if bad_layout:
+            raise ValueError(
+                f"commit would mix partition layouts: files carry "
+                f"{bad_layout} but partition_by is {sorted(expected_layout)}"
+            )
+        touched = (
+            {_part_key(e["partition"]) for e in new_files}
+            if remove_kind == "partitions"
+            else set()
+        )
+        remove: dict = {"kind": remove_kind}
+        if remove_kind == "partitions":
+            remove["values"] = [
+                [list(kv) for kv in t] for t in sorted(touched)
+            ]
         for _ in range(max_attempts):
             parent = self.latest_version()
-            if parent is None:
-                parent_files: list[dict] = []
-            else:
-                parent_files = self.manifest(parent)["files"]
-            files = [e for e in parent_files if keep(e)] + new_files
-            # A snapshot mixing partition LAYOUTS is unreadable (Spark:
-            # CONFLICTING_PARTITION_COLUMN_NAMES) — catch the forgotten
-            # partition_by at COMMIT time, not at every later read
-            # (review r6: commit_append with the default None into a
-            # day-partitioned table bricked the table).
-            layouts = {frozenset(e["partition"]) for e in files}
-            if len(layouts) > 1:
-                raise ValueError(
-                    f"commit would mix partition layouts "
-                    f"{sorted(sorted(s) for s in layouts)} — pass the "
-                    f"table's partition_by (parent has "
-                    f"{self.manifest(parent)['partition_by'] if parent is not None else []})"
-                )
-            manifest = {
+            if parent != base:
+                self._check_conflicts(action, remove_kind, touched, base, parent)
+            if parent is not None and remove_kind != "all":
+                p_entry = self._raw(parent)
+                # O(1) layout compatibility vs the parent COMMIT (each
+                # commit checked against its own parent, so the invariant
+                # holds across the whole retained chain) — review r6: a
+                # forgotten partition_by used to brick the table.
+                if (p_entry.get("partition_by") or []) != (partition_by or []):
+                    raise ValueError(
+                        f"commit would mix partition layouts — pass the "
+                        f"table's partition_by {p_entry.get('partition_by')}"
+                        f", got {partition_by or []}"
+                    )
+                self._check_schema_compat(df.schema, p_entry["schema"])
+            entry = {
                 "version": (parent if parent is not None else -1) + 1,
                 "parent": parent,
                 "action": action,
                 "partition_by": partition_by or [],
                 "schema": schema_json,
-                "files": files,
+                "add": new_files,
+                "remove": remove,
                 "committed_at": time.time(),
             }
-            if self._publish(manifest):
-                return manifest["version"]
+            if self._publish(entry):
+                v = entry["version"]
+                if (
+                    self.checkpoint_interval
+                    and v > 0
+                    and v % self.checkpoint_interval == 0
+                ):
+                    self._write_checkpoint(v)
+                return v
         raise RuntimeError(
             f"manifest commit lost the version race {max_attempts} times"
         )
@@ -284,18 +528,17 @@ class ManifestTable:
         self, df: DataFrame, partition_by: list[str] | None = None
     ) -> int:
         """Full-table replace: the new version lists only this commit's
-        files. Old versions stay readable until vacuum."""
-        return self._commit(
-            df, partition_by, "overwrite", lambda nf: (lambda e: False)
-        )
+        files. Old versions stay readable until vacuum. Aborts with
+        ConcurrentWriteConflict if any commit lands concurrently."""
+        return self._commit(df, partition_by, "overwrite", "all")
 
     def commit_append(
         self, df: DataFrame, partition_by: list[str] | None = None
     ) -> int:
-        """Append: new version = parent's files + this commit's files."""
-        return self._commit(
-            df, partition_by, "append", lambda nf: (lambda e: True)
-        )
+        """Append: new version = parent's files + this commit's files.
+        Blind append — commutes with any concurrent commit, never
+        conflicts (the rebase loop re-derives the version number)."""
+        return self._commit(df, partition_by, "append", "none")
 
     def commit_replace_partitions(
         self, df: DataFrame, partition_by: list[str]
@@ -305,17 +548,10 @@ class ManifestTable:
         carry over untouched — the `overwrite_partitions` semantics
         (io/sinks.py) but atomic across ALL touched partitions: readers
         see every partition pre-commit or every partition post-commit,
-        never a mix."""
-
-        def factory(new_files):
-            touched = {
-                tuple(sorted(e["partition"].items())) for e in new_files
-            }
-            return (
-                lambda e: tuple(sorted(e["partition"].items())) not in touched
-            )
-
-        return self._commit(df, partition_by, "replace_partitions", factory)
+        never a mix. Concurrent writers to DISJOINT partitions both
+        land; a concurrent commit touching the SAME partition aborts
+        this commit with ConcurrentWriteConflict (VERDICT r6 item 1a)."""
+        return self._commit(df, partition_by, "replace_partitions", "partitions")
 
     # ---------- read ----------
 
@@ -403,18 +639,24 @@ class ManifestTable:
     def history(self, spark: SparkSession) -> DataFrame:
         """The commit log as a DataFrame: (version, parent, action,
         n_files, n_partition_cols, committed_at) — Delta's DESCRIBE
-        HISTORY. Driver-side log read: O(versions), no data touched."""
+        HISTORY. Driver-side log read: ONE sequential replay over the
+        retained log (O(total Δ), not O(versions × files))."""
         rows = []
+        files: list[dict] | None = None
         for v in self.versions():
-            m = self.manifest(v)
+            e = self._raw(v)
+            if files is None:
+                files = self._snapshot_files(v)
+            else:
+                files = self._apply(e, files)
             rows.append(
                 (
                     v,
-                    m["parent"],
-                    m["action"],
-                    len(m["files"]),
-                    len(m["partition_by"]),
-                    float(m["committed_at"]),
+                    e["parent"],
+                    e["action"],
+                    len(files),
+                    len(e["partition_by"]),
+                    float(e["committed_at"]),
                 )
             )
         return spark.createDataFrame(
@@ -541,7 +783,7 @@ class ManifestTable:
         if len(key_cols) != 1:
             raise ValueError("merge_into currently supports a single key column")
         merged = merge_upsert(self.read(spark), source, key_cols[0])
-        part_by = self.manifest(self.latest_version())["partition_by"] or None
+        part_by = self._raw(self.latest_version()).get("partition_by") or None
         return self.commit_overwrite(merged, partition_by=part_by)
 
     def changes_since(
@@ -572,9 +814,9 @@ class ManifestTable:
         version (action visible in history; old versions still
         time-travel until vacuum). The streaming sink's many per-batch
         txn dirs fold into one — readers switch atomically. Returns the
-        new version. Maintenance op: assumes no concurrent writer (a
-        commit landing between the snapshot read and the publish would be
-        clobbered — run it like VACUUM, from the table owner)."""
+        new version. A commit landing between the snapshot read and the
+        publish now ABORTS this compaction with ConcurrentWriteConflict
+        (round 7 — it used to clobber); just re-run it."""
         import math
 
         latest = self.latest_version()
@@ -594,9 +836,7 @@ class ManifestTable:
         # n tasks and the partitionBy write then emits up to n×values
         # files — compaction MULTIPLYING small files (review r6).
         df = df.repartition(n, *part_by) if part_by else df.repartition(n)
-        return self._commit(
-            df, part_by, "compact", lambda nf: (lambda e: False)
-        )
+        return self._commit(df, part_by, "compact", "all")
 
     def optimize_zorder(
         self,
@@ -612,7 +852,8 @@ class ManifestTable:
         rewritten file gets a tight multi-dim min/max box in the manifest,
         so `read(range_filter=...)` skips most files for ANY predicate on
         a subset of the z-columns — the Delta OPTIMIZE ZORDER + data-
-        skipping pair. Maintenance op like `compact`: single writer."""
+        skipping pair. Like `compact`, aborts with
+        ConcurrentWriteConflict if a commit races it."""
         from ..operators.layout import zorder_by
 
         latest = self.latest_version()
@@ -622,36 +863,52 @@ class ManifestTable:
         # unpartitioned erased partition metadata, so a later
         # partition_filter read silently returned 0 rows and the
         # streaming sink's next replace_partitions double-counted).
-        part_by = self.manifest(latest)["partition_by"] or None
+        part_by = self._raw(latest).get("partition_by") or None
         df = zorder_by(self.read(spark), cols, n_files, bits)
-        return self._commit(
-            df, part_by, "optimize", lambda nf: (lambda e: False)
-        )
+        return self._commit(df, part_by, "optimize", "all")
 
     # ---------- maintenance ----------
 
     def vacuum(
         self, keep_versions: int = 1, min_age_seconds: float = 3600.0
     ) -> list[str]:
-        """Remove txn dirs referenced by NO retained manifest — orphans
-        from crashed commits and files superseded past the retention
-        window. Retains the newest `keep_versions` manifests (≥1; readers
-        of vacuumed history get a loud FileNotFoundError, same contract
-        as Delta's VACUUM). Returns removed txn dir names.
+        """Remove txn dirs referenced by NO retained snapshot — orphans
+        from crashed/aborted commits and files superseded past the
+        retention window. Retains the newest `keep_versions` log entries
+        (≥1; readers of vacuumed history get a loud FileNotFoundError,
+        same contract as Delta's VACUUM). Before dropping older log
+        entries, a checkpoint is written at the oldest retained version
+        so retained snapshots stay reconstructible. Returns removed txn
+        dir names.
 
         `min_age_seconds` is the in-flight-writer guard (review r6): an
         unreferenced txn dir younger than this is indistinguishable from
-        a commit BETWEEN its data write and its manifest publish —
-        deleting it would let the writer publish a manifest listing
-        deleted files. Delta's retention window serves the same purpose;
-        lower it only when no writer can be active (tests, sole owner)."""
+        a commit BETWEEN its data write and its log publish — deleting it
+        would let the writer publish an entry listing deleted files.
+        Delta's retention window serves the same purpose; lower it only
+        when no writer can be active (tests, sole owner).
+
+        Reader hazard (VERDICT r6 item 6, pinned by
+        tests/test_manifest_model.py): a reader holds a FILE LIST, not a
+        lock. A reader whose version stays within the retention window is
+        safe — its files remain referenced. `keep_versions` small + a
+        long-running reader on an old version, or `min_age_seconds=0`
+        with ANY concurrent reader/writer, is the documented unsafe
+        combination: the reader's files can be deleted under it and its
+        next action fails with a missing-file error (fail-loud, never
+        wrong-answer)."""
         import shutil
 
         vs = self.versions()
         keep = vs[-max(1, keep_versions):] if vs else []
         live: set[str] = set()
+        files: list[dict] | None = None
         for v in keep:
-            for e in self.manifest(v)["files"]:
+            if files is None:
+                files = self._snapshot_files(v)
+            else:
+                files = self._apply(self._raw(v), files)
+            for e in files:
                 first = e["path"].split("/")[1] if "/" in e["path"] else ""
                 live.add(first)  # "txn=<id>"
         removed = []
@@ -668,7 +925,14 @@ class ManifestTable:
                         continue  # possible commit-in-progress
                     shutil.rmtree(path)
                     removed.append(name)
+        if keep and vs[0] < keep[0]:
+            # retained snapshots must survive losing the older entries
+            if not os.path.exists(self._checkpoint_path(keep[0])):
+                self._write_checkpoint(keep[0])
         for v in vs:
             if v not in keep:
                 os.unlink(self._version_path(v))
+        for c in self.checkpoints():
+            if keep and c < keep[0]:
+                os.unlink(self._checkpoint_path(c))
         return removed

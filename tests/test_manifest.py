@@ -187,12 +187,17 @@ def test_vacuum_retention_drops_old_versions(spark, tab):
 
 
 def test_manifest_is_json_with_schema_and_files(spark, tab):
+    """Raw log entries are DELTAS (round 7): add + remove spec, not a
+    full snapshot; manifest() reconstructs the full file list."""
     tab.commit_overwrite(_df(spark, [(1, "a", "d1")]), partition_by=["day"])
     m = json.load(open(tab._version_path(0)))
     assert m["action"] == "overwrite"
     assert m["partition_by"] == ["day"]
-    assert all(e["path"].startswith("data/txn=") for e in m["files"])
-    assert all(e["partition"] == {"day": "d1"} for e in m["files"])
+    assert m["remove"] == {"kind": "all"}
+    assert all(e["path"].startswith("data/txn=") for e in m["add"])
+    assert all(e["partition"] == {"day": "d1"} for e in m["add"])
+    # the reconstructed manifest still exposes the full-snapshot shape
+    assert tab.manifest(0)["files"] == m["add"]
 
 
 def test_history_reflects_commits(spark, tab):
@@ -544,3 +549,302 @@ def test_merge_into_and_changes_since(spark, tab):
     assert got == {2: ("update_postimage", "B!"), 3: ("insert", "c")}
     with pytest.raises(ValueError, match="single key"):
         tab.merge_into(spark, _df(spark, [(9, "z", "d9")]), ["id", "day"])
+
+
+# --- round-7: write-write conflict detection (VERDICT r6 item 1a) ----------
+
+
+from data_lakes_tp2_student_spark.io.manifest import ConcurrentWriteConflict
+
+
+def _race(tab, other_commit):
+    """Make `other_commit` (called with a fresh ManifestTable on the same
+    root) land between `tab`'s data write and its first publish attempt —
+    the interception pattern of test_concurrent_commit_race_rebases."""
+    real_publish = tab._publish
+    fired = {"done": False}
+
+    def racing_publish(entry):
+        if not fired["done"]:
+            fired["done"] = True
+            other_commit(ManifestTable(tab.root))
+        return real_publish(entry)
+
+    tab._publish = racing_publish
+    return real_publish
+
+
+def test_replace_same_partition_race_aborts(spark, tab):
+    """THE r6 gap: two replace_partitions on the SAME partition — the old
+    rebase silently dropped the winner's files (last-writer-wins). Now
+    the loser must ABORT, and the winner's data must survive."""
+    tab.commit_overwrite(
+        _df(spark, [(1, "a", "d1"), (2, "b", "d2")]), partition_by=["day"]
+    )
+    real = _race(
+        tab,
+        lambda other: other.commit_replace_partitions(
+            _df(spark, [(70, "winner", "d2")]), ["day"]
+        ),
+    )
+    try:
+        with pytest.raises(ConcurrentWriteConflict, match="partition"):
+            tab.commit_replace_partitions(
+                _df(spark, [(80, "loser", "d2")]), ["day"]
+            )
+    finally:
+        tab._publish = real
+    # winner's commit is intact; loser left no visible state
+    assert rows(tab.read(spark)) == [(1, "a", "d1"), (70, "winner", "d2")]
+
+
+def test_replace_disjoint_partitions_race_both_land(spark, tab):
+    tab.commit_overwrite(
+        _df(spark, [(1, "a", "d1"), (2, "b", "d2"), (3, "c", "d3")]),
+        partition_by=["day"],
+    )
+    real = _race(
+        tab,
+        lambda other: other.commit_replace_partitions(
+            _df(spark, [(70, "w", "d3")]), ["day"]
+        ),
+    )
+    try:
+        v = tab.commit_replace_partitions(_df(spark, [(80, "l", "d2")]), ["day"])
+    finally:
+        tab._publish = real
+    assert v == 2  # rebased, not aborted
+    assert rows(tab.read(spark)) == [(1, "a", "d1"), (70, "w", "d3"), (80, "l", "d2")]
+
+
+def test_replace_aborts_when_concurrent_append_touches_partition(spark, tab):
+    """Delta's ConcurrentAppendException: an append into a partition this
+    replace is rewriting means the replace's output no longer reflects
+    the table — rebasing would silently delete the appended rows."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]), partition_by=["day"])
+    real = _race(
+        tab,
+        lambda other: other.commit_append(
+            _df(spark, [(9, "new", "d1")]), partition_by=["day"]
+        ),
+    )
+    try:
+        with pytest.raises(ConcurrentWriteConflict, match="d1"):
+            tab.commit_replace_partitions(_df(spark, [(5, "r", "d1")]), ["day"])
+    finally:
+        tab._publish = real
+    assert rows(tab.read(spark)) == [(1, "a", "d1"), (9, "new", "d1")]
+
+
+def test_overwrite_racing_anything_aborts(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    real = _race(
+        tab, lambda other: other.commit_append(_df(spark, [(2, "b", "d2")]))
+    )
+    try:
+        with pytest.raises(ConcurrentWriteConflict, match="overwrite"):
+            tab.commit_overwrite(_df(spark, [(9, "z", "d9")]))
+    finally:
+        tab._publish = real
+    assert rows(tab.read(spark)) == [(1, "a", "d1"), (2, "b", "d2")]
+
+
+def test_compact_racing_commit_aborts_not_clobbers(spark, tab):
+    """review r6 docstring admitted compact would CLOBBER a racing
+    commit; now it aborts and the racing commit survives."""
+    for k in range(3):
+        tab.commit_append(_df(spark, [(k, f"v{k}", "d1")]))
+    real = _race(
+        tab, lambda other: other.commit_append(_df(spark, [(99, "racer", "d1")]))
+    )
+    try:
+        with pytest.raises(ConcurrentWriteConflict):
+            tab.compact(spark)
+    finally:
+        tab._publish = real
+    assert (99, "racer", "d1") in rows(tab.read(spark))
+    # compaction succeeds when re-run without a racer
+    tab.compact(spark)
+    assert (99, "racer", "d1") in rows(tab.read(spark))
+
+
+def test_append_racing_overwrite_rebases(spark, tab):
+    """Blind appends never conflict (Delta semantics): an append racing
+    an overwrite lands ON TOP of the overwrite."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    real = _race(
+        tab, lambda other: other.commit_overwrite(_df(spark, [(5, "ow", "d5")]))
+    )
+    try:
+        v = tab.commit_append(_df(spark, [(2, "b", "d2")]))
+    finally:
+        tab._publish = real
+    assert v == 2
+    assert rows(tab.read(spark)) == [(2, "b", "d2"), (5, "ow", "d5")]
+
+
+def test_aborted_commit_txn_dir_is_vacuumable_orphan(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d2")]), partition_by=["day"])
+    real = _race(
+        tab,
+        lambda other: other.commit_replace_partitions(
+            _df(spark, [(70, "w", "d1")]), ["day"]
+        ),
+    )
+    try:
+        with pytest.raises(ConcurrentWriteConflict):
+            tab.commit_replace_partitions(_df(spark, [(80, "l", "d1")]), ["day"])
+    finally:
+        tab._publish = real
+    n_txn = len([d for d in os.listdir(tab.data_dir) if d.startswith("txn=")])
+    removed = tab.vacuum(keep_versions=10, min_age_seconds=0)
+    assert len(removed) == 1  # exactly the aborted commit's orphan
+    assert len([d for d in os.listdir(tab.data_dir) if d.startswith("txn=")]) == n_txn - 1
+    assert rows(tab.read(spark)) == [(2, "b", "d2"), (70, "w", "d1")]
+
+
+# --- round-7: incremental delta log + checkpoints (VERDICT r6 item 1b) -----
+
+
+def test_log_entries_are_deltas_commit_cost_o_delta(spark, tmp_path):
+    """The r6 layer wrote O(table files) per commit (docstring admitted a
+    ~10^5-file ceiling); entries are now O(Δfiles): a 1-partition append
+    onto a table with many files records only its own files."""
+    tab = ManifestTable(str(tmp_path / "delta_tab"), checkpoint_interval=5)
+    wide = spark.createDataFrame(
+        [(i, f"v{i}", f"d{i}") for i in range(12)], "id int, v string, day string"
+    )
+    tab.commit_overwrite(wide, partition_by=["day"])  # 12 partitions
+    n_table_files = len(tab.manifest(0)["files"])
+    assert n_table_files >= 12
+    tab.commit_append(_df(spark, [(99, "x", "d0")]), partition_by=["day"])
+    e = json.load(open(tab._version_path(1)))
+    assert "files" not in e  # delta format, not full snapshot
+    assert len(e["add"]) < n_table_files  # O(Δ), not O(table)
+    assert e["remove"] == {"kind": "none"}
+    # replace entry records touched partition VALUES, not parent files
+    tab.commit_replace_partitions(_df(spark, [(50, "r", "d3")]), ["day"])
+    e2 = json.load(open(tab._version_path(2)))
+    assert e2["remove"]["kind"] == "partitions"
+    assert e2["remove"]["values"] == [[["day", "d3"]]]
+    assert rows(tab.read(spark)) == sorted(
+        [(i, f"v{i}", f"d{i}") for i in range(12) if i != 3]
+        + [(99, "x", "d0"), (50, "r", "d3")]
+    )
+
+
+def test_checkpoint_written_at_interval_and_used(spark, tmp_path):
+    tab = ManifestTable(str(tmp_path / "ckpt_tab"), checkpoint_interval=3)
+    for k in range(8):
+        tab.commit_append(_df(spark, [(k, f"v{k}", "d1")]))
+    assert tab.checkpoints() == [3, 6]
+    ck = json.load(open(tab._checkpoint_path(6)))
+    assert len(ck["files"]) == len(tab.manifest(6)["files"])
+    # reconstruction equals naive full replay at every version
+    for v in tab.versions():
+        naive: list = []
+        for u in range(v + 1):
+            naive = ManifestTable._apply(tab._raw(u), naive)
+        assert {e["path"] for e in tab.manifest(v)["files"]} == {
+            e["path"] for e in naive
+        }, f"version {v}"
+    assert rows(tab.read(spark)) == [(k, f"v{k}", "d1") for k in range(8)]
+
+
+def test_vacuum_checkpoints_oldest_kept_version(spark, tmp_path):
+    """Vacuum drops old log entries; retained versions must stay
+    readable via the checkpoint it writes at the oldest kept version."""
+    tab = ManifestTable(str(tmp_path / "vck_tab"), checkpoint_interval=100)
+    for k in range(6):
+        tab.commit_append(_df(spark, [(k, f"v{k}", "d1")]))
+    assert tab.checkpoints() == []  # interval never hit
+    tab.vacuum(keep_versions=2, min_age_seconds=0)
+    assert tab.versions() == [4, 5]
+    assert tab.checkpoints() == [4]
+    assert rows(tab.read(spark, version=4)) == [(k, f"v{k}", "d1") for k in range(5)]
+    assert rows(tab.read(spark, version=5)) == [(k, f"v{k}", "d1") for k in range(6)]
+    with pytest.raises(FileNotFoundError):
+        tab.read(spark, version=3)
+    # and the table keeps working after the log truncation
+    tab.commit_append(_df(spark, [(99, "post", "d1")]))
+    assert (99, "post", "d1") in rows(tab.read(spark))
+
+
+def test_legacy_full_snapshot_entry_still_readable(spark, tab):
+    """Pre-round-7 log entries carried the FULL file list under `files`;
+    they must replay as remove-all + add (a checkpoint in the log)."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d2")]))
+    # rewrite v0 into the legacy format in place
+    e = tab._raw(0)
+    legacy = {k: v for k, v in e.items() if k not in ("add", "remove")}
+    legacy["files"] = e["add"]
+    with open(tab._version_path(0), "w") as f:
+        json.dump(legacy, f)
+    assert rows(tab.read(spark)) == [(1, "a", "d1"), (2, "b", "d2")]
+    tab.commit_append(_df(spark, [(3, "c", "d3")]))
+    assert rows(tab.read(spark)) == [(1, "a", "d1"), (2, "b", "d2"), (3, "c", "d3")]
+
+
+# --- round-7: schema compatibility at commit time (ADVICE r6) --------------
+
+
+def test_incompatible_shared_column_type_fails_at_commit(spark, tab):
+    """An append whose shared column changed type used to COMMIT fine and
+    then throw on every later read inside the mergeSchema scan; it must
+    fail AT COMMIT and leave the table readable."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    bad = spark.createDataFrame(
+        [("one", "b", "d2")], "id string, v string, day string"  # id: int->string
+    )
+    with pytest.raises(ValueError, match="incompatible schema change"):
+        tab.commit_append(bad)
+    assert rows(tab.read(spark)) == [(1, "a", "d1")]
+    # overwrite MAY change the type (no parent files retained)
+    tab.commit_overwrite(bad)
+    assert [r.id for r in tab.read(spark).collect()] == ["one"]
+
+
+def test_replace_partitions_also_schema_checked(spark, tab):
+    tab.commit_overwrite(
+        _df(spark, [(1, "a", "d1"), (2, "b", "d2")]), partition_by=["day"]
+    )
+    bad = spark.createDataFrame(
+        [(1.5, "x", "d1")], "id double, v string, day string"
+    )
+    with pytest.raises(ValueError, match="incompatible schema change"):
+        tab.commit_replace_partitions(bad, ["day"])
+    assert rows(tab.read(spark)) == [(1, "a", "d1"), (2, "b", "d2")]
+
+
+def test_object_store_root_rejected():
+    """ADVICE r6: with an s3a:// root, Spark writes data to S3 while
+    os.walk on the URI-as-local-path finds nothing — every commit would
+    publish an EMPTY file list (silent data loss). Reject at init."""
+    with pytest.raises(ValueError, match="local filesystem root"):
+        ManifestTable("s3a://bucket/table")
+
+
+# --- round-7: vacuum-vs-reader safety contract (VERDICT r6 item 6) ---------
+
+
+def test_reader_within_retention_survives_vacuum(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    tab.commit_overwrite(_df(spark, [(2, "b", "d2")]))
+    pinned = tab.read(spark, version=1)  # resolves its file list now
+    tab.commit_overwrite(_df(spark, [(3, "c", "d3")]))
+    tab.vacuum(keep_versions=2, min_age_seconds=0)  # keeps v1, v2
+    assert rows(pinned) == [(2, "b", "d2")]  # reader unharmed
+
+
+def test_reader_outside_retention_fails_loud_after_vacuum(spark, tab):
+    """The documented UNSAFE case: retention shorter than a reader's
+    lifetime. The reader's files are deleted under it — the failure is a
+    loud missing-file error, never a silent wrong answer."""
+    from py4j.protocol import Py4JJavaError
+
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    pinned = tab.read(spark, version=0)
+    tab.commit_overwrite(_df(spark, [(2, "b", "d2")]))
+    tab.vacuum(keep_versions=1, min_age_seconds=0)  # deletes v0's files
+    with pytest.raises(Py4JJavaError):
+        pinned.collect()

@@ -72,3 +72,151 @@ def test_model_smoke(spark, tmp_path, seed):
     ]
     assert tab.read(spark, version=0).count() == 2
     assert tab.read(spark, version=1).count() == 3
+
+
+# --- round-7: random CONCURRENT interleavings (VERDICT r6 item 1a) ---------
+#
+# Each op may race a partner commit that lands between the op's data write
+# and its publish attempt (the same interception the deterministic conflict
+# tests use). The model predicts, per the documented semantics, whether the
+# op rebases (append always; replace_partitions on disjoint partitions) or
+# aborts with ConcurrentWriteConflict (overwrite-style always;
+# replace_partitions when the partner touched one of its partitions) — and
+# that every surviving version still reads as its model snapshot.
+
+from data_lakes_tp2_student_spark.io.manifest import ConcurrentWriteConflict
+
+_partner = st.none() | _op
+
+
+def _apply_model(model, kind, rows_in):
+    if kind == "overwrite":
+        return list(rows_in)
+    if kind == "append":
+        return model + list(rows_in)
+    touched = {r[2] for r in rows_in}
+    return [r for r in model if r[2] not in touched] + list(rows_in)
+
+
+def _expect_abort(kind, rows_in, partner_kind, partner_rows):
+    if kind == "append":
+        return False  # blind appends commute with anything
+    if kind == "overwrite":
+        return True  # overwrite-style conflicts with ANY concurrent commit
+    # replace_partitions: conflict iff the partner touched a replaced day
+    if partner_kind == "overwrite":
+        return True
+    mine = {r[2] for r in rows_in}
+    theirs = {r[2] for r in partner_rows}
+    return bool(mine & theirs)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(st.tuples(_op, _partner), min_size=1, max_size=4))
+def test_random_concurrent_interleavings_match_model(
+    spark, tmp_path_factory, ops
+):
+    tab = ManifestTable(str(tmp_path_factory.mktemp("race_model") / "t"))
+    model_history: list[list[tuple]] = []
+    model: list[tuple] = []
+
+    def commit(table, kind, rows_in):
+        df = spark.createDataFrame(rows_in, "id int, v string, day string")
+        if kind == "overwrite":
+            table.commit_overwrite(df, partition_by=["day"])
+        elif kind == "append":
+            table.commit_append(df, partition_by=["day"])
+        else:
+            table.commit_replace_partitions(df, ["day"])
+
+    for (kind, rows_in), partner in ops:
+        if partner is None:
+            commit(tab, kind, rows_in)
+            model = _apply_model(model, kind, rows_in)
+            model_history.append(list(model))
+            continue
+        p_kind, p_rows = partner
+        real_publish = tab._publish
+        fired = {"done": False}
+
+        def racing_publish(entry, _p=(p_kind, p_rows), _real=real_publish, _f=fired):
+            if not _f["done"]:
+                _f["done"] = True
+                commit(ManifestTable(tab.root), *_p)
+            return _real(entry)
+
+        tab._publish = racing_publish
+        aborted = False
+        try:
+            commit(tab, kind, rows_in)
+        except ConcurrentWriteConflict:
+            aborted = True
+        finally:
+            tab._publish = real_publish
+        assert aborted == _expect_abort(kind, rows_in, p_kind, p_rows), (
+            kind, rows_in, p_kind, p_rows,
+        )
+        # partner landed first; the op follows only if it survived
+        model = _apply_model(model, p_kind, p_rows)
+        model_history.append(list(model))
+        if not aborted:
+            model = _apply_model(model, kind, rows_in)
+            model_history.append(list(model))
+
+    assert tab.latest_version() == len(model_history) - 1
+    for v, snapshot in enumerate(model_history):
+        got = sorted(
+            (r.id, r.v, r.day) for r in tab.read(spark, version=v).collect()
+        )
+        assert got == sorted(snapshot), f"version {v} diverged"
+
+
+# --- round-7: vacuum-vs-reader safety property (VERDICT r6 item 6) ---------
+#
+# Overwrite-only sequences make each version's files referenced by exactly
+# that version, so retention maps 1:1 to file liveness: a reader pinned
+# WITHIN the retention window must survive vacuum bit-exactly; a reader
+# pinned OUTSIDE it must fail LOUD (missing files / missing log entry),
+# never return a silently wrong answer.
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_vacuum_reader_safety_contract(spark, tmp_path_factory, data):
+    from py4j.protocol import Py4JJavaError
+
+    n_commits = data.draw(st.integers(2, 5), label="n_commits")
+    pinned_v = data.draw(st.integers(0, n_commits - 1), label="pinned_version")
+    keep = data.draw(st.integers(1, n_commits), label="keep_versions")
+
+    tab = ManifestTable(str(tmp_path_factory.mktemp("vac_model") / "t"))
+    snapshots = []
+    for v in range(n_commits):
+        rows_in = [(v * 10 + k, f"w{v}", f"d{k}") for k in range(2)]
+        df = spark.createDataFrame(rows_in, "id int, v string, day string")
+        tab.commit_overwrite(df)
+        snapshots.append(rows_in)
+
+    pinned = tab.read(spark, version=pinned_v)  # file list resolved NOW
+    tab.vacuum(keep_versions=keep, min_age_seconds=0)
+
+    within_retention = pinned_v >= n_commits - keep
+    if within_retention:
+        got = sorted((r.id, r.v, r.day) for r in pinned.collect())
+        assert got == sorted(snapshots[pinned_v])
+        fresh = tab.read(spark, version=pinned_v)
+        assert sorted((r.id, r.v, r.day) for r in fresh.collect()) == sorted(
+            snapshots[pinned_v]
+        )
+    else:
+        with pytest.raises((Py4JJavaError, FileNotFoundError)):
+            pinned.collect()
+        with pytest.raises(FileNotFoundError):
+            tab.read(spark, version=pinned_v)
