@@ -122,6 +122,26 @@ _VALUE_MUTATIONS = {
     ),
     "x4_term_frequency": "SELECT word, tf + 1 AS tf FROM ({o}) t",  # llm_ops
     "f1_sort": "SELECT n_name, pos + 1 AS pos FROM ({o}) t",  # extras
+    # round-7 (VERDICT r6 item 2): the round-6 modules route through
+    # FILESYSTEM state (manifest log + txn data dirs) and mapInPandas
+    # walkers — the most novel failure surfaces; prove the gate fails on
+    # a value nudge there too. DuckDB's `* REPLACE` keeps the schema
+    # identical so ONLY the hash can catch these.
+    "x52_snapshot_upsert": (  # llm_ops6: full commit->read manifest path
+        "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
+    ),
+    "x54_change_data_feed": (  # llm_ops6: snapshot_diff CDF path
+        "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
+    ),
+    "x56_zorder_skipping_read": (  # llm_ops6: zorder + file-skipping read
+        "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
+    ),
+    "x5k_mp3_metadata": (  # media_containers: MP3 frame walk
+        "SELECT * REPLACE (duration_us + 1 AS duration_us) FROM ({o}) t"
+    ),
+    "x5l_mp4_metadata": (  # media_containers: ISO-BMFF box walk
+        "SELECT * REPLACE (duration_ms + 1 AS duration_ms) FROM ({o}) t"
+    ),
 }
 
 
