@@ -61,6 +61,51 @@ HEADLINE = [
     "f6_stratified_sample",
 ]
 
+# Go-forward per-query baseline (VERDICT r6 item 5): the round-1 best-of-2
+# numbers (BENCH_r01.json — the BASELINE.md rows), with ONE documented
+# override: e3c's 0.30 s was produced by the driver-RED round-1 ntile whose
+# plan sorted each group in a single task; the correct two-phase
+# implementation's go-forward reference is 1.05 s (BASELINE.md footnote,
+# PERF.md #14). `vs_baseline` ratios in the output divide best-of-N by
+# these; the legacy r1 row stays in BASELINE.md for cross-round
+# comparability.
+BASELINE_GOFORWARD = {
+    "flagship_summary": 0.378,
+    "d3_group_sizes": 0.255,
+    "d7_d8_length_stats": 0.19,
+    "e2_stratified_split": 0.303,
+    "e3_window_functions": 0.49,
+    "j1_tokenize": 0.312,
+    "x1_exact_dedup": 0.221,
+    "x2_minhash_pairs": 1.338,
+    "x2b_jaccard_verify": 3.282,
+    "x2e_dup_clusters": 4.42,
+    "x2f_simhash_pairs": 1.141,
+    "x3_knn_bruteforce": 0.912,
+    "x3b_knn_lsh": 1.827,
+    "x3c_knn_ivf": 0.909,
+    "x4_quality_score": 0.215,
+    "x9_corpus_prep": 0.575,
+    "x6_tpch_q1": 0.759,
+    "x6_tpch_q3": 0.465,
+    "x6_tpch_q5": 0.53,
+    "x6_tpch_q6": 0.149,
+    "x6_tpch_q8": 0.734,
+    "x6_tpch_q19": 0.334,
+    "x6_tpch_q21": 0.688,
+    "c7_asof_join": 0.255,
+    "i1_tumbling_window": 0.204,
+    "i3_session_window": 0.251,
+    "x11_resample_gapfill": 0.217,
+    "x12_funnel": 0.388,
+    "x13_cohort_retention": 0.209,
+    "x15_embedding_centroids": 0.127,
+    "x16_pmi_cooccurrence": 0.741,
+    "x18_data_quality_audit": 0.17,
+    "e3c_ntile_buckets": 1.05,  # go-forward (r1 row was driver-RED)
+    "f6_stratified_sample": 0.104,
+}
+
 
 def run_correctness(out_path: str) -> int:
     """`bench.py --correctness [out.json]` — run EVERY registry query
@@ -202,6 +247,17 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     total_best = round(sum(bests.values()), 3)
+    # Per-query ratios vs the GO-FORWARD baseline (best-of-N on both
+    # sides, per the matched-statistics rule standing since r4).
+    vs_baseline = {
+        n: round(bests[n] / BASELINE_GOFORWARD[n], 2)
+        for n in names
+        if n in BASELINE_GOFORWARD
+    }
+    base_total = sum(BASELINE_GOFORWARD[n] for n in names if n in BASELINE_GOFORWARD)
+    vs_baseline_total = round(
+        sum(bests[n] for n in names if n in BASELINE_GOFORWARD) / base_total, 3
+    ) if base_total else None
     # Full detail (medians + spreads + per-round walls) goes to a FILE so
     # the final stdout line stays compact: the driver captures only a tail
     # window of stdout, and r5's all-in-one line overflowed it
@@ -218,6 +274,8 @@ def main() -> None:
                 "total_best": total_best,
                 "spread": spreads,
                 "round_walls": round_walls,
+                "vs_baseline": vs_baseline,
+                "vs_baseline_total": vs_baseline_total,
                 "sf": sf,
             },
             f,
@@ -233,6 +291,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": bests,
                 "total_best": total_best,
+                "vs_baseline": vs_baseline,
+                "vs_baseline_total": vs_baseline_total,
                 "sf": sf,
             }
         )

@@ -302,3 +302,65 @@ def x56_zorder_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey").between(100, 260))
         & (F.col("o_orderkey").between(1, 30000))
     )
+
+
+# ---------------------------------------------------------------------------
+# x5m: AVI (RIFF) video container -> MJPEG frame extraction -> JPEG decode
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x5m_avi_frames",
+    oracle="""
+    -- frame j of doc i is jpeg_bytes(i + 6*j): the +6 stride keeps the
+    -- fixture dims constant per file while the luma formula shifts per
+    -- frame — the oracle predicts the decoded pixel sum through BOTH
+    -- container layers (RIFF chunk walk, then entropy decode + IDCT)
+    WITH f AS (
+        SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS frame_no
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(frame_no AS BIGINT) AS frame_no,
+           true AS valid,
+           CAST(8 * (doc_id % 3 + 2) AS BIGINT) AS width,
+           CAST(8 * (doc_id % 2 + 1) AS BIGINT) AS height,
+           CAST(64 * list_sum(list_transform(
+                    range(0, (doc_id % 3 + 2) * (doc_id % 2 + 1)),
+                    k -> ((doc_id + 6 * frame_no) * 17
+                          + (k // (doc_id % 3 + 2)) * 29
+                          + (k % (doc_id % 3 + 2)) * 43) % 256))
+               AS BIGINT) AS px_sum
+    FROM f
+    """,
+)
+def x5m_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x5m — the video ingestion chain, format inside format (VERDICT r6
+    item 3): each document id gets a REAL minimal AVI whose MJPEG stream
+    carries real baseline JPEGs; the lib-free RIFF chunk walk
+    (operators/media_containers.py:parse_avi_frames) explodes the movi
+    '00dc' chunks into one row per frame, and the lib-free JPEG decoder
+    (operators/jpeg.py — the same decoder x31 image dedup uses) consumes
+    the frame payloads. Container walk -> frame demux -> entropy decode
+    -> dequant -> IDCT, with the luma-sum oracle verifying the whole
+    chain arithmetically — `sample_frames`' stub contract made real for
+    an actual video container. Scale shape: both stages are Arrow-batched
+    mapInPandas, the frame explosion happens executor-side, and nothing
+    shuffles before the decode."""
+    from ..operators.jpeg import parse_jpeg
+    from ..operators.media_containers import attach_avi_media, parse_avi_frames
+
+    docs = load(spark, sf_dir, "documents")
+    frames = parse_avi_frames(attach_avi_media(docs, "doc_id"))
+    # parse_jpeg carries a single id column; pack (doc_id, frame_no) into
+    # one synthetic key (frame_no < 3 << 8) instead of re-joining the
+    # decode output back to the frame rows — keeps the chain shuffle-free
+    packed = frames.select(
+        (F.col("doc_id") * 8 + F.col("frame_no")).alias("doc_id"),
+        F.col("frame").alias("media"),
+    )
+    return parse_jpeg(packed).select(
+        F.expr("doc_id DIV 8").alias("doc_id"),
+        (F.col("doc_id") % 8).cast("bigint").alias("frame_no"),
+        "valid", "width", "height", "px_sum",
+    )

@@ -385,3 +385,253 @@ def attach_mp4_media(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         build, schema="doc_id bigint, media binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# AVI / RIFF (MJPEG video) — round 7 (VERDICT r6 item 3)
+# ---------------------------------------------------------------------------
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""  # RIFF chunks are word-aligned
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + payload)
+
+
+def avi_bytes(i: int) -> bytes:
+    """A real minimal AVI (RIFF) file with one MJPEG video stream whose
+    frames are REAL decodable baseline JPEGs (operators/jpeg.py), all
+    deterministic from ``i``: ``i % 3 + 1`` frames, frame ``j`` is
+    ``jpeg_bytes(i + 6*j)`` — the +6 stride keeps ``i' mod 6`` constant,
+    so every frame of one file shares the fixture dimensions (as a real
+    video stream must). fps = 25 + 5*(i % 2). Layout:
+    RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi'
+    '00dc'×n)). The same container-in-container fixture contract as the
+    TAR->JPEG chain (x49c): a SQL oracle predicts every decoded frame's
+    luma sum arithmetically through BOTH layers."""
+    from .jpeg import jpeg_bytes, jpeg_dims
+
+    i = int(i)
+    n_frames = i % 3 + 1
+    fps = 25 + 5 * (i % 2)
+    frames = [jpeg_bytes(i + 6 * j) for j in range(n_frames)]
+    w, h = jpeg_dims(i)
+    max_frame = max(len(f) for f in frames)
+    avih = _riff_chunk(
+        b"avih",
+        struct.pack(
+            "<14I",
+            1_000_000 // fps,  # dwMicroSecPerFrame
+            max_frame * fps,  # dwMaxBytesPerSec
+            0,  # dwPaddingGranularity
+            0x10,  # dwFlags: AVIF_HASINDEX off, AVIF_WASCAPTUREFILE-ish
+            n_frames,  # dwTotalFrames
+            0,  # dwInitialFrames
+            1,  # dwStreams
+            max_frame,  # dwSuggestedBufferSize
+            w,
+            h,
+            0, 0, 0, 0,  # dwReserved[4]
+        ),
+    )
+    strh = _riff_chunk(
+        b"strh",
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIIi4H",
+            0,  # dwFlags
+            0, 0,  # wPriority, wLanguage
+            0,  # dwInitialFrames
+            1, fps,  # dwScale, dwRate -> rate/scale = fps
+            0,  # dwStart
+            n_frames,  # dwLength
+            max_frame,  # dwSuggestedBufferSize
+            0,  # dwQuality
+            0,  # dwSampleSize
+            0, 0, w, h,  # rcFrame
+        ),
+    )
+    strf = _riff_chunk(
+        b"strf",
+        struct.pack(
+            "<IiiHH4sIiiII",
+            40,  # biSize
+            w, h,
+            1, 24,  # biPlanes, biBitCount
+            b"MJPG",  # biCompression
+            w * h * 3,  # biSizeImage
+            0, 0, 0, 0,
+        ),
+    )
+    hdrl = _riff_list(b"hdrl", avih + _riff_list(b"strl", strh + strf))
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(b"00dc", f) for f in frames)
+    )
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def _riff_chunks(b: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for each RIFF chunk in
+    [start, end); chunks are word-aligned (odd sizes padded). Any
+    malformed size yields the bad marker and stops — the caller treats
+    the scope as corrupt, same contract as the ISO-BMFF `_boxes`."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = b[pos : pos + 4]
+        size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        data_end = pos + 8 + size
+        if data_end > end:
+            yield (b"\x00bad", pos, pos)
+            return
+        yield (fourcc, pos + 8, data_end)
+        pos = data_end + (size % 2)  # skip the pad byte
+    if pos != end and pos != end + 1:  # +1: final pad may overhang scope
+        yield (b"\x00bad", pos, pos)
+
+
+_AVI_NULL = {
+    "valid": False, "n_streams": None, "width": None, "height": None,
+    "fps": None, "declared_frames": None, "n_frames": None, "codec": None,
+}
+
+
+def _avi_walk(b: bytes, want_frames: bool = False) -> tuple[dict, list[bytes]]:
+    """Single-pass RIFF walk: (metadata dict, video frame payloads).
+    Never raises; corrupt input -> (all-null valid=false, []) — the same
+    invalid-row contract as the MP3/MP4 walkers (ADVICE r6)."""
+    out = dict(_AVI_NULL)
+    frames: list[bytes] = []
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return dict(_AVI_NULL), []
+    riff_size = struct.unpack("<I", b[4:8])[0]
+    end = min(8 + riff_size, len(b))
+    if 8 + riff_size > len(b):
+        return dict(_AVI_NULL), []  # declared size overruns the payload
+    for typ, s, e in _riff_chunks(b, 12, end):
+        if typ == b"\x00bad":
+            return dict(_AVI_NULL), []
+        if typ != b"LIST" or e - s < 4:
+            continue  # JUNK and other non-LIST top chunks are legal
+        list_type = b[s : s + 4]
+        if list_type == b"hdrl":
+            for t2, s2, e2 in _riff_chunks(b, s + 4, e):
+                if t2 == b"\x00bad":
+                    return dict(_AVI_NULL), []
+                if t2 == b"avih" and e2 - s2 >= 40:
+                    (uspf, _mbps, _pad, _flags, total, _init, streams,
+                     _buf, w, h) = struct.unpack("<10I", b[s2 : s2 + 40])
+                    out["fps"] = 1_000_000 // uspf if uspf else None
+                    out["declared_frames"] = total
+                    out["n_streams"] = streams
+                    out["width"] = w
+                    out["height"] = h
+                elif t2 == b"LIST" and e2 - s2 >= 4 and b[s2 : s2 + 4] == b"strl":
+                    for t3, s3, e3 in _riff_chunks(b, s2 + 4, e2):
+                        if t3 == b"\x00bad":
+                            return dict(_AVI_NULL), []
+                        if (
+                            t3 == b"strh"
+                            and e3 - s3 >= 8
+                            and b[s3 : s3 + 4] == b"vids"
+                            and out["codec"] is None
+                        ):
+                            out["codec"] = b[s3 + 4 : s3 + 8].decode(
+                                "ascii", "replace"
+                            )
+        elif list_type == b"movi":
+            n = 0
+            for t2, s2, e2 in _riff_chunks(b, s + 4, e):
+                if t2 == b"\x00bad":
+                    return dict(_AVI_NULL), []
+                # NNdc = compressed video chunk of stream NN
+                if len(t2) == 4 and t2[2:4] == b"dc" and t2[:2].isdigit():
+                    n += 1
+                    if want_frames:
+                        frames.append(b[s2:e2])
+            out["n_frames"] = n
+    out["valid"] = (
+        (out["n_streams"] or 0) > 0
+        and (out["n_frames"] or 0) > 0
+        and out["width"] is not None
+    )
+    if not out["valid"]:
+        return dict(_AVI_NULL), []
+    return out, frames
+
+
+AVI_SCHEMA = (
+    "doc_id bigint, valid boolean, n_streams bigint, width bigint, "
+    "height bigint, fps bigint, declared_frames bigint, n_frames bigint, "
+    "codec string"
+)
+
+AVI_FRAMES_SCHEMA = "doc_id bigint, frame_no bigint, frame binary"
+
+
+def parse_avi(media_df: DataFrame) -> DataFrame:
+    """x5m metadata half — AVI (RIFF) container walk over (doc_id,
+    media): stream count, declared dims/fps/frame-count from avih, video
+    codec fourcc from the strl/strh header, actual '..dc' frame-chunk
+    count from movi. Metadata-only single pass; corrupt input degrades
+    to an all-null valid=false row, never a throw."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {"doc_id": int(d), **_avi_walk(bytes(m))[0]}
+                for d, m in zip(pdf["doc_id"], pdf["media"])
+            ]
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "valid", "n_streams", "width", "height", "fps",
+                "declared_frames", "n_frames", "codec",
+            ])
+
+    return media_df.mapInPandas(run, schema=AVI_SCHEMA)
+
+
+def parse_avi_frames(media_df: DataFrame) -> DataFrame:
+    """x5m frame half — explode each AVI's movi video chunks into one row
+    per frame carrying the RAW codec payload (for MJPEG: a complete
+    JPEG, feedable straight into operators/jpeg.py:parse_jpeg — the real
+    frame-sampling path `multimodal.sample_frames` stubs with byte
+    slices). Invalid containers contribute zero rows (filter upstream
+    with parse_avi for the per-file verdict). Arrow-batched mapInPandas;
+    the one-to-many expansion happens executor-side with no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            nos: list[int] = []
+            payloads: list[bytes] = []
+            for d, m in zip(pdf["doc_id"], pdf["media"]):
+                _meta, frames = _avi_walk(bytes(m), want_frames=True)
+                for j, fr in enumerate(frames):
+                    ids.append(int(d))
+                    nos.append(j)
+                    payloads.append(fr)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": nos, "frame": payloads}
+            )
+
+    return media_df.mapInPandas(run, schema=AVI_FRAMES_SCHEMA)
+
+
+def attach_avi_media(df: DataFrame, id_col: str) -> DataFrame:
+    """One `avi_bytes` payload per row (executor-side, Arrow-batched)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": [int(x) for x in pdf["doc_id"]],
+                    "media": [avi_bytes(x) for x in pdf["doc_id"]],
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        build, schema="doc_id bigint, media binary"
+    )

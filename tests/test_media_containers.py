@@ -219,3 +219,111 @@ def test_mp4_invalid_rows_all_null_contract():
     )
     for payload in corrupt:
         assert _mp4_walk(payload) == _MP4_NULL, payload[:16]
+
+
+# --- round-7: AVI / RIFF (MJPEG) container (VERDICT r6 item 3) -------------
+
+
+from data_lakes_tp2_student_spark.operators.media_containers import (
+    _AVI_NULL,
+    _avi_walk,
+    avi_bytes,
+)
+
+
+def test_avi_walk_metadata_matches_fixture_arithmetic():
+    from data_lakes_tp2_student_spark.operators.jpeg import jpeg_dims
+
+    for i in range(12):
+        meta, frames = _avi_walk(avi_bytes(i), want_frames=True)
+        assert meta["valid"] is True
+        assert meta["n_streams"] == 1
+        assert meta["codec"] == "MJPG"
+        assert meta["fps"] == 25 + 5 * (i % 2)
+        assert meta["n_frames"] == i % 3 + 1 == meta["declared_frames"]
+        assert (meta["width"], meta["height"]) == jpeg_dims(i)
+        assert len(frames) == i % 3 + 1
+
+
+def test_avi_frames_are_decodable_jpegs_with_constant_dims():
+    from data_lakes_tp2_student_spark.operators.jpeg import (
+        _jpeg_decode,
+        jpeg_dims,
+    )
+
+    for i in (1, 4, 5):
+        _meta, frames = _avi_walk(avi_bytes(i), want_frames=True)
+        for j, fr in enumerate(frames):
+            d = _jpeg_decode(fr)
+            assert d is not None, (i, j)
+            assert (d[0], d[1]) == jpeg_dims(i)  # all frames share dims
+
+
+def test_avi_invalid_rows_all_null_contract():
+    """Same invalid-row contract as MP3/MP4 (ADVICE r6): corrupt input ->
+    ALL-NULL metadata, zero frames, never a partially-populated row."""
+    b = avi_bytes(7)
+    corrupt = [
+        b"",
+        b"RIFF" + b"\x00" * 20,                      # wrong form type
+        b[:20],                                       # truncated header
+        b[: len(b) // 2],                             # truncated mid-stream
+        b"RIFF" + struct.pack("<I", 10**6) + b"AVI ", # size overruns EOF
+        b[:12] + struct.pack("<I", 0xFFFFFFF0) + b[16:],  # bad chunk size
+    ]
+    for payload in corrupt:
+        meta, frames = _avi_walk(payload, want_frames=True)
+        assert meta == _AVI_NULL, payload[:16]
+        assert frames == []
+
+
+def test_avi_junk_top_chunk_tolerated():
+    """Real AVIs carry JUNK padding chunks; unknown top-level chunks must
+    be skipped, not treated as corruption."""
+    b = avi_bytes(3)
+    junk = b"JUNK" + struct.pack("<I", 6) + b"abcdef"
+    spliced = b[:12] + junk + b[12:]
+    rebuilt = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    meta, frames = _avi_walk(rebuilt, want_frames=True)
+    assert meta["valid"] is True and meta["n_frames"] == 3 % 3 + 1
+    assert len(frames) == 1
+
+
+def test_avi_odd_sized_frame_chunk_word_alignment():
+    """RIFF pads odd-sized chunks to word boundaries; the walker must
+    step over the pad byte (an off-by-one would desync every following
+    chunk)."""
+    odd_frame = b"\xff\xd8\xff"  # 3 bytes, not a real JPEG — only the walk
+    from data_lakes_tp2_student_spark.operators.media_containers import (
+        _riff_chunk,
+        _riff_list,
+    )
+
+    base = avi_bytes(2)  # has 3 frames; rebuild movi with odd chunk first
+    _meta, frames = _avi_walk(base, want_frames=True)
+    movi = _riff_list(
+        b"movi",
+        _riff_chunk(b"00dc", odd_frame)
+        + b"".join(_riff_chunk(b"00dc", f) for f in frames),
+    )
+    idx = base.find(b"movi") - 8  # start of the movi LIST chunk
+    payload = base[8:idx] + movi
+    rebuilt = b"RIFF" + struct.pack("<I", len(payload)) + payload
+    meta, got = _avi_walk(rebuilt, want_frames=True)
+    assert meta["valid"] is True
+    assert meta["n_frames"] == len(frames) + 1
+    assert got[0] == odd_frame and got[1:] == frames
+
+
+def test_spark_end_to_end_avi(spark):
+    from data_lakes_tp2_student_spark.operators.media_containers import (
+        attach_avi_media,
+        parse_avi,
+        parse_avi_frames,
+    )
+
+    ids = spark.range(9).selectExpr("id AS doc_id")
+    meta = parse_avi(attach_avi_media(ids, "doc_id")).collect()
+    assert len(meta) == 9 and all(r.valid for r in meta)
+    frames = parse_avi_frames(attach_avi_media(ids, "doc_id")).collect()
+    assert len(frames) == sum(i % 3 + 1 for i in range(9))

@@ -132,3 +132,38 @@ def test_mp4_walk_never_throws_on_fuzz():
     for i in (0, 7):
         for mutant in _mutations(mp4_bytes(i), seed=600 + i):
             _mp4_walk(mutant)
+
+
+def test_avi_walk_never_throws_on_fuzz():
+    """Corruption matrix for the RIFF/AVI walk (round 7): bit flips,
+    truncation, splices, duplication over both a 1-frame and a 3-frame
+    fixture, with and without frame extraction."""
+    from data_lakes_tp2_student_spark.operators.media_containers import (
+        _avi_walk,
+        avi_bytes,
+    )
+
+    for i in (0, 8):
+        for mutant in _mutations(avi_bytes(i), seed=700 + i):
+            _avi_walk(mutant)  # metadata walk
+            _avi_walk(mutant, want_frames=True)  # frame demux walk
+
+
+def test_avi_to_jpeg_chain_never_throws_on_fuzz(spark):
+    """The full x5m chain under mutation through the DataFrame surface:
+    every mutant must land as rows (possibly zero frames), never a dead
+    Arrow batch."""
+    from data_lakes_tp2_student_spark.operators.jpeg import parse_jpeg
+    from data_lakes_tp2_student_spark.operators.media_containers import (
+        avi_bytes,
+        parse_avi_frames,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(k, m) for k, m in enumerate(_mutations(avi_bytes(5), seed=800))]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    frames = parse_avi_frames(df)
+    decoded = parse_jpeg(
+        frames.select("doc_id", F.col("frame").alias("media"))
+    )
+    assert decoded.count() == frames.count()  # one verdict row per frame
