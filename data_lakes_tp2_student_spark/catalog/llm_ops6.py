@@ -364,3 +364,31 @@ def x5m_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 8).cast("bigint").alias("frame_no"),
         "valid", "width", "height", "px_sum",
     )
+
+
+@register(
+    "x5n_avi_metadata",
+    oracle="""
+    SELECT doc_id,
+           true AS valid,
+           CAST(1 AS BIGINT) AS n_streams,
+           CAST(8 * (doc_id % 3 + 2) AS BIGINT) AS width,
+           CAST(8 * (doc_id % 2 + 1) AS BIGINT) AS height,
+           CAST(25 + 5 * (doc_id % 2) AS BIGINT) AS fps,
+           CAST(doc_id % 3 + 1 AS BIGINT) AS declared_frames,
+           CAST(doc_id % 3 + 1 AS BIGINT) AS n_frames,
+           'MJPG' AS codec
+    FROM documents
+    """,
+)
+def x5n_avi_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x5n — AVI container profiling (the metadata half of x5m): stream
+    count, avih dims/fps/declared frame count, strh video codec fourcc,
+    and the ACTUAL movi frame-chunk count — declared-vs-actual is the
+    integrity screen a video corpus runs before spending decode cycles.
+    Every field oracle-predicted from the fixture arithmetic; single
+    metadata pass, no frame payloads materialized."""
+    from ..operators.media_containers import attach_avi_media, parse_avi
+
+    docs = load(spark, sf_dir, "documents")
+    return parse_avi(attach_avi_media(docs, "doc_id"))

@@ -363,15 +363,29 @@ class ManifestTable:
 
     # ---------- commits ----------
 
-    def _check_schema_compat(self, new_schema, parent_schema_json: str) -> None:
+    @staticmethod
+    def _table_schema_of(entry: dict) -> str:
+        """The CUMULATIVE schema json of the snapshot at `entry` — the
+        union of every retained file's columns. Falls back to the
+        commit's own schema for legacy (pre-round-7) entries."""
+        return entry.get("table_schema", entry["schema"])
+
+    def _check_schema_compat(self, new_schema, parent_entry: dict) -> str:
         """A retained-file commit must not change a shared column's type:
         the commit would succeed and EVERY later read() would then throw
         inside the mergeSchema scan ('Failed to merge incompatible data
         types') — a successful commit yielding an unreadable latest
-        snapshot (ADVICE r6). Compared on simpleString so nullability
-        differences (which mergeSchema unions fine) don't trip it."""
-        parent = StructType.fromJson(json.loads(parent_schema_json))
-        ptypes = {f.name: f.dataType.simpleString() for f in parent.fields}
+        snapshot (ADVICE r6). Compared against the parent's CUMULATIVE
+        table schema, not just its commit schema — a column absent from
+        the parent COMMIT may still live in older retained files (added
+        in v1, omitted in v2, re-added with a new type in v3 would brick
+        the read). Compared on simpleString so nullability differences
+        (which mergeSchema unions fine) don't trip it. Returns the new
+        cumulative table-schema json."""
+        table = StructType.fromJson(
+            json.loads(self._table_schema_of(parent_entry))
+        )
+        ptypes = {f.name: f.dataType.simpleString() for f in table.fields}
         bad = [
             (f.name, ptypes[f.name], f.dataType.simpleString())
             for f in new_schema.fields
@@ -379,11 +393,18 @@ class ManifestTable:
         ]
         if bad:
             raise ValueError(
-                f"incompatible schema change {bad} (column, parent type, "
+                f"incompatible schema change {bad} (column, table type, "
                 f"new type): a commit retaining parent files may ADD "
-                f"columns but not change shared-column types — use "
-                f"commit_overwrite to rewrite the table with a new type"
+                f"columns but not change column types still present in "
+                f"retained files — use commit_overwrite to rewrite the "
+                f"table with a new type"
             )
+        known = set(ptypes)
+        merged = StructType(
+            table.fields
+            + [f for f in new_schema.fields if f.name not in known]
+        )
+        return merged.json()
 
     def _check_conflicts(
         self,
@@ -488,6 +509,7 @@ class ManifestTable:
             parent = self.latest_version()
             if parent != base:
                 self._check_conflicts(action, remove_kind, touched, base, parent)
+            table_schema = schema_json
             if parent is not None and remove_kind != "all":
                 p_entry = self._raw(parent)
                 # O(1) layout compatibility vs the parent COMMIT (each
@@ -500,13 +522,14 @@ class ManifestTable:
                         f"table's partition_by {p_entry.get('partition_by')}"
                         f", got {partition_by or []}"
                     )
-                self._check_schema_compat(df.schema, p_entry["schema"])
+                table_schema = self._check_schema_compat(df.schema, p_entry)
             entry = {
                 "version": (parent if parent is not None else -1) + 1,
                 "parent": parent,
                 "action": action,
                 "partition_by": partition_by or [],
                 "schema": schema_json,
+                "table_schema": table_schema,
                 "add": new_files,
                 "remove": remove,
                 "committed_at": time.time(),
@@ -518,7 +541,16 @@ class ManifestTable:
                     and v > 0
                     and v % self.checkpoint_interval == 0
                 ):
-                    self._write_checkpoint(v)
+                    try:
+                        self._write_checkpoint(v)
+                    except OSError:
+                        # the COMMIT already succeeded and the log alone
+                        # reconstructs every snapshot — a failed
+                        # checkpoint (disk pressure, races with vacuum's
+                        # log truncation) must not turn a durable commit
+                        # into an apparent failure; the next interval
+                        # commit or vacuum writes the next checkpoint
+                        pass
                 return v
         raise RuntimeError(
             f"manifest commit lost the version race {max_attempts} times"

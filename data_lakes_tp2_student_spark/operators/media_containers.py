@@ -543,7 +543,7 @@ def _avi_walk(b: bytes, want_frames: bool = False) -> tuple[dict, list[bytes]]:
                                 "ascii", "replace"
                             )
         elif list_type == b"movi":
-            n = 0
+            n = out["n_frames"] or 0  # accumulate across multiple movi lists
             for t2, s2, e2 in _riff_chunks(b, s + 4, e):
                 if t2 == b"\x00bad":
                     return dict(_AVI_NULL), []

@@ -848,3 +848,27 @@ def test_reader_outside_retention_fails_loud_after_vacuum(spark, tab):
     tab.vacuum(keep_versions=1, min_age_seconds=0)  # deletes v0's files
     with pytest.raises(Py4JJavaError):
         pinned.collect()
+
+
+def test_schema_check_covers_transitively_retained_files(spark, tab):
+    """Review r7 wave 1: the compat check must compare against the
+    CUMULATIVE table schema — a column added in v0, omitted by the v1
+    append, then re-added with a different type in v2 still lives in
+    v0's retained files and would brick the mergeSchema read."""
+    wide = spark.createDataFrame(
+        [(1, "a", "d1", 9.5)], "id int, v string, day string, score double"
+    )
+    tab.commit_overwrite(wide)
+    tab.commit_append(_df(spark, [(2, "b", "d2")]))  # no score column — ok
+    clash = spark.createDataFrame(
+        [(3, "c", "d3", 7)], "id int, v string, day string, score int"
+    )
+    with pytest.raises(ValueError, match="incompatible schema change"):
+        tab.commit_append(clash)
+    # same type re-added is fine, and the full evolution chain reads back
+    ok = spark.createDataFrame(
+        [(3, "c", "d3", 7.0)], "id int, v string, day string, score double"
+    )
+    tab.commit_append(ok)
+    got = {r.id: r.score for r in tab.read(spark).collect()}
+    assert got == {1: 9.5, 2: None, 3: 7.0}

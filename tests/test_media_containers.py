@@ -327,3 +327,22 @@ def test_spark_end_to_end_avi(spark):
     assert len(meta) == 9 and all(r.valid for r in meta)
     frames = parse_avi_frames(attach_avi_media(ids, "doc_id")).collect()
     assert len(frames) == sum(i % 3 + 1 for i in range(9))
+
+
+def test_avi_multiple_movi_lists_accumulate_frames():
+    """Review r7 wave 1: a second movi LIST must ADD to the frame count,
+    not reset it (OpenDML files split movi across RIFF segments)."""
+    from data_lakes_tp2_student_spark.operators.media_containers import (
+        _riff_chunk,
+        _riff_list,
+    )
+
+    base = avi_bytes(2)  # 3 frames in one movi
+    _meta, frames = _avi_walk(base, want_frames=True)
+    extra = _riff_list(b"movi", _riff_chunk(b"00dc", frames[0]))
+    payload = base[8:] + extra
+    rebuilt = b"RIFF" + struct.pack("<I", len(payload)) + payload
+    meta, got = _avi_walk(rebuilt, want_frames=True)
+    assert meta["valid"] is True
+    assert meta["n_frames"] == 4
+    assert len(got) == 4
