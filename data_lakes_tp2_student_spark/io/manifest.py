@@ -899,6 +899,39 @@ class ManifestTable:
         df = zorder_by(self.read(spark), cols, n_files, bits)
         return self._commit(df, part_by, "optimize", "all")
 
+    def restore(self, version: int) -> int:
+        """Delta RESTORE: republish version N's snapshot as the NEW
+        latest — a metadata-only commit (the old data files are immutable
+        and still on disk; the new log entry just lists them again), so
+        rolling back a bad commit costs zero data movement. The rolled-
+        back-over versions stay time-travelable until vacuum; the
+        restored version's files become live again for vacuum liveness
+        (they're referenced by the new head). Aborts with
+        ConcurrentWriteConflict if any commit races it (overwrite
+        semantics — the restored list was derived from a snapshot)."""
+        files = self._snapshot_files(version)  # raises if vacuumed/unknown
+        src = self._raw(version)
+        base = self.latest_version()
+        for _ in range(20):
+            parent = self.latest_version()
+            if parent != base:
+                self._check_conflicts("restore", "all", set(), base, parent)
+            entry = {
+                "version": (parent if parent is not None else -1) + 1,
+                "parent": parent,
+                "action": "restore",
+                "restored_version": version,
+                "partition_by": src.get("partition_by") or [],
+                "schema": src["schema"],
+                "table_schema": self._table_schema_of(src),
+                "add": files,
+                "remove": {"kind": "all"},
+                "committed_at": time.time(),
+            }
+            if self._publish(entry):
+                return entry["version"]
+        raise RuntimeError("restore lost the version race 20 times")
+
     # ---------- maintenance ----------
 
     def vacuum(

@@ -64,7 +64,13 @@ class SnapshotWarehouse(Warehouse):
     (build/unpack_to_raw.py:57) offers none of this; the plain
     `Warehouse` improves it to parquet-dir overwrites but a failed
     overwrite still destroys the previous state. Drop-in: `run_pipeline`
-    takes either via its `wh` parameter."""
+    takes either via its `wh` parameter.
+
+    Restriction (ADVICE r6): unlike the plain `Warehouse`, the root must
+    be a LOCAL path — the manifest log's primitives (os.link publish,
+    os.walk listing) don't traverse the Hadoop filesystem layer, so an
+    s3a:// root would commit empty file lists; `ManifestTable.__init__`
+    rejects `://` roots loudly."""
 
     def table(self, zone: str, table: str):
         from .manifest import ManifestTable

@@ -872,3 +872,39 @@ def test_schema_check_covers_transitively_retained_files(spark, tab):
     tab.commit_append(ok)
     got = {r.id: r.score for r in tab.read(spark).collect()}
     assert got == {1: 9.5, 2: None, 3: 7.0}
+
+
+def test_restore_is_metadata_only_rollback(spark, tab):
+    """RESTORE republishes an old snapshot as the new latest without
+    touching data files; rolled-over versions still time-travel and the
+    restored files stay vacuum-live (referenced by the new head)."""
+    tab.commit_overwrite(_df(spark, [(1, "good", "d1")]))
+    n_txn_before = len([d for d in os.listdir(tab.data_dir) if d.startswith("txn=")])
+    tab.commit_overwrite(_df(spark, [(2, "bad", "d2")]))
+    v = tab.restore(0)
+    assert v == 2
+    # no new data files written: metadata-only
+    assert len([d for d in os.listdir(tab.data_dir) if d.startswith("txn=")]) == n_txn_before + 1
+    assert rows(tab.read(spark)) == [(1, "good", "d1")]
+    assert rows(tab.read(spark, version=1)) == [(2, "bad", "d2")]  # still travels
+    e = json.load(open(tab._version_path(2)))
+    assert e["action"] == "restore" and e["restored_version"] == 0
+    # vacuum keeps v0's files alive (the restored head references them),
+    # drops the bad version's
+    removed = tab.vacuum(keep_versions=1, min_age_seconds=0)
+    assert len(removed) == 1
+    assert rows(tab.read(spark)) == [(1, "good", "d1")]
+
+
+def test_restore_racing_commit_aborts(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    tab.commit_overwrite(_df(spark, [(2, "b", "d2")]))
+    real = _race(
+        tab, lambda other: other.commit_append(_df(spark, [(3, "c", "d3")]))
+    )
+    try:
+        with pytest.raises(ConcurrentWriteConflict):
+            tab.restore(0)
+    finally:
+        tab._publish = real
+    assert rows(tab.read(spark)) == [(2, "b", "d2"), (3, "c", "d3")]
