@@ -59,6 +59,34 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# (path, size, mtime_ns) -> resolved Spark schema. Driver-side schema
+# inference (JVM footer read + listing) costs ~40-80 ms per spark.read —
+# a fixed tax on EVERY registry query (measured 0.08 s of i1's 0.40 s,
+# round 7). Keyed on file identity so a regenerated testdata file (new
+# size/mtime) re-infers; the cache only ever holds the handful of
+# driver tables.
+_SCHEMA_CACHE: dict = {}
+
+
+def _cached_read(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with the schema-inference result memoized per
+    file identity: first read infers and caches, later reads pass the
+    schema explicitly and skip the footer round-trip."""
+    import os
+
+    try:
+        st = os.stat(path)
+        key = (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        return spark.read.parquet(path)  # multi-file dirs: no memo
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def assert_ts_not_utc_adjusted(path: str, col: str = "ts") -> None:
     """Fail loudly if a parquet file ships TIMESTAMP(isAdjustedToUTC=true)
     for `col`: Spark would read an instant while DuckDB reads TIMESTAMPTZ
@@ -66,8 +94,14 @@ def assert_ts_not_utc_adjusted(path: str, col: str = "ts") -> None:
     the event-time operators rely on would silently break. Footer-only
     probe, best-effort (a missing pyarrow never blocks the read)."""
     try:
+        import os
+
         import pyarrow.parquet as pq
 
+        st = os.stat(path)
+        key = ("ts_probe", path, st.st_size, st.st_mtime_ns)
+        if key in _SCHEMA_CACHE:
+            return  # memoized alongside the schema cache (same identity)
         field = pq.read_schema(path).field(col)
         tz = getattr(field.type, "tz", None)
         if tz is not None:
@@ -76,6 +110,7 @@ def assert_ts_not_utc_adjusted(path: str, col: str = "ts") -> None:
                 "oracle contract does not cover this — extend the ts "
                 "adaptation in registry.load / streaming.jobs first"
             )
+        _SCHEMA_CACHE[key] = True
     except (ImportError, OSError, KeyError):
         pass
 
@@ -103,9 +138,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         from pyspark.sql import types as T
 
         assert_ts_not_utc_adjusted(f"{sf_dir}/{table}.parquet")
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        df = _cached_read(spark, f"{sf_dir}/{table}.parquet")
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
             return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return _cached_read(spark, f"{sf_dir}/{table}.parquet")

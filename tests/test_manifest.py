@@ -908,3 +908,17 @@ def test_restore_racing_commit_aborts(spark, tab):
     finally:
         tab._publish = real
     assert rows(tab.read(spark)) == [(2, "b", "d2"), (3, "c", "d3")]
+
+
+def test_checkpoint_interval_zero_disables_periodic_checkpoints(spark, tmp_path):
+    """interval=0 (used to isolate entry cost in the PERF.md #35
+    measurement) must disable periodic checkpoints without breaking
+    replay — and vacuum still writes its truncation checkpoint."""
+    tab = ManifestTable(str(tmp_path / "noint_tab"), checkpoint_interval=0)
+    for k in range(12):
+        tab.commit_append(_df(spark, [(k, f"v{k}", "d1")]))
+    assert tab.checkpoints() == []
+    assert tab.read(spark).count() == 12  # full replay from v0
+    tab.vacuum(keep_versions=3, min_age_seconds=0)
+    assert tab.checkpoints() == [9]
+    assert tab.read(spark).count() == 12
