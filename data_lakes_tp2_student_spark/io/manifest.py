@@ -899,6 +899,25 @@ class ManifestTable:
         df = zorder_by(self.read(spark), cols, n_files, bits)
         return self._commit(df, part_by, "optimize", "all")
 
+    def version_at(self, timestamp: float) -> int:
+        """Timestamp-based time travel (Delta's TIMESTAMP AS OF): the
+        newest version committed at or before `timestamp` (epoch
+        seconds, matching `committed_at` / history()). Raises
+        FileNotFoundError when the timestamp predates the table's oldest
+        retained commit — same loud contract as a vacuumed version read.
+        Driver-side log scan, O(retained versions)."""
+        best = None
+        for v in self.versions():
+            if self._raw(v)["committed_at"] <= timestamp:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no version at or before timestamp {timestamp} in "
+                f"{self.root} (oldest retained commit is later, or the "
+                f"table is empty)"
+            )
+        return best
+
     def restore(self, version: int) -> int:
         """Delta RESTORE: republish version N's snapshot as the NEW
         latest — a metadata-only commit (the old data files are immutable

@@ -922,3 +922,17 @@ def test_checkpoint_interval_zero_disables_periodic_checkpoints(spark, tmp_path)
     tab.vacuum(keep_versions=3, min_age_seconds=0)
     assert tab.checkpoints() == [9]
     assert tab.read(spark).count() == 12
+
+
+def test_version_at_timestamp_time_travel(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    t0 = tab._raw(0)["committed_at"]
+    tab.commit_overwrite(_df(spark, [(2, "b", "d2")]))
+    t1 = tab._raw(1)["committed_at"]
+    assert tab.version_at(t0) == 0
+    assert tab.version_at((t0 + t1) / 2) == 0
+    assert tab.version_at(t1) == 1
+    assert tab.version_at(t1 + 1e6) == 1  # future timestamp -> latest
+    with pytest.raises(FileNotFoundError):
+        tab.version_at(t0 - 10.0)  # predates the table
+    assert rows(tab.read(spark, version=tab.version_at(t0))) == [(1, "a", "d1")]
