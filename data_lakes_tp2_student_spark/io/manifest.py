@@ -448,7 +448,7 @@ class ManifestTable:
                 raise ConcurrentWriteConflict(
                     f"replace_partitions based on version {base} conflicts "
                     f"with concurrent commit v{v} ({e.get('action', '?')}): "
-                    f"both wrote partition(s) {sorted(hit)} — rebasing "
+                    f"both wrote partition(s) {sorted(hit, key=repr)} — rebasing "
                     f"would drop the other writer's files"
                 )
             if other_remove["kind"] == "partitions":
@@ -460,7 +460,7 @@ class ManifestTable:
                     raise ConcurrentWriteConflict(
                         f"replace_partitions based on version {base} "
                         f"conflicts with concurrent commit v{v}: both "
-                        f"replaced partition(s) {sorted(hit)}"
+                        f"replaced partition(s) {sorted(hit, key=repr)}"
                     )
 
     def _commit(
@@ -502,8 +502,11 @@ class ManifestTable:
         )
         remove: dict = {"kind": remove_kind}
         if remove_kind == "partitions":
+            # key=repr: partition VALUES may mix str and None, which a
+            # plain sort refuses to order (review r7 wave 3 — a replace
+            # touching day=NULL alongside day='d1' raised TypeError)
             remove["values"] = [
-                [list(kv) for kv in t] for t in sorted(touched)
+                [list(kv) for kv in t] for t in sorted(touched, key=repr)
             ]
         for _ in range(max_attempts):
             parent = self.latest_version()

@@ -936,3 +936,33 @@ def test_version_at_timestamp_time_travel(spark, tab):
     with pytest.raises(FileNotFoundError):
         tab.version_at(t0 - 10.0)  # predates the table
     assert rows(tab.read(spark, version=tab.version_at(t0))) == [(1, "a", "d1")]
+
+
+def test_replace_partitions_with_null_and_nonnull_values(spark, tab):
+    """Review r7 wave 3: sorting the touched-partition set for the log
+    entry compared None against str and raised TypeError when a replace
+    touched the NULL partition alongside a non-null one."""
+    tab.commit_overwrite(
+        _df(spark, [(1, "a", "d1"), (2, "b", None), (3, "c", "d3")]),
+        partition_by=["day"],
+    )
+    tab.commit_replace_partitions(
+        _df(spark, [(10, "r1", "d1"), (20, "rN", None)]), ["day"]
+    )
+    assert rows(tab.read(spark)) == [(3, "c", "d3"), (10, "r1", "d1"), (20, "rN", None)]
+    # idempotent replay + the null partition prunes correctly
+    got = tab.read(spark, partition_filter={"day": None})
+    assert rows(got) == [(20, "rN", None)]
+    # and the conflict path formats/detects null partitions too
+    real = _race(
+        tab,
+        lambda other: other.commit_replace_partitions(
+            _df(spark, [(30, "w", None)]), ["day"]
+        ),
+    )
+    try:
+        with pytest.raises(ConcurrentWriteConflict):
+            tab.commit_replace_partitions(_df(spark, [(40, "l", None)]), ["day"])
+    finally:
+        tab._publish = real
+    assert (30, "w", None) in rows(tab.read(spark))

@@ -12,7 +12,7 @@ from hypothesis import strategies as st
 
 from data_lakes_tp2_student_spark.io.manifest import ManifestTable
 
-DAYS = ["d0", "d1", "d2"]
+DAYS = ["d0", "d1", "d2", None]  # None = the NULL partition (r7 wave 3)
 
 # one op = (kind, rows); rows are (id, v, day) with day from the small pool
 _row = st.tuples(
@@ -52,10 +52,12 @@ def test_random_commit_sequences_match_model(spark, tmp_path_factory, ops):
     # EVERY version must still read as its model snapshot (isolation:
     # later commits must not disturb earlier versions)
     for v, snapshot in enumerate(model_history):
+        # key=repr: day may be None alongside strings
         got = sorted(
-            (r.id, r.v, r.day) for r in tab.read(spark, version=v).collect()
+            ((r.id, r.v, r.day) for r in tab.read(spark, version=v).collect()),
+            key=repr,
         )
-        assert got == sorted(snapshot), f"version {v} diverged"
+        assert got == sorted(snapshot, key=repr), f"version {v} diverged"
 
 
 @pytest.mark.parametrize("seed", [0])
@@ -170,9 +172,10 @@ def test_random_concurrent_interleavings_match_model(
     assert tab.latest_version() == len(model_history) - 1
     for v, snapshot in enumerate(model_history):
         got = sorted(
-            (r.id, r.v, r.day) for r in tab.read(spark, version=v).collect()
+            ((r.id, r.v, r.day) for r in tab.read(spark, version=v).collect()),
+            key=repr,
         )
-        assert got == sorted(snapshot), f"version {v} diverged"
+        assert got == sorted(snapshot, key=repr), f"version {v} diverged"
 
 
 # --- round-7: vacuum-vs-reader safety property (VERDICT r6 item 6) ---------
