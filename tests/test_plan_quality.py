@@ -398,3 +398,20 @@ def test_join_strategy_hints_steer_the_planner(spark):
     assert "SortMergeJoin" in plan_of(sm)
     counts = {df.count() for df in (base, sh, sm)}
     assert len(counts) == 1
+
+
+def test_x5m_avi_chain_is_shuffle_free_and_column_pruned(spark):
+    """The x5m container->decode chain must stay a straight map pipeline:
+    column-pruned scan (only doc_id read from documents), three Arrow
+    mapInPandas stages (attach -> frame demux -> JPEG decode), and ZERO
+    exchanges — at 100 TB the decode work scales with input splits and
+    nothing shuffles binary payloads."""
+    from data_lakes_tp2_student_spark.catalog import REGISTRY
+
+    df = REGISTRY.get("x5m_avi_frames").fn(spark, "/root/testdata/sf0.001")
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    p = p.split("== Initial Plan ==")[0]
+    assert "Exchange" not in p, p
+    assert p.count("MapInPandas") == 3, p
+    assert "ReadSchema: struct<doc_id:bigint>" in p, p  # pruned to the id
