@@ -966,3 +966,62 @@ def test_replace_partitions_with_null_and_nonnull_values(spark, tab):
     finally:
         tab._publish = real
     assert (30, "w", None) in rows(tab.read(spark))
+
+
+def test_threaded_replace_storm_serializes_or_aborts(spark, tmp_path):
+    """Real-thread stress for the conflict path: N writers replace
+    partitions concurrently. Every writer must either commit or abort
+    with ConcurrentWriteConflict (nothing else), versions stay gapless,
+    and each partition's final content is exactly ONE writer's batch —
+    never a mix, never a silently dropped commit."""
+    import threading
+
+    tab = ManifestTable(str(tmp_path / "storm_tab"))
+    tab.commit_overwrite(
+        _df(spark, [(0, "base", "d0"), (1, "base", "d1")]), partition_by=["day"]
+    )
+    outcomes: dict[int, str] = {}
+    errs = []
+
+    def writer(k):
+        day = f"d{k % 2}"
+        try:
+            ManifestTable(tab.root).commit_replace_partitions(
+                _df(spark, [(100 + k, f"w{k}", day)]), ["day"]
+            )
+            outcomes[k] = "committed"
+        except ConcurrentWriteConflict:
+            outcomes[k] = "aborted"
+        except Exception as e:  # anything else is a bug
+            errs.append((k, e))
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    n_committed = sum(1 for v in outcomes.values() if v == "committed")
+    assert n_committed >= 1  # at least one writer must win
+    assert tab.versions() == list(range(n_committed + 1))  # gapless
+    final = {}
+    for r in tab.read(spark).collect():
+        final.setdefault(r.day, []).append((r.id, r.v))
+    for day, rows_ in final.items():
+        assert len(rows_) == 1, (day, rows_)  # exactly one batch per day
+        rid, rv = rows_[0]
+        if rid != 0:  # replaced by some committed writer
+            k = rid - 100
+            assert outcomes[k] == "committed" and rv == f"w{k}"
+    # every committed writer's partition shows SOME committed writer's
+    # batch (a later committed writer may have replaced it — but never an
+    # aborted one's, and never the pre-storm base if anyone won that day)
+    for k, out in outcomes.items():
+        if out == "committed":
+            day = f"d{k % 2}"
+            rid = final[day][0][0]
+            # the day a committed writer touched can no longer show the
+            # pre-storm base row, and whatever it shows came from a
+            # writer that reported success
+            assert rid != 0, f"{day} shows the base row though writer {k} committed"
+            assert outcomes[rid - 100] == "committed"
