@@ -392,3 +392,19 @@ def x5n_avi_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return parse_avi(attach_avi_media(docs, "doc_id"))
+
+
+@register("x57_restore_rollback", oracle="SELECT * FROM orders")
+def x57_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x57 — RESTORE through the oracle gate: version 0 = orders, version
+    1 = the x8 merge ("bad deploy"), version 2 = restore(0) — a
+    metadata-only rollback that republishes v0's immutable file list as
+    the new head. The answer reads the LATEST (not a pinned version, as
+    x53 does), so the hash match proves the rollback actually moved the
+    head back to the original table bit-for-bit while v1 stays
+    time-travelable. The operational primitive for 'yesterday's load was
+    wrong' at 100 TB: zero data movement, one log entry."""
+    table = _fresh_orders_table(spark, sf_dir, "x57")
+    _commit_upsert(spark, table)  # the commit to roll back
+    table.restore(0)
+    return table.read(spark)  # LATEST == restored v0
