@@ -223,3 +223,64 @@ def test_vacuum_reader_safety_contract(spark, tmp_path_factory, data):
             pinned.collect()
         with pytest.raises(FileNotFoundError):
             tab.read(spark, version=pinned_v)
+
+
+# --- round-7: full-lifecycle model soak -------------------------------------
+#
+# The commit-only model above never exercises restore/compact/vacuum inside
+# a random sequence. This soak mixes ALL table operations (deterministic
+# seed, version-number-keyed model snapshots) and checks every RETAINED
+# version against its model — the property that caught nothing here but
+# exposed an index-aliasing bug in a draft audit harness: snapshots must be
+# keyed by the ACTUAL version number a commit returns, because vacuum
+# shifts positional indices.
+
+def test_full_lifecycle_random_sequences_match_model(spark, tmp_path_factory):
+    import random
+
+    rng = random.Random(4242)
+    days = ["d0", "d1", "d2", None]
+    for trial in range(4):
+        tab = ManifestTable(
+            str(tmp_path_factory.mktemp("lifecycle") / "t"),
+            checkpoint_interval=rng.choice([0, 2, 3, 5]),
+        )
+        model: list = []
+        snap: dict[int, list] = {}
+        for _ in range(rng.randint(8, 12)):
+            kind = rng.choice(
+                ["overwrite", "append", "replace", "restore", "compact", "vacuum"]
+            )
+            if kind in ("overwrite", "append", "replace"):
+                rows_in = [
+                    (rng.randint(0, 20), rng.choice("abc"), rng.choice(days))
+                    for _ in range(rng.randint(1, 4))
+                ]
+                df = spark.createDataFrame(rows_in, "id int, v string, day string")
+                if kind == "overwrite":
+                    v = tab.commit_overwrite(df, partition_by=["day"])
+                    model = list(rows_in)
+                elif kind == "append":
+                    v = tab.commit_append(df, partition_by=["day"])
+                    model = model + rows_in
+                else:
+                    v = tab.commit_replace_partitions(df, ["day"])
+                    touched = {r[2] for r in rows_in}
+                    model = [r for r in model if r[2] not in touched] + rows_in
+                snap[v] = list(model)
+            elif kind == "restore" and tab.versions():
+                rv = rng.choice(tab.versions())
+                nv = tab.restore(rv)
+                model = list(snap[rv])
+                snap[nv] = list(model)
+            elif kind == "compact" and tab.versions():
+                nv = tab.compact(spark)
+                snap[nv] = list(model)
+            elif kind == "vacuum" and tab.versions() and rng.random() < 0.5:
+                tab.vacuum(keep_versions=rng.randint(2, 6), min_age_seconds=0)
+        for v in tab.versions():
+            got = sorted(
+                ((r.id, r.v, r.day) for r in tab.read(spark, version=v).collect()),
+                key=repr,
+            )
+            assert got == sorted(snap[v], key=repr), (trial, v)
