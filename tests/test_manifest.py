@@ -1025,3 +1025,30 @@ def test_threaded_replace_storm_serializes_or_aborts(spark, tmp_path):
             # writer that reported success
             assert rid != 0, f"{day} shows the base row though writer {k} committed"
             assert outcomes[rid - 100] == "committed"
+
+
+def test_partition_and_range_filter_compose(spark, tmp_path):
+    """partition_filter and range_filter must prune INDEPENDENTLY and
+    compose: files survive only if they match the partition AND overlap
+    the stats range."""
+    tab = ManifestTable(str(tmp_path / "combo_tab"), stats_cols=["x"])
+    df = spark.createDataFrame(
+        [(i, i, f"d{i % 2}") for i in range(200)], "id int, x int, day string"
+    )
+    tab.commit_overwrite(
+        df.repartitionByRange(4, "x").sortWithinPartitions("x"),
+        partition_by=["day"],
+    )
+    got = tab.read(
+        spark,
+        partition_filter={"day": "d1"},
+        range_filter={"x": (0, 40)},
+    ).filter("x <= 40")
+    assert sorted(r.x for r in got.collect()) == list(range(1, 41, 2))
+    m = tab.manifest(0)
+    kept = [
+        e for e in m["files"]
+        if e["partition"]["day"] == "d1"
+        and e["stats"]["x"][0] <= 40 and e["stats"]["x"][1] >= 0
+    ]
+    assert 0 < len(kept) < len(m["files"])  # both prunes really fired
