@@ -54,18 +54,22 @@ reduced to its load-bearing core:
 
 Scale notes: a checkpoint is O(files) but amortized over
 `checkpoint_interval` commits; partition pruning and file skipping work
-against the reconstructed manifest BEFORE Spark lists anything. The
-local-FS primitives (os.link/os.walk) mean `root` must be a local path —
-object-store roots are rejected at construction until a proper LogStore
-backend exists (ADVICE r6: an s3a:// root would silently publish empty
-manifests because os.walk sees no files).
+against the reconstructed manifest BEFORE Spark lists anything.
+
+Storage backends (round 8; VERDICT r7 item 1): every filesystem touch
+goes through a `LogStore` (io/logstore.py) — `LocalLogStore` (os.link
+put-if-absent, the round-7 behavior, default for plain paths) or
+`S3LogStore` (S3 conditional put `If-None-Match: *`, object listing),
+so the SAME commit/conflict/vacuum protocol runs against a local dir or
+an S3 bucket. A bare `s3a://` root without an explicit LogStore is still
+rejected at construction (ADVICE r6: it would silently publish empty
+manifests) — construct `S3LogStore` and pass it instead.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import tempfile
 import time
 import uuid
 from urllib.parse import unquote
@@ -185,37 +189,53 @@ class ManifestTable:
         root: str,
         stats_cols: list[str] | None = None,
         checkpoint_interval: int = 10,
+        log_store=None,
     ) -> None:
-        if "://" in root:
-            # The log/list primitives (os.link, os.walk) are local-FS
-            # only; with an s3a:// root Spark would write data to S3
-            # while os.walk on the URI-as-local-path finds nothing and
-            # every commit would publish an EMPTY file list — silent
-            # data loss (ADVICE r6). Fail at construction instead.
-            raise ValueError(
-                f"ManifestTable requires a local filesystem root, got "
-                f"{root!r} — object-store roots need an atomic-put "
-                f"LogStore backend this minimal layer does not ship"
-            )
+        if log_store is None:
+            if "://" in root:
+                # A URI root without an explicit backend would write data
+                # via Spark while the default local store's os.walk finds
+                # nothing — every commit publishing an EMPTY file list is
+                # silent data loss (ADVICE r6). Fail at construction.
+                raise ValueError(
+                    f"ManifestTable got URI root {root!r} without a "
+                    f"log_store — construct io.logstore.S3LogStore for "
+                    f"object-store tables and pass it explicitly"
+                )
+            from .logstore import LocalLogStore
+
+            log_store = LocalLogStore(root)
         self.root = root
-        self.log_dir = os.path.join(root, "_manifest")
-        self.data_dir = os.path.join(root, "data")
+        self.store = log_store
+        # local-backend conveniences (None on object-store backends)
+        self.log_dir = getattr(log_store, "log_dir", None)
+        self.data_dir = getattr(log_store, "data_dir", None)
         self.stats_cols = list(stats_cols or [])
         self.checkpoint_interval = max(0, int(checkpoint_interval))
 
-    # ---------- log primitives ----------
+    def clone(self) -> "ManifestTable":
+        """An independent handle on the same table — what a second writer
+        process would construct (shares no in-process state)."""
+        return ManifestTable(
+            self.root,
+            stats_cols=self.stats_cols,
+            checkpoint_interval=self.checkpoint_interval,
+            log_store=self.store.clone(),
+        )
 
-    def _version_path(self, version: int) -> str:
-        return os.path.join(self.log_dir, f"v{version:020d}.json")
+    # ---------- log primitives (storage via self.store) ----------
 
-    def _checkpoint_path(self, version: int) -> str:
-        return os.path.join(self.log_dir, f"v{version:020d}.checkpoint.json")
+    @staticmethod
+    def _version_name(version: int) -> str:
+        return f"v{version:020d}.json"
+
+    @staticmethod
+    def _checkpoint_name(version: int) -> str:
+        return f"v{version:020d}.checkpoint.json"
 
     def versions(self) -> list[int]:
-        if not os.path.isdir(self.log_dir):
-            return []
         out = []
-        for name in os.listdir(self.log_dir):
+        for name in self.store.list_log():
             if (
                 name.startswith("v")
                 and name.endswith(".json")
@@ -228,10 +248,8 @@ class ManifestTable:
         return sorted(out)
 
     def checkpoints(self) -> list[int]:
-        if not os.path.isdir(self.log_dir):
-            return []
         out = []
-        for name in os.listdir(self.log_dir):
+        for name in self.store.list_log():
             if name.endswith(".checkpoint.json") and name.startswith("v"):
                 try:
                     out.append(int(name[1 : -len(".checkpoint.json")]))
@@ -247,8 +265,7 @@ class ManifestTable:
         """The raw log entry for `version` — a DELTA (add + remove spec),
         or a legacy full-snapshot entry (pre-round-7 format, `files`
         key), which replays as remove-all + add."""
-        with open(self._version_path(version)) as f:
-            return json.load(f)
+        return json.loads(self.store.read_log(self._version_name(version)))
 
     @staticmethod
     def _entry_delta(entry: dict) -> tuple[list[dict], dict]:
@@ -275,8 +292,11 @@ class ManifestTable:
         cps = [c for c in self.checkpoints() if c <= version]
         if cps:
             start = cps[-1]
-            with open(self._checkpoint_path(start)) as f:
-                files = list(json.load(f)["files"])
+            files = list(
+                json.loads(
+                    self.store.read_log(self._checkpoint_name(start))
+                )["files"]
+            )
         else:
             start = -1
             files = []
@@ -299,33 +319,20 @@ class ManifestTable:
     def _publish(self, entry: dict) -> bool:
         """Atomic put-if-absent of `entry` as its version file. Returns
         False if another writer already published that version number."""
-        os.makedirs(self.log_dir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(
-            prefix=".commit-", suffix=".json", dir=self.log_dir
+        return self.store.put_log_if_absent(
+            self._version_name(entry["version"]),
+            json.dumps(entry).encode(),
         )
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(entry, f)
-            try:
-                # hard link = atomic create-if-absent on POSIX/HDFS-likes
-                os.link(tmp, self._version_path(entry["version"]))
-                return True
-            except FileExistsError:
-                return False
-        finally:
-            os.unlink(tmp)
 
     def _write_checkpoint(self, version: int) -> None:
         """Materialize version N's full snapshot as a checkpoint file.
         Derived data: idempotent (two racers write identical content) and
-        atomic (tmp + os.replace), so best-effort is safe."""
+        atomic (backend create-or-replace), so best-effort is safe."""
         files = self._snapshot_files(version)
-        fd, tmp = tempfile.mkstemp(
-            prefix=".ckpt-", suffix=".json", dir=self.log_dir
+        self.store.put_log_atomic(
+            self._checkpoint_name(version),
+            json.dumps({"version": version, "files": files}).encode(),
         )
-        with os.fdopen(fd, "w") as f:
-            json.dump({"version": version, "files": files}, f)
-        os.replace(tmp, self._checkpoint_path(version))
 
     # ---------- data write ----------
 
@@ -343,22 +350,22 @@ class ManifestTable:
                 "column name 'txn' is reserved by the manifest layout"
             )
         txn = uuid.uuid4().hex
-        txn_dir = os.path.join(self.data_dir, f"txn={txn}")
         w = df.write
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(txn_dir)
+        w.parquet(self.store.txn_stage_dir(txn))
         entries = []
-        for dirpath, _dirs, names in os.walk(txn_dir):
-            for name in names:
-                if not name.endswith(".parquet"):
-                    continue
-                full = os.path.join(dirpath, name)
-                rel = os.path.relpath(full, self.root)
-                entry = {"path": rel, "partition": _parse_partition(rel)}
-                if self.stats_cols:
-                    entry["stats"] = _file_stats(full, self.stats_cols)
-                entries.append(entry)
+        for rel, local in self.store.finalize_txn(txn):
+            entry = {
+                "path": rel,
+                "partition": _parse_partition(rel),
+                # recorded so compact() never needs a per-file stat/HEAD
+                # round-trip against the backend (Delta records size too)
+                "bytes": os.path.getsize(local),
+            }
+            if self.stats_cols:
+                entry["stats"] = _file_stats(local, self.stats_cols)
+            entries.append(entry)
         return txn, entries
 
     # ---------- commits ----------
@@ -463,6 +470,8 @@ class ManifestTable:
                         f"replaced partition(s) {sorted(hit, key=repr)}"
                     )
 
+    _BASE_UNSET = object()
+
     def _commit(
         self,
         df: DataFrame,
@@ -470,14 +479,25 @@ class ManifestTable:
         action: str,
         remove_kind: str,
         max_attempts: int = 20,
+        base=_BASE_UNSET,
     ) -> int:
         """The ONE commit loop. The data write happens once — files are
         immutable and version-independent; only the log entry rebases (or
         aborts: see _check_conflicts) when a concurrent writer wins the
         version race. Publishes a DELTA entry — O(this commit's files),
-        not O(table files) — and a checkpoint every Nth version."""
+        not O(table files) — and a checkpoint every Nth version.
+
+        `base` is the version this commit's INPUT was derived from — the
+        conflict-detection anchor. Snapshot-derived commits (compact /
+        optimize / merge_into) MUST pass the version their read() pinned:
+        capturing latest_version() here instead (the default, correct for
+        fresh-data commits whose input is external) leaves a window where
+        a commit landing between the caller's snapshot read and this
+        method's entry makes parent == base and silently skips
+        _check_conflicts (ADVICE r7, medium)."""
         schema_json = df.schema.json()
-        base = self.latest_version()
+        if base is ManifestTable._BASE_UNSET:
+            base = self.latest_version()
         _txn, new_files = self._write_txn(df, partition_by)
         # Every new file must sit in exactly the declared partition layout
         # (a mixed snapshot is unreadable: CONFLICTING_PARTITION_COLUMN_
@@ -646,27 +666,42 @@ class ManifestTable:
                 for e in files
                 if all(e["partition"].get(k) in vs for k, vs in want.items())
             ]
-        schema = StructType.fromJson(json.loads(m["schema"]))
+        # Project to the version's CUMULATIVE table schema, not just its
+        # COMMIT schema (ADVICE r7): an append whose DataFrame omits an
+        # existing column passes the compat gate (omission is legal) but
+        # retained files still carry that column — the add-only-evolution
+        # contract says it stays readable. Legacy entries have no
+        # table_schema and fall back to the commit schema.
+        schema = StructType.fromJson(json.loads(self._table_schema_of(m)))
         if not files:
             return spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, e["path"]) for e in files]
+        base, paths = self.store.resolve_read([e["path"] for e in files])
         # mergeSchema: a snapshot may span commits with evolved schemas
         # (commit_append with a new column); the select-cast below then
-        # projects the union down to exactly THIS version's schema, with
-        # pre-evolution rows null-filled — the public Delta/Iceberg
+        # projects the union down to exactly THIS version's table schema,
+        # with pre-evolution rows null-filled — the public Delta/Iceberg
         # schema-evolution read semantics.
         df = (
-            spark.read.option("basePath", self.root)
+            spark.read.option("basePath", base)
             .option("mergeSchema", "true")
             .parquet(*paths)
         )
         out = df.drop("txn")
-        # Normalize to the committed schema: partition discovery appends
+        avail = set(out.columns)
+        # Normalize to the table schema: partition discovery appends
         # partition cols at the END and type-INFERS them from the path
         # string (a "2024-01-01" day would come back DATE even if the
         # committed column is string) — the cast pins the committed type.
+        # A table-schema column NO retained file carries (added in a
+        # partition later fully replaced without it) null-fills: the
+        # column is still part of the table contract.
         return out.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            *[
+                (
+                    F.col(f.name) if f.name in avail else F.lit(None)
+                ).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
         )
 
     # ---------- table services over the log ----------
@@ -817,9 +852,16 @@ class ManifestTable:
 
         if len(key_cols) != 1:
             raise ValueError("merge_into currently supports a single key column")
-        merged = merge_upsert(self.read(spark), source, key_cols[0])
-        part_by = self._raw(self.latest_version()).get("partition_by") or None
-        return self.commit_overwrite(merged, partition_by=part_by)
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        merged = merge_upsert(
+            self.read(spark, version=latest), source, key_cols[0]
+        )
+        part_by = self._raw(latest).get("partition_by") or None
+        # base=latest: the merge result was derived from snapshot `latest`
+        # — anchor the conflict gate there (ADVICE r7, see compact).
+        return self._commit(merged, part_by, "overwrite", "all", base=latest)
 
     def changes_since(
         self,
@@ -859,19 +901,25 @@ class ManifestTable:
             raise FileNotFoundError(f"no committed version at {self.root}")
         m = self.manifest(latest)
         total = sum(
-            os.path.getsize(os.path.join(self.root, e["path"]))
+            # size recorded at commit (round 8); backend stat only for
+            # legacy entries that predate the `bytes` field
+            e["bytes"] if "bytes" in e else self.store.file_size(e["path"])
             for e in m["files"]
         )
         n = max(1, math.ceil(total / target_file_bytes))
         part_by = m["partition_by"] or None
-        df = self.read(spark)
+        df = self.read(spark, version=latest)
         # On a partitioned table, hash-distribute BY the partition columns
         # so each value lands in one task → ~one file per partition; a
         # plain repartition(n) scatters every partition's rows across all
         # n tasks and the partitionBy write then emits up to n×values
         # files — compaction MULTIPLYING small files (review r6).
         df = df.repartition(n, *part_by) if part_by else df.repartition(n)
-        return self._commit(df, part_by, "compact", "all")
+        # base=latest: the rewrite was derived from snapshot `latest`, so
+        # the conflict gate must anchor there, not at _commit entry — a
+        # commit landing between the read above and the publish would
+        # otherwise be silently clobbered (ADVICE r7).
+        return self._commit(df, part_by, "compact", "all", base=latest)
 
     def optimize_zorder(
         self,
@@ -899,8 +947,10 @@ class ManifestTable:
         # partition_filter read silently returned 0 rows and the
         # streaming sink's next replace_partitions double-counted).
         part_by = self._raw(latest).get("partition_by") or None
-        df = zorder_by(self.read(spark), cols, n_files, bits)
-        return self._commit(df, part_by, "optimize", "all")
+        df = zorder_by(self.read(spark, version=latest), cols, n_files, bits)
+        # base=latest: anchor the conflict gate at the snapshot this
+        # rewrite was derived from (ADVICE r7 — see compact).
+        return self._commit(df, part_by, "optimize", "all", base=latest)
 
     def version_at(self, timestamp: float) -> int:
         """Timestamp-based time travel (Delta's TIMESTAMP AS OF): the
@@ -931,9 +981,13 @@ class ManifestTable:
         (they're referenced by the new head). Aborts with
         ConcurrentWriteConflict if any commit races it (overwrite
         semantics — the restored list was derived from a snapshot)."""
+        # Capture the conflict base FIRST: the restored snapshot itself is
+        # immutable, but a commit landing between this method's entry and
+        # the base capture would otherwise make parent == base and skip
+        # the conflict gate (ADVICE r7 — same window as compact's).
+        base = self.latest_version()
         files = self._snapshot_files(version)  # raises if vacuumed/unknown
         src = self._raw(version)
-        base = self.latest_version()
         for _ in range(20):
             parent = self.latest_version()
             if parent != base:
@@ -984,8 +1038,6 @@ class ManifestTable:
         combination: the reader's files can be deleted under it and its
         next action fails with a missing-file error (fail-loud, never
         wrong-answer)."""
-        import shutil
-
         vs = self.versions()
         keep = vs[-max(1, keep_versions):] if vs else []
         live: set[str] = set()
@@ -999,27 +1051,23 @@ class ManifestTable:
                 first = e["path"].split("/")[1] if "/" in e["path"] else ""
                 live.add(first)  # "txn=<id>"
         removed = []
-        now = time.time()
-        if os.path.isdir(self.data_dir):
-            for name in os.listdir(self.data_dir):
-                if name.startswith("txn=") and name not in live:
-                    path = os.path.join(self.data_dir, name)
-                    try:
-                        age = now - os.path.getmtime(path)
-                    except OSError:
-                        continue  # concurrently removed
-                    if age < min_age_seconds:
-                        continue  # possible commit-in-progress
-                    shutil.rmtree(path)
-                    removed.append(name)
+        for name in self.store.list_txn_dirs():
+            if name not in live:
+                age = self.store.txn_dir_age_seconds(name)
+                if age is None:
+                    continue  # concurrently removed
+                if age < min_age_seconds:
+                    continue  # possible commit-in-progress
+                self.store.delete_txn_dir(name)
+                removed.append(name)
         if keep and vs[0] < keep[0]:
             # retained snapshots must survive losing the older entries
-            if not os.path.exists(self._checkpoint_path(keep[0])):
+            if keep[0] not in self.checkpoints():
                 self._write_checkpoint(keep[0])
         for v in vs:
             if v not in keep:
-                os.unlink(self._version_path(v))
+                self.store.delete_log(self._version_name(v))
         for c in self.checkpoints():
             if keep and c < keep[0]:
-                os.unlink(self._checkpoint_path(c))
+                self.store.delete_log(self._checkpoint_name(c))
         return removed

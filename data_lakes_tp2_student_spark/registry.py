@@ -75,10 +75,17 @@ def _cached_read(spark: SparkSession, path: str) -> DataFrame:
     import os
 
     try:
+        if os.path.isdir(path):
+            # Directories: no memo. os.stat() SUCCEEDS on a directory, and
+            # a dir's size/mtime does not change when a part-file is
+            # rewritten in place — keying on it would serve a stale schema
+            # (ADVICE r7). The driver tables are single files, so this
+            # path is cold there.
+            return spark.read.parquet(path)
         st = os.stat(path)
         key = (path, st.st_size, st.st_mtime_ns)
     except OSError:
-        return spark.read.parquet(path)  # multi-file dirs: no memo
+        return spark.read.parquet(path)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)

@@ -21,9 +21,40 @@ def _df(spark, rows):
     return spark.createDataFrame(rows, "id int, v string, day string")
 
 
-@pytest.fixture()
-def tab(tmp_path):
-    return ManifestTable(str(tmp_path / "tab"))
+@pytest.fixture(scope="module")
+def moto_endpoint():
+    """In-process S3 for the object-store backend param (round 8)."""
+    pytest.importorskip("moto", reason="moto not installed")
+    from moto.server import ThreadedMotoServer
+
+    server = ThreadedMotoServer(port=0)
+    server.start()
+    host, port = server.get_host_and_port()
+    yield f"http://127.0.0.1:{port}"
+    server.stop()
+
+
+@pytest.fixture(params=["local", "s3"])
+def tab(request, tmp_path):
+    """EVERY contract in this suite runs against BOTH backends: the
+    local-FS store (os.link put-if-absent) and the S3 store (conditional
+    put against in-process moto) — VERDICT r7 item 1."""
+    if request.param == "local":
+        return ManifestTable(str(tmp_path / "tab"))
+    import uuid as _uuid
+
+    from data_lakes_tp2_student_spark.io.logstore import S3LogStore
+
+    endpoint = request.getfixturevalue("moto_endpoint")
+    prefix = f"tab-{_uuid.uuid4().hex[:10]}"
+    store = S3LogStore(
+        "lake", prefix, endpoint=endpoint, cache_dir=str(tmp_path / "cache")
+    )
+    try:
+        store.client.create_bucket(Bucket="lake")
+    except store.client.exceptions.ClientError:
+        pass
+    return ManifestTable(f"s3://lake/{prefix}", log_store=store)
 
 
 def rows(df):
@@ -61,7 +92,7 @@ def test_crash_mid_commit_recovery(spark, tab):
     tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
     tab._write_txn(_df(spark, [(50, "dead", "d1")]), None)  # "crash" here
     orphan_count = len(
-        [d for d in os.listdir(tab.data_dir) if d.startswith("txn=")]
+        tab.store.list_txn_dirs()
     )
     assert orphan_count == 2  # live + orphan
     # default retention REFUSES to touch a fresh unreferenced txn dir —
@@ -146,7 +177,7 @@ def test_concurrent_commit_race_rebases(spark, tab):
         if not interloper["done"]:
             interloper["done"] = True
             # the other writer wins version 1 first
-            other = ManifestTable(tab.root)
+            other = tab.clone()
             other.commit_append(_df(spark, [(7, "g", "d7")]))
         return real_publish(manifest)
 
@@ -190,7 +221,7 @@ def test_manifest_is_json_with_schema_and_files(spark, tab):
     """Raw log entries are DELTAS (round 7): add + remove spec, not a
     full snapshot; manifest() reconstructs the full file list."""
     tab.commit_overwrite(_df(spark, [(1, "a", "d1")]), partition_by=["day"])
-    m = json.load(open(tab._version_path(0)))
+    m = json.loads(tab.store.read_log(tab._version_name(0)))
     assert m["action"] == "overwrite"
     assert m["partition_by"] == ["day"]
     assert m["remove"] == {"kind": "all"}
@@ -342,7 +373,7 @@ def test_many_concurrent_appenders_no_lost_updates(spark, tmp_path):
 
     def appender(k):
         try:
-            ManifestTable(tab.root).commit_append(
+            tab.clone().commit_append(
                 _df(spark, [(k, f"w{k}", "d1")])
             )
         except Exception as e:  # surface in the main thread
@@ -567,7 +598,7 @@ def _race(tab, other_commit):
     def racing_publish(entry):
         if not fired["done"]:
             fired["done"] = True
-            other_commit(ManifestTable(tab.root))
+            other_commit(tab.clone())
         return real_publish(entry)
 
     tab._publish = racing_publish
@@ -696,10 +727,10 @@ def test_aborted_commit_txn_dir_is_vacuumable_orphan(spark, tab):
             tab.commit_replace_partitions(_df(spark, [(80, "l", "d1")]), ["day"])
     finally:
         tab._publish = real
-    n_txn = len([d for d in os.listdir(tab.data_dir) if d.startswith("txn=")])
+    n_txn = len(tab.store.list_txn_dirs())
     removed = tab.vacuum(keep_versions=10, min_age_seconds=0)
     assert len(removed) == 1  # exactly the aborted commit's orphan
-    assert len([d for d in os.listdir(tab.data_dir) if d.startswith("txn=")]) == n_txn - 1
+    assert len(tab.store.list_txn_dirs()) == n_txn - 1
     assert rows(tab.read(spark)) == [(2, "b", "d2"), (70, "w", "d1")]
 
 
@@ -718,13 +749,13 @@ def test_log_entries_are_deltas_commit_cost_o_delta(spark, tmp_path):
     n_table_files = len(tab.manifest(0)["files"])
     assert n_table_files >= 12
     tab.commit_append(_df(spark, [(99, "x", "d0")]), partition_by=["day"])
-    e = json.load(open(tab._version_path(1)))
+    e = json.loads(tab.store.read_log(tab._version_name(1)))
     assert "files" not in e  # delta format, not full snapshot
     assert len(e["add"]) < n_table_files  # O(Δ), not O(table)
     assert e["remove"] == {"kind": "none"}
     # replace entry records touched partition VALUES, not parent files
     tab.commit_replace_partitions(_df(spark, [(50, "r", "d3")]), ["day"])
-    e2 = json.load(open(tab._version_path(2)))
+    e2 = json.loads(tab.store.read_log(tab._version_name(2)))
     assert e2["remove"]["kind"] == "partitions"
     assert e2["remove"]["values"] == [[["day", "d3"]]]
     assert rows(tab.read(spark)) == sorted(
@@ -738,7 +769,7 @@ def test_checkpoint_written_at_interval_and_used(spark, tmp_path):
     for k in range(8):
         tab.commit_append(_df(spark, [(k, f"v{k}", "d1")]))
     assert tab.checkpoints() == [3, 6]
-    ck = json.load(open(tab._checkpoint_path(6)))
+    ck = json.loads(tab.store.read_log(tab._checkpoint_name(6)))
     assert len(ck["files"]) == len(tab.manifest(6)["files"])
     # reconstruction equals naive full replay at every version
     for v in tab.versions():
@@ -778,8 +809,7 @@ def test_legacy_full_snapshot_entry_still_readable(spark, tab):
     e = tab._raw(0)
     legacy = {k: v for k, v in e.items() if k not in ("add", "remove")}
     legacy["files"] = e["add"]
-    with open(tab._version_path(0), "w") as f:
-        json.dump(legacy, f)
+    tab.store.put_log_atomic(tab._version_name(0), json.dumps(legacy).encode())
     assert rows(tab.read(spark)) == [(1, "a", "d1"), (2, "b", "d2")]
     tab.commit_append(_df(spark, [(3, "c", "d3")]))
     assert rows(tab.read(spark)) == [(1, "a", "d1"), (2, "b", "d2"), (3, "c", "d3")]
@@ -817,10 +847,11 @@ def test_replace_partitions_also_schema_checked(spark, tab):
 
 
 def test_object_store_root_rejected():
-    """ADVICE r6: with an s3a:// root, Spark writes data to S3 while
-    os.walk on the URI-as-local-path finds nothing — every commit would
-    publish an EMPTY file list (silent data loss). Reject at init."""
-    with pytest.raises(ValueError, match="local filesystem root"):
+    """ADVICE r6: with a bare s3a:// root (no explicit LogStore), Spark
+    would write data to S3 while the default local store's os.walk finds
+    nothing — every commit would publish an EMPTY file list (silent data
+    loss). Reject at init and point at S3LogStore (round 8)."""
+    with pytest.raises(ValueError, match="S3LogStore"):
         ManifestTable("s3a://bucket/table")
 
 
@@ -879,15 +910,15 @@ def test_restore_is_metadata_only_rollback(spark, tab):
     touching data files; rolled-over versions still time-travel and the
     restored files stay vacuum-live (referenced by the new head)."""
     tab.commit_overwrite(_df(spark, [(1, "good", "d1")]))
-    n_txn_before = len([d for d in os.listdir(tab.data_dir) if d.startswith("txn=")])
+    n_txn_before = len(tab.store.list_txn_dirs())
     tab.commit_overwrite(_df(spark, [(2, "bad", "d2")]))
     v = tab.restore(0)
     assert v == 2
     # no new data files written: metadata-only
-    assert len([d for d in os.listdir(tab.data_dir) if d.startswith("txn=")]) == n_txn_before + 1
+    assert len(tab.store.list_txn_dirs()) == n_txn_before + 1
     assert rows(tab.read(spark)) == [(1, "good", "d1")]
     assert rows(tab.read(spark, version=1)) == [(2, "bad", "d2")]  # still travels
-    e = json.load(open(tab._version_path(2)))
+    e = json.loads(tab.store.read_log(tab._version_name(2)))
     assert e["action"] == "restore" and e["restored_version"] == 0
     # vacuum keeps v0's files alive (the restored head references them),
     # drops the bad version's
@@ -986,7 +1017,7 @@ def test_threaded_replace_storm_serializes_or_aborts(spark, tmp_path):
     def writer(k):
         day = f"d{k % 2}"
         try:
-            ManifestTable(tab.root).commit_replace_partitions(
+            tab.clone().commit_replace_partitions(
                 _df(spark, [(100 + k, f"w{k}", day)]), ["day"]
             )
             outcomes[k] = "committed"
@@ -1052,3 +1083,132 @@ def test_partition_and_range_filter_compose(spark, tmp_path):
         and e["stats"]["x"][0] <= 40 and e["stats"]["x"][1] >= 0
     ]
     assert 0 < len(kept) < len(m["files"])  # both prunes really fired
+
+
+# ---------- round 8: ADVICE r7 regression tests ----------
+
+
+def test_compact_racing_commit_before_commit_entry_aborts(spark, tab):
+    """ADVICE r7 (medium): the racer lands between compact's snapshot
+    read and _commit ENTRY — before the old code captured its conflict
+    base, so parent == base and the gate never ran, silently clobbering
+    the racer. compact must thread its pinned snapshot version into
+    _commit as the base."""
+    for k in range(3):
+        tab.commit_append(_df(spark, [(k, f"v{k}", "d1")]))
+    real_commit = tab._commit
+
+    def racing_commit(df, partition_by, action, remove_kind, **kw):
+        tab.clone().commit_append(
+            _df(spark, [(99, "racer", "d1")])
+        )
+        return real_commit(df, partition_by, action, remove_kind, **kw)
+
+    tab._commit = racing_commit
+    try:
+        with pytest.raises(ConcurrentWriteConflict):
+            tab.compact(spark)
+    finally:
+        tab._commit = real_commit
+    assert (99, "racer", "d1") in rows(tab.read(spark))
+
+
+def test_merge_into_racing_commit_before_commit_entry_aborts(spark, tab):
+    """Same window as compact's, through merge_into."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d2")]))
+    real_commit = tab._commit
+
+    def racing_commit(df, partition_by, action, remove_kind, **kw):
+        tab.clone().commit_append(
+            _df(spark, [(99, "racer", "d1")])
+        )
+        return real_commit(df, partition_by, action, remove_kind, **kw)
+
+    tab._commit = racing_commit
+    try:
+        with pytest.raises(ConcurrentWriteConflict):
+            tab.merge_into(spark, _df(spark, [(1, "A2", "d1")]), ["id"])
+    finally:
+        tab._commit = real_commit
+    assert (99, "racer", "d1") in rows(tab.read(spark))
+
+
+def test_restore_racing_commit_during_snapshot_read_aborts(spark, tab):
+    """ADVICE r7: restore's window between _snapshot_files and its base
+    capture — the base must be pinned BEFORE the snapshot read."""
+    v0 = tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    tab.commit_append(_df(spark, [(2, "b", "d2")]))
+    real = tab._snapshot_files
+
+    def racing(version):
+        out = real(version)
+        tab.clone().commit_append(
+            _df(spark, [(99, "racer", "d1")])
+        )
+        return out
+
+    tab._snapshot_files = racing
+    try:
+        with pytest.raises(ConcurrentWriteConflict):
+            tab.restore(v0)
+    finally:
+        tab._snapshot_files = real
+    assert (99, "racer", "d1") in rows(tab.read(spark))
+
+
+def test_append_omitting_column_does_not_drop_it(spark, tab):
+    """ADVICE r7: an append whose DataFrame omits an existing column is
+    legal (compat checks shared-column TYPES only) — but read() used to
+    project to the COMMIT schema, silently dropping the column every
+    retained file still carries. read() now projects to the cumulative
+    table schema."""
+    wide = spark.createDataFrame(
+        [(1, "a", "d1", 9.5)], "id int, v string, day string, score double"
+    )
+    tab.commit_overwrite(wide)
+    tab.commit_append(_df(spark, [(2, "b", "d2")]))  # no score column
+    latest = tab.read(spark)
+    assert [f.name for f in latest.schema.fields] == ["id", "v", "day", "score"]
+    got = {r.id: r.score for r in latest.collect()}
+    assert got[1] == 9.5  # retained file's column survives the append
+    assert got[2] is None  # appended rows null-fill
+
+
+def test_table_schema_column_no_file_carries_null_fills(spark, tmp_path):
+    """Edge of the table-schema read: a column added in a partition later
+    fully replaced WITHOUT it — no retained file carries it, but it is
+    still part of the table contract, so read() null-fills instead of
+    throwing column-not-found."""
+    tab = ManifestTable(str(tmp_path / "tab_ghost_col"))
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]), partition_by=["day"])
+    wide = spark.createDataFrame(
+        [(2, "b", "d1", 9.5)], "id int, v string, day string, score double"
+    )
+    tab.commit_append(wide, partition_by=["day"])
+    tab.commit_replace_partitions(_df(spark, [(3, "c", "d1")]), ["day"])
+    latest = tab.read(spark)
+    assert [f.name for f in latest.schema.fields] == ["id", "v", "day", "score"]
+    assert [(r.id, r.score) for r in latest.orderBy("id").collect()] == [(3, None)]
+
+
+def test_checkpoint_failure_leaves_no_temp_file(spark, tmp_path, monkeypatch):
+    """ADVICE r7: a failed checkpoint write (ENOSPC on os.replace) must
+    not leak its mkstemp temp into _manifest/ — vacuum never removes
+    non-v* names, so a leaked temp would live forever. Local backend
+    only: the S3 store's checkpoint put has no local temp at all."""
+    import data_lakes_tp2_student_spark.io.logstore as lsmod
+
+    tab = ManifestTable(str(tmp_path / "ckpt_leak_tab"))
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+
+    def boom(src, dst):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(lsmod.os, "replace", boom)
+    try:
+        with pytest.raises(OSError):
+            tab._write_checkpoint(0)
+    finally:
+        monkeypatch.undo()
+    stray = [n for n in os.listdir(tab.log_dir) if not n.startswith("v")]
+    assert stray == []

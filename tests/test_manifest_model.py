@@ -12,6 +12,54 @@ from hypothesis import strategies as st
 
 from data_lakes_tp2_student_spark.io.manifest import ManifestTable
 
+
+@pytest.fixture(scope="module")
+def moto_endpoint():
+    pytest.importorskip("moto", reason="moto not installed")
+    from moto.server import ThreadedMotoServer
+
+    server = ThreadedMotoServer(port=0)
+    server.start()
+    host, port = server.get_host_and_port()
+    yield f"http://127.0.0.1:{port}"
+    server.stop()
+
+
+@pytest.fixture(params=["local", "s3"])
+def make_tab(request, tmp_path_factory):
+    """Table factory parametrized over BOTH storage backends (round 8):
+    every random-sequence property here must hold identically on the
+    local-FS store and the S3 conditional-put store (moto)."""
+    if request.param == "local":
+
+        def mk(name, **kw):
+            return ManifestTable(str(tmp_path_factory.mktemp(name) / "t"), **kw)
+
+        return mk
+
+    import uuid as _uuid
+
+    from data_lakes_tp2_student_spark.io.logstore import S3LogStore
+
+    endpoint = request.getfixturevalue("moto_endpoint")
+
+    def mk(name, **kw):
+        prefix = f"{name}-{_uuid.uuid4().hex[:10]}"
+        store = S3LogStore(
+            "lake",
+            prefix,
+            endpoint=endpoint,
+            cache_dir=str(tmp_path_factory.mktemp(f"{name}_cache")),
+        )
+        try:
+            store.client.create_bucket(Bucket="lake")
+        except store.client.exceptions.ClientError:
+            pass
+        return ManifestTable(f"s3://lake/{prefix}", log_store=store, **kw)
+
+    return mk
+
+
 DAYS = ["d0", "d1", "d2", None]  # None = the NULL partition (r7 wave 3)
 
 # one op = (kind, rows); rows are (id, v, day) with day from the small pool
@@ -32,8 +80,8 @@ _op = st.tuples(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(_op, min_size=1, max_size=5))
-def test_random_commit_sequences_match_model(spark, tmp_path_factory, ops):
-    tab = ManifestTable(str(tmp_path_factory.mktemp("model") / "t"))
+def test_random_commit_sequences_match_model(spark, make_tab, ops):
+    tab = make_tab("model")
     model_history: list[list[tuple]] = []
     model: list[tuple] = []
     for kind, rows_in in ops:
@@ -61,10 +109,10 @@ def test_random_commit_sequences_match_model(spark, tmp_path_factory, ops):
 
 
 @pytest.mark.parametrize("seed", [0])
-def test_model_smoke(spark, tmp_path, seed):
+def test_model_smoke(spark, make_tab, seed):
     """Deterministic pin of one interesting sequence (replace after
     append after overwrite across all days)."""
-    tab = ManifestTable(str(tmp_path / "t"))
+    tab = make_tab("smoke")
     mk = lambda rows: spark.createDataFrame(rows, "id int, v string, day string")
     tab.commit_overwrite(mk([(1, "a", "d0"), (2, "b", "d1")]), ["day"])
     tab.commit_append(mk([(3, "c", "d2")]), ["day"])
@@ -120,9 +168,9 @@ def _expect_abort(kind, rows_in, partner_kind, partner_rows):
 )
 @given(ops=st.lists(st.tuples(_op, _partner), min_size=1, max_size=4))
 def test_random_concurrent_interleavings_match_model(
-    spark, tmp_path_factory, ops
+    spark, make_tab, ops
 ):
-    tab = ManifestTable(str(tmp_path_factory.mktemp("race_model") / "t"))
+    tab = make_tab("race_model")
     model_history: list[list[tuple]] = []
     model: list[tuple] = []
 
@@ -148,7 +196,7 @@ def test_random_concurrent_interleavings_match_model(
         def racing_publish(entry, _p=(p_kind, p_rows), _real=real_publish, _f=fired):
             if not _f["done"]:
                 _f["done"] = True
-                commit(ManifestTable(tab.root), *_p)
+                commit(tab.clone(), *_p)
             return _real(entry)
 
         tab._publish = racing_publish
@@ -192,14 +240,14 @@ def test_random_concurrent_interleavings_match_model(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=st.data())
-def test_vacuum_reader_safety_contract(spark, tmp_path_factory, data):
+def test_vacuum_reader_safety_contract(spark, make_tab, data):
     from py4j.protocol import Py4JJavaError
 
     n_commits = data.draw(st.integers(2, 5), label="n_commits")
     pinned_v = data.draw(st.integers(0, n_commits - 1), label="pinned_version")
     keep = data.draw(st.integers(1, n_commits), label="keep_versions")
 
-    tab = ManifestTable(str(tmp_path_factory.mktemp("vac_model") / "t"))
+    tab = make_tab("vac_model")
     snapshots = []
     for v in range(n_commits):
         rows_in = [(v * 10 + k, f"w{v}", f"d{k}") for k in range(2)]
@@ -235,16 +283,13 @@ def test_vacuum_reader_safety_contract(spark, tmp_path_factory, data):
 # keyed by the ACTUAL version number a commit returns, because vacuum
 # shifts positional indices.
 
-def test_full_lifecycle_random_sequences_match_model(spark, tmp_path_factory):
+def test_full_lifecycle_random_sequences_match_model(spark, make_tab):
     import random
 
     rng = random.Random(4242)
     days = ["d0", "d1", "d2", None]
     for trial in range(4):
-        tab = ManifestTable(
-            str(tmp_path_factory.mktemp("lifecycle") / "t"),
-            checkpoint_interval=rng.choice([0, 2, 3, 5]),
-        )
+        tab = make_tab("lifecycle", checkpoint_interval=rng.choice([0, 2, 3, 5]))
         model: list = []
         snap: dict[int, list] = {}
         for _ in range(rng.randint(8, 12)):
