@@ -408,3 +408,99 @@ def x57_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     _commit_upsert(spark, table)  # the commit to roll back
     table.restore(0)
     return table.read(spark)  # LATEST == restored v0
+
+
+@register("x58_s3_lake_commit", oracle=_X8_ORACLE)
+def x58_s3_lake_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x58 — the x52 snapshot-upsert workload with the commit log ON AN
+    OBJECT STORE (round 8, VERDICT r7 item 1): an in-process moto S3
+    server backs an `S3LogStore`, whose atomic put-if-absent is the
+    public S3 conditional put (`If-None-Match: *` → 412 on conflict)
+    instead of the local store's os.link. Version 0 = orders, version 1
+    = the merge-upsert, answer = the committed latest read back THROUGH
+    the object store (log entries, data files, and listing all live in
+    the bucket; reads rehydrate through the immutable-file cache). The
+    hash match proves the S3 backend's full commit path is
+    byte-equivalent to the local one — the storage class the reference's
+    bucket-zone contract targets (ref: build/unpack_to_raw.py:17-22).
+    On a real cluster the data transport swaps to direct s3a://
+    executor reads (io/s3.py); the LOG protocol is exactly this one."""
+    from moto.server import ThreadedMotoServer
+
+    from ..io.logstore import S3LogStore
+    from ..io.manifest import ManifestTable
+
+    server = ThreadedMotoServer(port=0)
+    server.start()
+    try:
+        _host, port = server.get_host_and_port()
+        store = S3LogStore(
+            "lake",
+            "x58_orders",
+            endpoint=f"http://127.0.0.1:{port}",
+            cache_dir=os.path.join(_TMP, "x58_cache"),
+        )
+        store.client.create_bucket(Bucket="lake")
+        shutil.rmtree(store.cache_root, ignore_errors=True)
+        table = ManifestTable("s3://lake/x58_orders", log_store=store)
+        table.commit_overwrite(load(spark, sf_dir, "orders"))
+        _commit_upsert(spark, table)
+        out = table.read(spark)
+        # materialize NOW: the moto server dies with this function, so
+        # the lazy plan must not reach back to it afterwards
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        server.stop()
+
+
+@register(
+    "x5o_avi_frame_sample",
+    oracle="""
+    -- x5m's luma oracle restricted to the SAMPLED frames (even frame_no)
+    WITH f AS (
+        SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS frame_no
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(frame_no AS BIGINT) AS frame_no,
+           true AS valid,
+           CAST(8 * (doc_id % 3 + 2) AS BIGINT) AS width,
+           CAST(8 * (doc_id % 2 + 1) AS BIGINT) AS height,
+           CAST(64 * list_sum(list_transform(
+                    range(0, (doc_id % 3 + 2) * (doc_id % 2 + 1)),
+                    k -> ((doc_id + 6 * frame_no) * 17
+                          + (k // (doc_id % 3 + 2)) * 29
+                          + (k % (doc_id % 3 + 2)) * 43) % 256))
+               AS BIGINT) AS px_sum
+    FROM f WHERE frame_no % 2 = 0
+    """,
+)
+def x5o_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x5o — frame SAMPLING over the real AVI chain (round 8, VERDICT r7
+    item 5 — x5c's stub contract realized on real container bytes): walk
+    the RIFF container, KEEP only the sampled keyframe positions (stride
+    2 here), and decode ONLY those — the order that matters at 100 TB,
+    because the expensive stage (JPEG entropy decode + IDCT) runs on the
+    sampled subset, not the full stream; the container walk itself never
+    materializes unsampled payloads past the filter. The luma oracle
+    verifies the surviving frames decode bit-exactly (same chain as
+    x5m). Scale shape: two Arrow-batched mapInPandas stages with a
+    codegen'd filter between them, shuffle-free end to end."""
+    from ..operators.jpeg import parse_jpeg
+    from ..operators.media_containers import attach_avi_media, parse_avi_frames
+
+    docs = load(spark, sf_dir, "documents")
+    frames = parse_avi_frames(attach_avi_media(docs, "doc_id"))
+    sampled = frames.filter(F.col("frame_no") % 2 == 0)
+    # pack (doc_id, frame_no) into one key — same shuffle-free idiom as
+    # x5m (frame_no < 3 << 8)
+    packed = sampled.select(
+        (F.col("doc_id") * 8 + F.col("frame_no")).alias("doc_id"),
+        F.col("frame").alias("media"),
+    )
+    return parse_jpeg(packed).select(
+        F.expr("doc_id DIV 8").alias("doc_id"),
+        (F.col("doc_id") % 8).cast("bigint").alias("frame_no"),
+        "valid", "width", "height", "px_sum",
+    )

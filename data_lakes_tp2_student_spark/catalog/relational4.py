@@ -1,8 +1,8 @@
-"""TPC-H query-shape completion: q7/q8/q13/q15/q22 directly, and
-shape-preserving adaptations of q9/q11/q16/q21 (the driver schema carries no
-``partsupp`` table, no ``o_comment``, and no commit/receipt dates — each
-adaptation keeps the plan shape that makes the query interesting and notes
-the substitution).
+"""TPC-H query-shape completion: q7/q8/q13/q15/q22 directly; q9/q11/q16
+REAL as of round 8 (VERDICT r7 item 4) against the derived deterministic
+``partsupp`` (catalog/partsupp.py — identical integer derivation in Spark
+and the DuckDB oracle); q21 remains a shape-preserving adaptation (its
+gap is ``o_comment`` and receipt dates, which no derivation can supply).
 
 Extension surface (SURVEY.md §2 x6): the reference
 (sarafa19/Data-Lakes-tp2-student) contains zero joins (SURVEY §2.C,
@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.money import SQL_DISC_PRICE, dec2, disc_price
 from ..registry import load, register
+from .partsupp import PARTSUPP_SQL, partsupp
 
 
 @register(
@@ -155,15 +156,19 @@ def x6_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x6_tpch_q9",
     oracle=f"""
-    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    WITH partsupp AS ({PARTSUPP_SQL})
+    SELECT nation, o_year,
+           CAST(sum(volume) AS DOUBLE)
+             - CAST(sum(cost_cents) AS DOUBLE) / 100.0 AS sum_profit
     FROM (
         SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-               CAST({SQL_DISC_PRICE}
-                    - CAST(CAST(p.p_retailprice AS DECIMAL(18,2))
-                           * CAST(l.l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))
-                    AS DECIMAL(18,4)) AS amount
+               {SQL_DISC_PRICE} AS volume,
+               ps.ps_supplycost_cents * CAST(l.l_quantity AS BIGINT)
+                   AS cost_cents
         FROM part p
         JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                        AND ps.ps_suppkey = l.l_suppkey
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN orders o ON o.o_orderkey = l.l_orderkey
         JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -174,27 +179,41 @@ def x6_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x6_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x6 — TPC-H Q9 shape (product-type profit). The driver schema has no
-    ``partsupp``, so ``ps_supplycost`` is substituted by ``p_retailprice``
-    (same join arity minus one, same profit-expression shape: revenue minus
-    cost*quantity, exact decimal). Groups profit by supplier nation and
-    order year over a LIKE-filtered part subset."""
+    """x6 — TPC-H Q9 (product-type profit), REAL as of round 8: profit =
+    revenue − ps_supplycost·quantity against the derived partsupp
+    (catalog/partsupp.py), joined on BOTH keys exactly like dbgen's. The
+    profit splits into two exact sums per group — revenue in DECIMAL,
+    cost in BIGINT cents (quantities are integral) — combined in double
+    only at the output edge, so both engines emit identical doubles with
+    no rounding step. Plan: part filter and partsupp both broadcast into
+    the lineitem scan; one shuffle for the orders join; nation broadcast."""
     p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%r%"))
+    ps = partsupp(spark, sf_dir)
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     o = load(spark, sf_dir, "orders")
     n = load(spark, sf_dir, "nation")
-    cost = (dec2("p_retailprice") * dec2("l_quantity")).cast("decimal(18,4)")
-    amount = (disc_price() - cost).cast("decimal(18,4)")
+    cost_cents = F.col("ps_supplycost_cents") * F.col("l_quantity").cast(
+        "bigint"
+    )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(ps),
+            (l.l_partkey == ps.ps_partkey) & (l.l_suppkey == ps.ps_suppkey),
+        )
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .agg(
+            (
+                F.sum(disc_price()).cast("double")
+                - F.sum(cost_cents).cast("double") / 100.0
+            ).alias("sum_profit")
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -202,35 +221,61 @@ def x6_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x6_tpch_q11",
     oracle=f"""
-    WITH partvalue AS (
-        SELECT l_partkey, sum({SQL_DISC_PRICE}) AS value
-        FROM lineitem GROUP BY l_partkey
+    WITH partsupp AS ({PARTSUPP_SQL}),
+    scoped AS (
+        SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v_cents
+        FROM partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
     )
-    SELECT l_partkey, CAST(value AS DOUBLE) AS value FROM partvalue
-    WHERE CAST(value AS DOUBLE) >
-          (SELECT CAST(sum(value) AS DOUBLE) * 0.0005 FROM partvalue)
-    ORDER BY CAST(value AS DOUBLE) DESC, l_partkey
+    SELECT ps_partkey, CAST(sum(v_cents) AS DOUBLE) / 100.0 AS value
+    FROM scoped GROUP BY ps_partkey
+    HAVING CAST(sum(v_cents) AS DOUBLE) >
+           (SELECT CAST(sum(v_cents) AS DOUBLE) * 0.0005 FROM scoped)
+    ORDER BY value DESC, ps_partkey
     """,
 )
 def x6_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x6 — TPC-H Q11 shape (important stock): per-key value vs a scalar
-    fraction-of-global-total subquery. ``partsupp.ps_supplycost*ps_availqty``
-    is substituted by lineitem revenue per part (no partsupp in the driver
-    schema); the interesting part — HAVING against a scalar subquery over
-    the SAME aggregate — is intact. Spark plan: one hash agg reused by both
-    sides; the 1-row total is cross-joined (broadcast) rather than
-    re-scanning."""
-    l = load(spark, sf_dir, "lineitem")
-    pv = l.groupBy("l_partkey").agg(F.sum(disc_price()).alias("value"))
+    """x6 — TPC-H Q11 (important stock), REAL as of round 8:
+    ``sum(ps_supplycost * ps_availqty)`` per part over the derived
+    partsupp, scoped to one region's suppliers (EUROPE stands in for the
+    single-nation scope — the driver's synthetic nations don't all carry
+    suppliers at every SF), kept against a scalar
+    fraction-of-global-total subquery over the SAME aggregate. Money in
+    BIGINT cents: both the per-part values and the threshold are exact
+    integers cast to double once, so the HAVING compares identical
+    doubles on both engines. Plan: one hash agg persisted and reused by
+    both sides; the 1-row total broadcast cross-joins (no re-scan)."""
+    ps = partsupp(spark, sf_dir)
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_sup = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    scoped = ps.join(
+        F.broadcast(eu_sup), ps.ps_suppkey == eu_sup.s_suppkey
+    ).select(
+        "ps_partkey",
+        (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v_cents"),
+    )
+    pv = scoped.groupBy("ps_partkey").agg(F.sum("v_cents").alias("_v"))
     pv = pv.persist()
     total = pv.agg(
-        (F.sum("value").cast("double") * F.lit(0.0005)).alias("_threshold")
+        (F.sum("_v").cast("double") * F.lit(0.0005)).alias("_threshold")
     )
     return (
         pv.crossJoin(F.broadcast(total))
-        .filter(F.col("value").cast("double") > F.col("_threshold"))
-        .select("l_partkey", F.col("value").cast("double").alias("value"))
-        .orderBy(F.desc("value"), "l_partkey")
+        .filter(F.col("_v").cast("double") > F.col("_threshold"))
+        .select(
+            "ps_partkey",
+            (F.col("_v").cast("double") / 100.0).alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
     )
 
 
@@ -321,28 +366,30 @@ def x6_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x6_tpch_q16",
-    oracle="""
+    oracle=f"""
+    WITH partsupp AS ({PARTSUPP_SQL})
     SELECT p.p_brand, p.p_type, p.p_size,
-           count(DISTINCT l.l_suppkey) AS supplier_cnt
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
+           count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
     WHERE p.p_brand <> 'Brand#1'
       AND p.p_type NOT IN ('PROMO', 'ECONOMY')
       AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
-      AND l.l_suppkey NOT IN
+      AND ps.ps_suppkey NOT IN
           (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
     GROUP BY p.p_brand, p.p_type, p.p_size
     ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
     """,
 )
 def x6_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x6 — TPC-H Q16 shape (parts/supplier relationship): distinct-count of
-    suppliers per part attribute group, excluding a NOT IN-subquery supplier
-    set (negative-balance suppliers stand in for the comment-matched
-    complaint suppliers; the lineitem part-supplier pairs stand in for
-    partsupp). NOT IN on a non-nullable key → left anti join; supplier set
-    is broadcast."""
-    l = load(spark, sf_dir, "lineitem")
+    """x6 — TPC-H Q16 (parts/supplier relationship), REAL as of round 8:
+    distinct-count of suppliers per part attribute group over the derived
+    PARTSUPP (the dbgen relation, not a lineitem stand-in), excluding a
+    NOT IN-subquery supplier set (negative-balance suppliers substitute
+    the comment-matched complaint suppliers — the driver schema has no
+    s_comment). NOT IN on a non-nullable key → left anti join; both the
+    excluded-supplier set and the filtered part dim broadcast."""
+    ps = partsupp(spark, sf_dir)
     p = load(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (~F.col("p_type").isin("PROMO", "ECONOMY"))
@@ -352,10 +399,10 @@ def x6_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
 

@@ -135,12 +135,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     naive-UTC oracle either way.
     """
     if table == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamps are rendered in the SESSION tz at collect time; pin UTC
-        # so values match the (naive-UTC) oracle even under a caller session
-        # configured differently. (The TPC-H tables read as timestamp_ntz
-        # and are immune.)
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # conf.set is a py4j round-trip (~5-10 ms each); the two settings
+        # are idempotent per session, so pay them once — part of the
+        # fixed per-query overhead shave on the sub-second event queries
+        # (VERDICT r7 item 2).
+        ck = ("conf_pinned", id(spark))
+        if ck not in _SCHEMA_CACHE:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # timestamps are rendered in the SESSION tz at collect time;
+            # pin UTC so values match the (naive-UTC) oracle even under a
+            # caller session configured differently. (The TPC-H tables
+            # read as timestamp_ntz and are immune.)
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            _SCHEMA_CACHE[ck] = True
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 

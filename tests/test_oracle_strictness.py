@@ -142,6 +142,24 @@ _VALUE_MUTATIONS = {
     "x5l_mp4_metadata": (  # media_containers: ISO-BMFF box walk
         "SELECT * REPLACE (duration_ms + 1 AS duration_ms) FROM ({o}) t"
     ),
+    # round-8 (VERDICT r7 item 3): the two new filesystem/binary-path
+    # queries whose failure modes the earlier canaries don't exercise.
+    "x57_restore_rollback": (  # llm_ops6: RESTORE moved the head — a
+        # value nudge distinguishes "read the restored v0" from "read
+        # anything else"; only the hash can catch it
+        "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
+    ),
+    "x5m_avi_frames": (  # media_containers: RIFF walk + JPEG entropy
+        # decode — nudging the predicted pixel sum must trip the gate,
+        # proving the luma oracle really constrains the decoded pixels
+        "SELECT * REPLACE (px_sum + 1 AS px_sum) FROM ({o}) t"
+    ),
+    # round-8: the S3-backed commit path (x58) — same nudge as x52 so a
+    # regression in the object-store log/readback path cannot hide
+    # behind a vacuous comparison
+    "x58_s3_lake_commit": (
+        "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
+    ),
 }
 
 

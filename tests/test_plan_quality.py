@@ -340,6 +340,12 @@ def test_no_cartesian_product_anywhere_in_registry(spark):
         "x4d_tfidf_topk",
         "x6_tpch_q11",
         "x6_tpch_q22",
+        # round 8: the derived partsupp (catalog/partsupp.py) brings in
+        # the 1-row supplier-count scalar broadcast (its only NLJ)
+        "x6_tpch_q2",
+        "x6_tpch_q9",
+        "x6_tpch_q16",
+        "x6_tpch_q20",
     }
     # Streaming entries drain through a memory sink and return
     # spark.table(<sink>) — a LocalTableScan whose plan can never show
