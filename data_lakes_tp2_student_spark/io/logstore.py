@@ -224,7 +224,15 @@ class S3LogStore(LogStore):
     Spark reads/stage writes; pass the same dir to cooperating handles on
     one machine or let each default to its own temp dir — correctness
     does not depend on sharing (files are immutable), only warm-read
-    speed does."""
+    speed does.
+
+    Vacuum-vs-cached-reader nuance (differs from the local backend's
+    fail-loud contract): vacuum deletes the S3 objects and THIS handle's
+    cache copies, but another handle's cache may still hold a vacuumed
+    file — a reader pinned there keeps succeeding with the (correct,
+    immutable) old bytes instead of failing, exactly POSIX
+    unlink-while-open semantics. Fresh version resolution still fails
+    loud (the log entry is gone)."""
 
     def __init__(
         self,
@@ -238,6 +246,7 @@ class S3LogStore(LogStore):
         region: str = "us-east-1",
         cache_dir: str | None = None,
     ) -> None:
+        _injected = client is not None
         if client is None:
             import boto3
 
@@ -252,6 +261,7 @@ class S3LogStore(LogStore):
         self.bucket = bucket
         self.prefix = table_prefix.strip("/")
         self.cache_root = cache_dir or tempfile.mkdtemp(prefix="manifest-s3-")
+        self._injected_client = _injected
         self._ctor = dict(
             endpoint=endpoint,
             access_key=access_key,
@@ -403,8 +413,12 @@ class S3LogStore(LogStore):
         return self.cache_root, paths
 
     def clone(self) -> "S3LogStore":
-        # independent client (what a second process would build), own
-        # cache dir — shares NOTHING local with this handle
+        # Independent handle: own cache dir, shares NOTHING local.
+        # A caller-injected client is REUSED (rebuilding from the ctor
+        # args would silently point a clone of an injected-client store
+        # at default AWS); clients are thread-safe in boto3.
+        if self._injected_client:
+            return S3LogStore(self.bucket, self.prefix, client=self.client)
         return S3LogStore(
             self.bucket,
             self.prefix,

@@ -378,10 +378,15 @@ def stream_upsert_partitions(
     against the manifest's file list, so untouched history is never even
     LISTED (the day list is partition metadata, bounded by days-per-batch,
     the one driver-side collect this sink makes); the `localCheckpoint`
-    breaks lineage so the commit never re-reads files it supersedes."""
+    breaks lineage so the commit never re-reads files it supersedes.
+
+    `dest` may be a path (local manifest table) or an already-constructed
+    `ManifestTable` — e.g. one backed by `io/logstore.py:S3LogStore`, so
+    the same sink streams atomically into an object-store lake
+    (round 8)."""
     from ..io.manifest import ManifestTable
 
-    table = ManifestTable(dest)
+    table = dest if isinstance(dest, ManifestTable) else ManifestTable(dest)
     ev = read_events_stream(spark, sf_dir).withColumn("day", F.to_date("ts"))
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
