@@ -504,3 +504,57 @@ def x5o_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 8).cast("bigint").alias("frame_no"),
         "valid", "width", "height", "px_sum",
     )
+
+
+@register(
+    "x59_delete_where",
+    oracle="""
+    SELECT * FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+    """,
+)
+def x59_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x59 — row-level DELETE FROM through the snapshot log (round 8):
+    version 0 = orders, version 1 = `delete_where("o_orderstatus = 'F'
+    AND o_orderkey % 5 = 0")` — the copy-on-write right-to-erasure
+    primitive: only files CONTAINING matches are rewritten (the rest of
+    the snapshot carries over by reference in a `remove: files` delta
+    entry), the pre-delete version still time-travels, and a concurrent
+    commit would abort the delete (serializable — the gate
+    tests/test_manifest.py pins). The hash match proves the rewrite
+    dropped exactly the predicate's rows and not one more."""
+    table = _fresh_orders_table(spark, sf_dir, "x59")
+    table.delete_where(spark, "o_orderstatus = 'F' AND o_orderkey % 5 = 0")
+    return table.read(spark)
+
+
+@register(
+    "x60_update_where",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'O'
+                THEN CAST(o_totalprice * 1.05 AS DOUBLE)
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate,
+           CASE WHEN o_orderstatus = 'O'
+                THEN '1-URGENT' ELSE o_orderpriority END AS o_orderpriority
+    FROM orders
+    """,
+)
+def x60_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x60 — row-level UPDATE ... SET through the snapshot log (round 8,
+    the delete_where twin): open orders get repriced +5% and escalated,
+    everything else passes through byte-equal; only files containing
+    matches rewrite. The CASE-mirrored oracle proves the matched rows
+    changed exactly as SET and the unmatched rows (including those
+    sharing rewritten files) are untouched."""
+    table = _fresh_orders_table(spark, sf_dir, "x60")
+    table.update_where(
+        spark,
+        "o_orderstatus = 'O'",
+        {
+            "o_totalprice": "CAST(o_totalprice * 1.05 AS DOUBLE)",
+            "o_orderpriority": "'1-URGENT'",
+        },
+    )
+    return table.read(spark)

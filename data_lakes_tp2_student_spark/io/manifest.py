@@ -284,6 +284,11 @@ class ManifestTable:
         elif remove["kind"] == "partitions":
             touched = {tuple(tuple(kv) for kv in t) for t in remove["values"]}
             files = [e for e in files if _part_key(e["partition"]) not in touched]
+        elif remove["kind"] == "files":
+            # row-level DELETE/UPDATE (round 8): copy-on-write replaced
+            # exactly these files; everything else carries over untouched
+            gone = set(remove["values"])
+            files = [e for e in files if e["path"] not in gone]
         return files + add
 
     def _snapshot_files(self, version: int) -> list[dict]:
@@ -435,19 +440,26 @@ class ManifestTable:
         start = (base if base is not None else -1) + 1
         for v in range(start, parent + 1):
             e = self._raw(v)
-            if remove_kind == "all":
+            if remove_kind in ("all", "files"):
+                # "files" (row-level delete/update) is derived from the
+                # base SNAPSHOT's rows, so like overwrite-style commits
+                # it cannot be rebased over anything: a concurrent append
+                # may have added rows its predicate should have matched
+                # (Delta's serializable DELETE semantics — conservative,
+                # never silently wrong)
                 raise ConcurrentWriteConflict(
                     f"{action} based on version {base} conflicts with "
-                    f"concurrent commit v{v} ({e.get('action', '?')}): an "
-                    f"overwrite-style commit cannot be rebased — re-read "
+                    f"concurrent commit v{v} ({e.get('action', '?')}): a "
+                    f"snapshot-derived commit cannot be rebased — re-read "
                     f"and retry"
                 )
             other_add, other_remove = self._entry_delta(e)
-            if other_remove["kind"] == "all":
+            if other_remove["kind"] in ("all", "files"):
                 raise ConcurrentWriteConflict(
                     f"replace_partitions based on version {base} conflicts "
                     f"with concurrent commit v{v} ({e.get('action', '?')}): "
-                    f"it replaced the whole table"
+                    f"it rewrote table files (overwrite or row-level "
+                    f"delete/update)"
                 )
             added_parts = {_part_key(f["partition"]) for f in other_add}
             hit = touched & added_parts
@@ -480,6 +492,7 @@ class ManifestTable:
         remove_kind: str,
         max_attempts: int = 20,
         base=_BASE_UNSET,
+        remove_paths: list[str] | None = None,
     ) -> int:
         """The ONE commit loop. The data write happens once — files are
         immutable and version-independent; only the log entry rebases (or
@@ -528,6 +541,8 @@ class ManifestTable:
             remove["values"] = [
                 [list(kv) for kv in t] for t in sorted(touched, key=repr)
             ]
+        elif remove_kind == "files":
+            remove["values"] = sorted(remove_paths or [])
         for _ in range(max_attempts):
             parent = self.latest_version()
             if parent != base:
@@ -862,6 +877,141 @@ class ManifestTable:
         # base=latest: the merge result was derived from snapshot `latest`
         # — anchor the conflict gate there (ADVICE r7, see compact).
         return self._commit(merged, part_by, "overwrite", "all", base=latest)
+
+    def _read_with_provenance(self, spark: SparkSession, m: dict):
+        """The snapshot `m`'s rows projected to its table schema (same
+        contract as read()) PLUS a `_rel` column carrying each row's
+        manifest-relative file path — the hidden `_metadata.file_path`
+        mapped back through the table layout (every data file's relative
+        path starts at its `data/txn=` segment, exactly once)."""
+        files = m["files"]
+        base, paths = self.store.resolve_read([e["path"] for e in files])
+        df = (
+            spark.read.option("basePath", base)
+            .option("mergeSchema", "true")
+            .parquet(*paths)
+        )
+        schema = StructType.fromJson(json.loads(self._table_schema_of(m)))
+        avail = set(df.columns)
+        rel = F.concat(
+            F.lit("data/txn="),
+            F.substring_index(
+                F.col("_metadata.file_path"), "/data/txn=", -1
+            ),
+        )
+        return df.select(
+            *[
+                (
+                    F.col(f.name) if f.name in avail else F.lit(None)
+                ).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ],
+            rel.alias("_rel"),
+        )
+
+    def _rewrite_files(
+        self,
+        spark: SparkSession,
+        condition,
+        action: str,
+        transform,
+    ) -> int:
+        """Copy-on-write core for row-level DELETE/UPDATE: find the files
+        holding at least one row matching `condition`, rewrite ONLY those
+        files through `transform(rows_of_hit_files)`, and commit the
+        swap as a `remove: files` delta entry — untouched files carry
+        over by reference (their manifest entries, stats and all, are
+        byte-identical), and every prior version still time-travels.
+
+        The hit-file discovery is one predicate-pushed scan; its result
+        (a list of file PATHS, bounded by the snapshot's file count, not
+        its rows) is the single driver-side collect — the same class of
+        metadata collect the streaming sink's day list makes. Concurrency
+        is conservative-serializable: any commit landing after the
+        snapshot read aborts this one with ConcurrentWriteConflict (a
+        concurrent append could add rows the predicate should have seen —
+        Delta's serializable DELETE). A no-match predicate is a no-op
+        returning the current version (no empty commit)."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self.manifest(latest)
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        prov = self._read_with_provenance(spark, m)
+        hit = [
+            r._rel
+            for r in prov.filter(cond).select("_rel").distinct().collect()
+        ]
+        if not hit:
+            return latest
+        part_by = m["partition_by"] or None
+        rewritten = transform(
+            prov.filter(F.col("_rel").isin(hit)), cond
+        ).drop("_rel")
+        return self._commit(
+            rewritten,
+            part_by,
+            action,
+            "files",
+            base=latest,
+            remove_paths=hit,
+        )
+
+    def delete_where(self, spark: SparkSession, condition) -> int:
+        """Row-level DELETE FROM ... WHERE (Delta/Iceberg copy-on-write):
+        rows matching `condition` (SQL string or Column) disappear from
+        the new latest version; only the files that CONTAIN matches are
+        rewritten; rows whose predicate is NULL survive (SQL DELETE
+        semantics). The operational primitive for right-to-erasure at
+        100 TB: with `stats_cols`/Z-ordering keeping matches clustered,
+        the rewrite touches a handful of files, not the table. Returns
+        the new version (or the current one on a no-match no-op)."""
+
+        def keep_survivors(hit_rows, cond):
+            return hit_rows.filter(
+                ~F.coalesce(cond.cast("boolean"), F.lit(False))
+            )
+
+        return self._rewrite_files(spark, condition, "delete", keep_survivors)
+
+    def update_where(
+        self, spark: SparkSession, condition, set_exprs: dict
+    ) -> int:
+        """Row-level UPDATE ... SET ... WHERE (copy-on-write, same file
+        selectivity and concurrency contract as delete_where): matched
+        rows get each `set_exprs[col]` (SQL string or Column) applied,
+        unmatched rows in the same files pass through byte-equal; the
+        assigned value is cast to the column's existing type (an UPDATE
+        never changes the table schema)."""
+        for c in set_exprs:
+            if c not in self._read_schema_names():
+                raise ValueError(
+                    f"update_where SET references unknown column {c!r}"
+                )
+
+        def apply_set(hit_rows, cond):
+            matched = F.coalesce(cond.cast("boolean"), F.lit(False))
+            out = hit_rows
+            for c, expr in set_exprs.items():
+                val = F.expr(expr) if isinstance(expr, str) else expr
+                ctype = dict(
+                    (f.name, f.dataType) for f in hit_rows.schema.fields
+                )[c]
+                out = out.withColumn(
+                    c, F.when(matched, val.cast(ctype)).otherwise(F.col(c))
+                )
+            return out
+
+        return self._rewrite_files(spark, condition, "update", apply_set)
+
+    def _read_schema_names(self) -> set:
+        latest = self.latest_version()
+        if latest is None:
+            return set()
+        schema = StructType.fromJson(
+            json.loads(self._table_schema_of(self._raw(latest)))
+        )
+        return {f.name for f in schema.fields}
 
     def changes_since(
         self,

@@ -1284,3 +1284,118 @@ def test_s3_delete_txn_dir_batches_over_1000_keys(tmp_path, moto_endpoint):
     store.delete_txn_dir("txn=big")
     assert store.list_txn_dirs() == []
     assert store._list_keys(f"{prefix}/data/") == []
+
+
+# ---------- round 8: row-level DELETE/UPDATE (copy-on-write) ----------
+
+
+def test_delete_where_rewrites_only_matching_files(spark, tab):
+    tab.commit_overwrite(
+        _df(spark, [(i, f"v{i}", f"d{i % 3}") for i in range(12)]),
+        partition_by=["day"],
+    )
+    before = {e["path"] for e in tab.manifest(0)["files"]}
+    v = tab.delete_where(spark, "day = 'd1' and id >= 7")
+    assert v == 1
+    assert sorted(r.id for r in tab.read(spark).collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 8, 9, 11,
+    ]
+    after = {e["path"] for e in tab.manifest(v)["files"]}
+    # copy-on-write selectivity: every file WITHOUT a match carries over
+    # BY REFERENCE (identical manifest path — no rewrite, no re-upload)
+    untouched = before & after
+    assert len(untouched) >= len(before) - 2  # only the 2 hit files moved
+    # time travel: the pre-delete snapshot is intact
+    assert tab.read(spark, version=0).count() == 12
+    # the log entry is a files-delta, not a table rewrite
+    e = json.loads(tab.store.read_log(tab._version_name(v)))
+    assert e["action"] == "delete" and e["remove"]["kind"] == "files"
+    assert set(e["remove"]["values"]) == before - after
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", None), (2, "b", "d1")]))
+    tab.delete_where(spark, "day = 'd1'")  # NULL day: predicate NULL, keeps
+    assert rows(tab.read(spark)) == [(1, "a", None)]
+
+
+def test_delete_where_no_match_is_noop(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    v = tab.delete_where(spark, "id = 999")
+    assert v == 0 and tab.versions() == [0]  # no empty commit
+
+
+def test_update_where_applies_set_only_to_matched(spark, tab):
+    tab.commit_overwrite(
+        _df(spark, [(i, f"v{i}", f"d{i % 2}") for i in range(6)]),
+        partition_by=["day"],
+    )
+    v = tab.update_where(
+        spark, "id >= 4", {"v": "upper(v) || '!'"}
+    )
+    got = dict((r.id, r.v) for r in tab.read(spark).collect())
+    assert got == {0: "v0", 1: "v1", 2: "v2", 3: "v3", 4: "V4!", 5: "V5!"}
+    assert tab.read(spark, version=0).count() == 6  # pre-update intact
+    e = json.loads(tab.store.read_log(tab._version_name(v)))
+    assert e["action"] == "update" and e["remove"]["kind"] == "files"
+
+
+def test_update_where_unknown_column_raises(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    with pytest.raises(ValueError, match="unknown column"):
+        tab.update_where(spark, "id = 1", {"nope": "1"})
+
+
+def test_delete_racing_commit_aborts(spark, tab):
+    """Serializable DELETE: a commit landing after the snapshot read
+    aborts the delete (a concurrent append may carry rows the predicate
+    should have matched)."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d2")]))
+    real = _race(
+        tab, lambda other: other.commit_append(_df(spark, [(9, "r", "d1")]))
+    )
+    try:
+        with pytest.raises(ConcurrentWriteConflict):
+            tab.delete_where(spark, "day = 'd1'")
+    finally:
+        tab._publish = real
+    # the racer's row survives; nothing was deleted
+    assert (9, "r", "d1") in rows(tab.read(spark))
+    assert (1, "a", "d1") in rows(tab.read(spark))
+
+
+def test_delete_then_replace_partition_race_aborts_replace(spark, tab):
+    """The other direction: a replace_partitions racing an already-landed
+    delete must abort (the delete rewrote files its base may cover)."""
+    tab.commit_overwrite(
+        _df(spark, [(1, "a", "d1"), (2, "b", "d2")]), partition_by=["day"]
+    )
+    real = _race(
+        tab, lambda other: other.delete_where(spark, "id = 1")
+    )
+    try:
+        with pytest.raises(ConcurrentWriteConflict):
+            tab.commit_replace_partitions(_df(spark, [(8, "x", "d2")]), ["day"])
+    finally:
+        tab._publish = real
+    assert rows(tab.read(spark)) == [(2, "b", "d2")]
+
+
+def test_cdf_across_delete_and_update_commits(spark, tab):
+    """The change feed is snapshot-derived, so it must compose with the
+    new `remove: files` commit kind with no special casing: a
+    delete_where shows up as `delete` rows, an update_where as
+    `update_postimage` — and rows that merely shared a rewritten file
+    do NOT appear in the feed (the CoW rewrite is value-preserving for
+    them)."""
+    tab.commit_overwrite(
+        _df(spark, [(i, f"v{i}", f"d{i % 2}") for i in range(6)]),
+        partition_by=["day"],
+    )
+    tab.delete_where(spark, "id = 4")
+    tab.update_where(spark, "id = 5", {"v": "'changed'"})
+    feed = {
+        (r.id, r.change_type): r.v
+        for r in tab.changes_since(spark, 0, ["id"]).collect()
+    }
+    assert feed == {(4, "delete"): "v4", (5, "update_postimage"): "changed"}

@@ -294,7 +294,8 @@ def test_full_lifecycle_random_sequences_match_model(spark, make_tab):
         snap: dict[int, list] = {}
         for _ in range(rng.randint(8, 12)):
             kind = rng.choice(
-                ["overwrite", "append", "replace", "restore", "compact", "vacuum"]
+                ["overwrite", "append", "replace", "restore", "compact",
+                 "vacuum", "delete", "update"]
             )
             if kind in ("overwrite", "append", "replace"):
                 rows_in = [
@@ -313,6 +314,21 @@ def test_full_lifecycle_random_sequences_match_model(spark, make_tab):
                     touched = {r[2] for r in rows_in}
                     model = [r for r in model if r[2] not in touched] + rows_in
                 snap[v] = list(model)
+            elif kind == "delete" and tab.versions() and model:
+                # row-level copy-on-write delete (round 8): threshold on id
+                thr = rng.randint(0, 20)
+                nv = tab.delete_where(spark, f"id < {thr}")
+                model = [r for r in model if not (r[0] < thr)]
+                snap[nv] = list(model)  # no-op returns the current version
+            elif kind == "update" and tab.versions() and model:
+                thr = rng.randint(0, 20)
+                nv = tab.update_where(
+                    spark, f"id >= {thr}", {"v": "'U'"}
+                )
+                model = [
+                    (r[0], "U" if r[0] >= thr else r[1], r[2]) for r in model
+                ]
+                snap[nv] = list(model)
             elif kind == "restore" and tab.versions():
                 rv = rng.choice(tab.versions())
                 nv = tab.restore(rv)

@@ -160,6 +160,14 @@ _VALUE_MUTATIONS = {
     "x58_s3_lake_commit": (
         "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
     ),
+    # round-8: the copy-on-write row-level paths — a value nudge proves
+    # the gate constrains WHICH rows the rewrite dropped/changed
+    "x59_delete_where": (
+        "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
+    ),
+    "x60_update_where": (
+        "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
+    ),
 }
 
 
