@@ -558,3 +558,58 @@ def x60_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return table.read(spark)
+
+
+@register(
+    "x61_delete_dv",
+    oracle="""
+    SELECT * FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+    """,
+)
+def x61_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x61 — merge-on-read DELETE via deletion vectors (round 8, the x59
+    twin with mode="dv"): the SAME predicate deletes the SAME rows, but
+    NO data file is rewritten — the matched (file, row position) pairs
+    land in a positions-only DV parquet and readers subtract them with a
+    broadcast anti-join on `_metadata.row_index`. The identical oracle
+    proves read-path equivalence of the two physical strategies; at
+    100 TB the difference is deleting 100 rows from a 1 GB file for a
+    KB-scale DV write instead of a 1 GB rewrite."""
+    table = _fresh_orders_table(spark, sf_dir, "x61")
+    table.delete_where(
+        spark, "o_orderstatus = 'F' AND o_orderkey % 5 = 0", mode="dv"
+    )
+    return table.read(spark)
+
+
+@register(
+    "x62_update_dv",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'O'
+                THEN CAST(o_totalprice * 1.05 AS DOUBLE)
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate,
+           CASE WHEN o_orderstatus = 'O'
+                THEN '1-URGENT' ELSE o_orderpriority END AS o_orderpriority
+    FROM orders
+    """,
+)
+def x62_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x62 — merge-on-read UPDATE via deletion vectors (the x60 twin
+    with mode="dv"): matched rows' OLD positions go into a DV, their
+    updated images append as a fresh data file — update cost scales with
+    matched ROWS, not the size of the files they sit in. Identical
+    oracle to x60 = the two strategies are observably equivalent."""
+    table = _fresh_orders_table(spark, sf_dir, "x62")
+    table.update_where(
+        spark,
+        "o_orderstatus = 'O'",
+        {
+            "o_totalprice": "CAST(o_totalprice * 1.05 AS DOUBLE)",
+            "o_orderpriority": "'1-URGENT'",
+        },
+        mode="dv",
+    )
+    return table.read(spark)

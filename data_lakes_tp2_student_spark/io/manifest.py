@@ -681,43 +681,14 @@ class ManifestTable:
                 for e in files
                 if all(e["partition"].get(k) in vs for k, vs in want.items())
             ]
-        # Project to the version's CUMULATIVE table schema, not just its
-        # COMMIT schema (ADVICE r7): an append whose DataFrame omits an
-        # existing column passes the compat gate (omission is legal) but
-        # retained files still carry that column — the add-only-evolution
-        # contract says it stays readable. Legacy entries have no
-        # table_schema and fall back to the commit schema.
-        schema = StructType.fromJson(json.loads(self._table_schema_of(m)))
-        if not files:
-            return spark.createDataFrame([], schema)
-        base, paths = self.store.resolve_read([e["path"] for e in files])
-        # mergeSchema: a snapshot may span commits with evolved schemas
-        # (commit_append with a new column); the select-cast below then
-        # projects the union down to exactly THIS version's table schema,
-        # with pre-evolution rows null-filled — the public Delta/Iceberg
-        # schema-evolution read semantics.
-        df = (
-            spark.read.option("basePath", base)
-            .option("mergeSchema", "true")
-            .parquet(*paths)
-        )
-        out = df.drop("txn")
-        avail = set(out.columns)
-        # Normalize to the table schema: partition discovery appends
-        # partition cols at the END and type-INFERS them from the path
-        # string (a "2024-01-01" day would come back DATE even if the
-        # committed column is string) — the cast pins the committed type.
-        # A table-schema column NO retained file carries (added in a
-        # partition later fully replaced without it) null-fills: the
-        # column is still part of the table contract.
-        return out.select(
-            *[
-                (
-                    F.col(f.name) if f.name in avail else F.lit(None)
-                ).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ]
-        )
+        # Materialization (shared with the provenance path): project to
+        # the version's CUMULATIVE table schema, not just its COMMIT
+        # schema (ADVICE r7 — an append omitting an existing column must
+        # not drop it), mergeSchema across evolved commits with
+        # pre-evolution rows null-filled, partition-discovery types pinned
+        # back to the committed types, and DELETION VECTORS applied to the
+        # file entries that carry them (round 8 merge-on-read).
+        return self._load_snapshot(spark, m, files)
 
     # ---------- table services over the log ----------
 
@@ -878,36 +849,103 @@ class ManifestTable:
         # — anchor the conflict gate there (ADVICE r7, see compact).
         return self._commit(merged, part_by, "overwrite", "all", base=latest)
 
-    def _read_with_provenance(self, spark: SparkSession, m: dict):
-        """The snapshot `m`'s rows projected to its table schema (same
-        contract as read()) PLUS a `_rel` column carrying each row's
-        manifest-relative file path — the hidden `_metadata.file_path`
-        mapped back through the table layout (every data file's relative
-        path starts at its `data/txn=` segment, exactly once)."""
-        files = m["files"]
-        base, paths = self.store.resolve_read([e["path"] for e in files])
-        df = (
-            spark.read.option("basePath", base)
-            .option("mergeSchema", "true")
-            .parquet(*paths)
-        )
-        schema = StructType.fromJson(json.loads(self._table_schema_of(m)))
-        avail = set(df.columns)
-        rel = F.concat(
+    @staticmethod
+    def _rel_expr():
+        """Each row's manifest-relative file path — the hidden
+        `_metadata.file_path` mapped back through the table layout (every
+        data file's relative path starts at its `data/txn=` segment,
+        exactly once)."""
+        return F.concat(
             F.lit("data/txn="),
             F.substring_index(
                 F.col("_metadata.file_path"), "/data/txn=", -1
             ),
         )
-        return df.select(
-            *[
+
+    def _load_snapshot(
+        self,
+        spark: SparkSession,
+        m: dict,
+        files: list[dict],
+        provenance: bool = False,
+    ) -> DataFrame:
+        """Materialize `files` of snapshot `m` projected to its cumulative
+        table schema, applying DELETION VECTORS: a file entry carrying a
+        `dv` list (round 8 merge-on-read) has the positions recorded in
+        those DV parquets removed via a broadcast anti-join on
+        (file path, `_metadata.row_index`). Files WITHOUT a dv are read on
+        the plain path — identical plan to pre-DV reads (no `_metadata`
+        reference, so nothing blocks whole-stage codegen or column
+        pruning). With `provenance`, appends `_rel` (manifest-relative
+        file path) and `_pos` (row position within that file) — what the
+        copy-on-write rewrite and the DV writer key on.
+
+        Scale shape: the DV side is positions-only (two columns, bounded
+        by deleted rows, typically ≪ data) and is explicitly broadcast —
+        the fact scan never shuffles to apply its deletes, matching the
+        Delta/Iceberg merge-on-read read path."""
+        schema = StructType.fromJson(json.loads(self._table_schema_of(m)))
+        prov_fields = (
+            [("_rel", "string"), ("_pos", "bigint")] if provenance else []
+        )
+        if not files:
+            out_schema = StructType.fromJson(
+                json.loads(schema.json())
+            )
+            for name, typ in prov_fields:
+                out_schema = out_schema.add(name, typ)
+            return spark.createDataFrame([], out_schema)
+
+        def load(entries: list[dict], with_meta: bool) -> DataFrame:
+            base, paths = self.store.resolve_read(
+                [e["path"] for e in entries]
+            )
+            df = (
+                spark.read.option("basePath", base)
+                .option("mergeSchema", "true")
+                .parquet(*paths)
+            )
+            avail = set(df.columns)
+            cols = [
                 (
                     F.col(f.name) if f.name in avail else F.lit(None)
                 ).cast(f.dataType).alias(f.name)
                 for f in schema.fields
-            ],
-            rel.alias("_rel"),
-        )
+            ]
+            if with_meta:
+                cols += [
+                    self._rel_expr().alias("_rel"),
+                    F.col("_metadata.row_index").alias("_pos"),
+                ]
+            return df.select(*cols)
+
+        plain = [e for e in files if not e.get("dv")]
+        dved = [e for e in files if e.get("dv")]
+        parts = []
+        if plain:
+            parts.append(load(plain, provenance))
+        if dved:
+            dv_rels = sorted({p for e in dved for p in e["dv"]})
+            _, dv_paths = self.store.resolve_read(dv_rels)
+            dv = spark.read.parquet(*dv_paths).select("file", "pos")
+            live = load(dved, True).join(
+                F.broadcast(dv),
+                (F.col("_rel") == F.col("file"))
+                & (F.col("_pos") == F.col("pos")),
+                "left_anti",
+            )
+            if not provenance:
+                live = live.drop("_rel", "_pos")
+            parts.append(live)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _read_with_provenance(self, spark: SparkSession, m: dict):
+        """The snapshot `m`'s rows (DV-applied, same contract as read())
+        plus `_rel`/`_pos` provenance columns."""
+        return self._load_snapshot(spark, m, m["files"], provenance=True)
 
     def _rewrite_files(
         self,
@@ -947,7 +985,7 @@ class ManifestTable:
         part_by = m["partition_by"] or None
         rewritten = transform(
             prov.filter(F.col("_rel").isin(hit)), cond
-        ).drop("_rel")
+        ).drop("_rel", "_pos")
         return self._commit(
             rewritten,
             part_by,
@@ -957,15 +995,33 @@ class ManifestTable:
             remove_paths=hit,
         )
 
-    def delete_where(self, spark: SparkSession, condition) -> int:
-        """Row-level DELETE FROM ... WHERE (Delta/Iceberg copy-on-write):
+    def delete_where(
+        self, spark: SparkSession, condition, mode: str = "cow"
+    ) -> int:
+        """Row-level DELETE FROM ... WHERE (Delta/Iceberg semantics):
         rows matching `condition` (SQL string or Column) disappear from
-        the new latest version; only the files that CONTAIN matches are
-        rewritten; rows whose predicate is NULL survive (SQL DELETE
-        semantics). The operational primitive for right-to-erasure at
-        100 TB: with `stats_cols`/Z-ordering keeping matches clustered,
-        the rewrite touches a handful of files, not the table. Returns
-        the new version (or the current one on a no-match no-op)."""
+        the new latest version; rows whose predicate is NULL survive (SQL
+        DELETE semantics). Returns the new version (or the current one on
+        a no-match no-op).
+
+        `mode` picks the physical strategy — the same knob Delta exposes:
+        - **"cow"** (copy-on-write, default): only the files that CONTAIN
+          matches are rewritten. Best for read-heavy tables; with
+          `stats_cols`/Z-ordering keeping matches clustered, the rewrite
+          touches a handful of files, not the table.
+        - **"dv"** (merge-on-read deletion vectors): NO data file is
+          rewritten — the matched (file, row position) pairs are recorded
+          in a positions-only DV parquet and the affected entries
+          re-committed with a `dv` reference; readers apply the DV as a
+          broadcast anti-join. Best for write-heavy / huge-file tables:
+          deleting 100 rows from a 1 GB file costs a KB-scale DV write
+          instead of a 1 GB rewrite. `compact()` (or any CoW rewrite of
+          the file) materializes the deletes and drops the DV.
+        Both modes are serializable: any racing commit aborts this one."""
+        if mode == "dv":
+            return self._delete_where_dv(spark, condition)
+        if mode != "cow":
+            raise ValueError(f"delete_where mode must be 'cow' or 'dv', got {mode!r}")
 
         def keep_survivors(hit_rows, cond):
             return hit_rows.filter(
@@ -974,15 +1030,119 @@ class ManifestTable:
 
         return self._rewrite_files(spark, condition, "delete", keep_survivors)
 
-    def update_where(
-        self, spark: SparkSession, condition, set_exprs: dict
+    def _write_dv(self, spark: SparkSession, dv_df: DataFrame) -> tuple[str, str, list[str]]:
+        """Write a deletion-vector parquet (`file` string, `pos` bigint)
+        into a fresh txn dir; return (txn name, table-relative DV path,
+        sorted distinct file paths the DV covers). coalesce(1): a DV is
+        positions-only — two columns bounded by the DELETED row count,
+        not table size — so one file keeps the reader's broadcast side a
+        single footer fetch."""
+        txn = uuid.uuid4().hex
+        dv_df.coalesce(1).write.parquet(self.store.txn_stage_dir(txn))
+        written = [
+            rel for rel, _local in self.store.finalize_txn(txn)
+        ]
+        if len(written) != 1:  # coalesce(1) wrote exactly one part file
+            raise RuntimeError(f"DV write produced {len(written)} files")
+        import pyarrow.parquet as pq
+
+        local = self.store.resolve_read(written)[1][0]
+        covered = sorted(
+            set(pq.read_table(local, columns=["file"])["file"].to_pylist())
+        )
+        return f"txn={txn}", written[0], covered
+
+    def _delete_where_dv(self, spark: SparkSession, condition) -> int:
+        """Merge-on-read DELETE: record matched row positions in a DV
+        parquet and re-publish the hit file entries with the DV attached
+        (`remove: files` + re-add, so `_apply` needs no new replay kind).
+        The file entries' recorded stats stay as written — after a DV
+        they are OVER-approximations of the live rows, which is the sound
+        direction for skipping (a pruned file never contains live
+        matches). Conflict semantics match the CoW path: the DV was
+        derived from a snapshot, so any racing commit aborts it."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self.manifest(latest)
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        prov = self._read_with_provenance(spark, m)
+        matched = prov.filter(
+            F.coalesce(cond.cast("boolean"), F.lit(False))
+        )
+        txn, dv_rel, hit = self._write_dv(
+            spark,
+            matched.select(
+                F.col("_rel").alias("file"), F.col("_pos").alias("pos")
+            ),
+        )
+        if not hit:
+            self.store.delete_txn_dir(txn)  # empty DV: no-op, no commit
+            return latest
+        hitset = set(hit)
+        add = [
+            dict(e, dv=list(e.get("dv", [])) + [dv_rel])
+            for e in m["files"]
+            if e["path"] in hitset
+        ]
+        return self._commit_dv(latest, m, "delete_dv", add, hit)
+
+    def _commit_dv(
+        self,
+        base: int,
+        m: dict,
+        action: str,
+        add: list[dict],
+        removed_paths: list[str],
+        extra_add: list[dict] | None = None,
     ) -> int:
-        """Row-level UPDATE ... SET ... WHERE (copy-on-write, same file
-        selectivity and concurrency contract as delete_where): matched
-        rows get each `set_exprs[col]` (SQL string or Column) applied,
-        unmatched rows in the same files pass through byte-equal; the
-        assigned value is cast to the column's existing type (an UPDATE
-        never changes the table schema)."""
+        """Publish a DV commit: remove the hit entries by path, re-add
+        them with their `dv` lists extended (plus `extra_add` fresh data
+        files for merge-on-read UPDATE). Metadata-only with respect to
+        schema — the table schema carries over from the parent."""
+        p_entry = self._raw(base)
+        schema_json = self._table_schema_of(p_entry)
+        entry_core = {
+            "action": action,
+            "partition_by": m["partition_by"] or [],
+            "schema": schema_json,
+            "table_schema": schema_json,
+            "add": add + (extra_add or []),
+            "remove": {"kind": "files", "values": sorted(removed_paths)},
+        }
+        for _ in range(20):
+            parent = self.latest_version()
+            if parent != base:
+                # snapshot-derived: any intervening commit aborts (the
+                # racing commit may have rewritten the very files this
+                # DV marks, or added rows the predicate should have seen)
+                self._check_conflicts(action, "files", set(), base, parent)
+            entry = dict(
+                entry_core,
+                version=(parent if parent is not None else -1) + 1,
+                parent=parent,
+                committed_at=time.time(),
+            )
+            if self._publish(entry):
+                return entry["version"]
+        raise RuntimeError(f"{action} lost the version race 20 times")
+
+    def update_where(
+        self, spark: SparkSession, condition, set_exprs: dict,
+        mode: str = "cow",
+    ) -> int:
+        """Row-level UPDATE ... SET ... WHERE (same file selectivity and
+        concurrency contract as delete_where): matched rows get each
+        `set_exprs[col]` (SQL string or Column) applied, unmatched rows
+        in the same files pass through byte-equal; the assigned value is
+        cast to the column's existing type (an UPDATE never changes the
+        table schema).
+
+        `mode="cow"` rewrites the files containing matches; `mode="dv"`
+        (merge-on-read) leaves them in place — the old positions of the
+        matched rows go into a deletion vector and the UPDATED rows are
+        appended as a fresh data file, so update cost scales with the
+        matched ROWS, not the size of the files they sit in."""
         for c in set_exprs:
             if c not in self._read_schema_names():
                 raise ValueError(
@@ -1002,7 +1162,48 @@ class ManifestTable:
                 )
             return out
 
+        if mode == "dv":
+            return self._update_where_dv(spark, condition, apply_set)
+        if mode != "cow":
+            raise ValueError(f"update_where mode must be 'cow' or 'dv', got {mode!r}")
         return self._rewrite_files(spark, condition, "update", apply_set)
+
+    def _update_where_dv(self, spark, condition, apply_set) -> int:
+        """Merge-on-read UPDATE: old positions of matched rows → deletion
+        vector; their transformed images → a fresh appended data file
+        (written through the normal txn path, so it lands in the table's
+        partition layout with footer stats like any commit)."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self.manifest(latest)
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        prov = self._read_with_provenance(spark, m)
+        matched = prov.filter(
+            F.coalesce(cond.cast("boolean"), F.lit(False))
+        )
+        txn, dv_rel, hit = self._write_dv(
+            spark,
+            matched.select(
+                F.col("_rel").alias("file"), F.col("_pos").alias("pos")
+            ),
+        )
+        if not hit:
+            self.store.delete_txn_dir(txn)
+            return latest
+        part_by = m["partition_by"] or None
+        _txn2, new_files = self._write_txn(
+            apply_set(matched, cond).drop("_rel", "_pos"), part_by
+        )
+        hitset = set(hit)
+        add = [
+            dict(e, dv=list(e.get("dv", [])) + [dv_rel])
+            for e in m["files"]
+            if e["path"] in hitset
+        ]
+        return self._commit_dv(
+            latest, m, "update_dv", add, hit, extra_add=new_files
+        )
 
     def _read_schema_names(self) -> set:
         latest = self.latest_version()
@@ -1200,6 +1401,11 @@ class ManifestTable:
             for e in files:
                 first = e["path"].split("/")[1] if "/" in e["path"] else ""
                 live.add(first)  # "txn=<id>"
+                # deletion vectors live in their own txn dirs and are
+                # referenced by entries, not listed as data files — a
+                # retained snapshot needs them to read correctly
+                for dv in e.get("dv", ()):
+                    live.add(dv.split("/")[1] if "/" in dv else "")
         removed = []
         for name in self.store.list_txn_dirs():
             if name not in live:

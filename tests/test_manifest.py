@@ -1399,3 +1399,150 @@ def test_cdf_across_delete_and_update_commits(spark, tab):
         for r in tab.changes_since(spark, 0, ["id"]).collect()
     }
     assert feed == {(4, "delete"): "v4", (5, "update_postimage"): "changed"}
+
+
+# ---------- round 8: merge-on-read deletion vectors ----------
+
+
+def test_delete_dv_rewrites_nothing(spark, tab):
+    tab.commit_overwrite(
+        _df(spark, [(i, f"v{i}", f"d{i % 3}") for i in range(12)]),
+        partition_by=["day"],
+    )
+    before = {e["path"] for e in tab.manifest(0)["files"]}
+    v = tab.delete_where(spark, "id >= 9", mode="dv")
+    assert sorted(r.id for r in tab.read(spark).collect()) == list(range(9))
+    after = tab.manifest(v)["files"]
+    # merge-on-read: every DATA path is unchanged — zero rewrite
+    assert {e["path"] for e in after} == before
+    # the hit files carry a dv reference, the rest carry none
+    assert sum(1 for e in after if e.get("dv")) == 3  # one per day partition
+    # the pre-delete version still reads in full
+    assert tab.read(spark, version=0).count() == 12
+    e = json.loads(tab.store.read_log(tab._version_name(v)))
+    assert e["action"] == "delete_dv" and e["remove"]["kind"] == "files"
+
+
+def test_delete_dv_stacks_and_null_predicate_keeps(spark, tab):
+    tab.commit_overwrite(
+        _df(spark, [(1, "a", None), (2, "b", "d1"), (3, "c", "d1")]).coalesce(1)
+    )
+    tab.delete_where(spark, "day = 'd1' and id = 2", mode="dv")
+    tab.delete_where(spark, "day = 'd1'", mode="dv")  # second DV, same file
+    # NULL-day row's predicate is NULL → survives (SQL DELETE semantics)
+    assert rows(tab.read(spark)) == [(1, "a", None)]
+    head = tab.manifest(tab.latest_version())["files"]
+    assert any(len(e.get("dv", [])) == 2 for e in head)  # stacked
+
+
+def test_delete_dv_no_match_is_noop_and_leaves_no_orphan_refs(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    v = tab.delete_where(spark, "id = 999", mode="dv")
+    assert v == 0 and tab.versions() == [0]
+
+
+def test_update_dv_appends_images_and_masks_old_positions(spark, tab):
+    tab.commit_overwrite(
+        _df(spark, [(i, f"v{i}", f"d{i % 2}") for i in range(6)]),
+        partition_by=["day"],
+    )
+    before = {e["path"] for e in tab.manifest(0)["files"]}
+    v = tab.update_where(spark, "id >= 4", {"v": "upper(v)"}, mode="dv")
+    got = dict((r.id, r.v) for r in tab.read(spark).collect())
+    assert got == {0: "v0", 1: "v1", 2: "v2", 3: "v3", 4: "V4", 5: "V5"}
+    after = tab.manifest(v)["files"]
+    # old data files all still referenced (masked, not rewritten) PLUS
+    # fresh files carrying the updated images
+    assert before <= {e["path"] for e in after}
+    assert len(after) > len(before)
+    assert tab.read(spark, version=0).count() == 6
+
+
+def test_cow_rewrite_over_dv_file_does_not_resurrect(spark, tab):
+    """A CoW update hitting a file that carries a DV must materialize the
+    DV (survivors only) — the DV-deleted rows stay dead in the rewrite."""
+    tab.commit_overwrite(
+        _df(spark, [(1, "a", "d1"), (2, "b", "d1")]).coalesce(1)
+    )
+    tab.delete_where(spark, "id = 2", mode="dv")
+    tab.update_where(spark, "id = 1", {"v": "'x'"})  # CoW on the same file
+    assert rows(tab.read(spark)) == [(1, "x", "d1")]
+    # and the rewritten entry dropped its dv reference
+    head = tab.manifest(tab.latest_version())["files"]
+    assert not any(e.get("dv") for e in head)
+
+
+def test_compact_materializes_dv_deletes(spark, tab):
+    tab.commit_overwrite(
+        _df(spark, [(i, f"v{i}", "d1") for i in range(8)])
+    )
+    tab.delete_where(spark, "id % 2 = 1", mode="dv")
+    tab.compact(spark)
+    assert sorted(r.id for r in tab.read(spark).collect()) == [0, 2, 4, 6]
+    assert not any(
+        e.get("dv") for e in tab.manifest(tab.latest_version())["files"]
+    )
+
+
+def test_vacuum_keeps_dv_files_while_referenced(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d1")]))
+    tab.delete_where(spark, "id = 2", mode="dv")
+    # retention 1: only the DV'd head survives — its DV txn dir must too
+    tab.vacuum(keep_versions=1, min_age_seconds=0.0)
+    assert rows(tab.read(spark)) == [(1, "a", "d1")]
+    # compact away the DV, then vacuum: the DV txn dir becomes garbage
+    tab.compact(spark)
+    tab.vacuum(keep_versions=1, min_age_seconds=0.0)
+    assert rows(tab.read(spark)) == [(1, "a", "d1")]
+
+
+def test_delete_dv_racing_commit_aborts(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d2")]))
+    real = _race(
+        tab, lambda other: other.commit_append(_df(spark, [(9, "r", "d1")]))
+    )
+    try:
+        with pytest.raises(ConcurrentWriteConflict):
+            tab.delete_where(spark, "day = 'd1'", mode="dv")
+    finally:
+        tab._publish = real
+    assert (1, "a", "d1") in rows(tab.read(spark))
+    assert (9, "r", "d1") in rows(tab.read(spark))
+
+
+def test_restore_across_dv_commit_round_trips(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d1")]))
+    tab.delete_where(spark, "id = 2", mode="dv")
+    tab.restore(0)
+    assert sorted(rows(tab.read(spark))) == [(1, "a", "d1"), (2, "b", "d1")]
+    tab.restore(1)  # restoring the DV'd snapshot re-applies its DV
+    assert rows(tab.read(spark)) == [(1, "a", "d1")]
+
+
+def test_cdf_across_dv_commits(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d1")]))
+    tab.delete_where(spark, "id = 2", mode="dv")
+    tab.update_where(spark, "id = 1", {"v": "'u'"}, mode="dv")
+    feed = {
+        (r.id, r.change_type): r.v
+        for r in tab.changes_since(spark, 0, ["id"]).collect()
+    }
+    assert feed == {(2, "delete"): "b", (1, "update_postimage"): "u"}
+
+
+def test_dv_read_plan_broadcasts_the_vector(spark, tab):
+    """The merge-on-read read path must apply the DV as a BROADCAST
+    anti-join — the fact scan never shuffles to subtract its deletes."""
+    tab.commit_overwrite(_df(spark, [(i, "x", "d1") for i in range(20)]))
+    tab.delete_where(spark, "id = 3", mode="dv")
+    plan = tab.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_plain_read_plan_unchanged_by_dv_support(spark, tab):
+    """Tables with NO deletion vectors keep the pre-DV plan: no join, no
+    _metadata reference — nothing blocks codegen or column pruning."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    plan = tab.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "file_path" not in plan

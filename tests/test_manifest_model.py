@@ -295,7 +295,7 @@ def test_full_lifecycle_random_sequences_match_model(spark, make_tab):
         for _ in range(rng.randint(8, 12)):
             kind = rng.choice(
                 ["overwrite", "append", "replace", "restore", "compact",
-                 "vacuum", "delete", "update"]
+                 "vacuum", "delete", "update", "delete_dv", "update_dv"]
             )
             if kind in ("overwrite", "append", "replace"):
                 rows_in = [
@@ -314,16 +314,20 @@ def test_full_lifecycle_random_sequences_match_model(spark, make_tab):
                     touched = {r[2] for r in rows_in}
                     model = [r for r in model if r[2] not in touched] + rows_in
                 snap[v] = list(model)
-            elif kind == "delete" and tab.versions() and model:
-                # row-level copy-on-write delete (round 8): threshold on id
+            elif kind in ("delete", "delete_dv") and tab.versions() and model:
+                # row-level delete (round 8): CoW rewrite or merge-on-read
+                # deletion vector — same model either way, the mode is a
+                # physical strategy, not a semantic one
                 thr = rng.randint(0, 20)
-                nv = tab.delete_where(spark, f"id < {thr}")
+                mode = "dv" if kind == "delete_dv" else "cow"
+                nv = tab.delete_where(spark, f"id < {thr}", mode=mode)
                 model = [r for r in model if not (r[0] < thr)]
                 snap[nv] = list(model)  # no-op returns the current version
-            elif kind == "update" and tab.versions() and model:
+            elif kind in ("update", "update_dv") and tab.versions() and model:
                 thr = rng.randint(0, 20)
+                mode = "dv" if kind == "update_dv" else "cow"
                 nv = tab.update_where(
-                    spark, f"id >= {thr}", {"v": "'U'"}
+                    spark, f"id >= {thr}", {"v": "'U'"}, mode=mode
                 )
                 model = [
                     (r[0], "U" if r[0] >= thr else r[1], r[2]) for r in model

@@ -168,6 +168,14 @@ _VALUE_MUTATIONS = {
     "x60_update_where": (
         "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
     ),
+    # the merge-on-read twins: the canary proves the gate would catch a
+    # DV read path that dropped/changed the wrong rows
+    "x61_delete_dv": (
+        "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
+    ),
+    "x62_update_dv": (
+        "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
+    ),
 }
 
 
