@@ -613,3 +613,101 @@ def x62_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="dv",
     )
     return table.read(spark)
+
+
+@register(
+    "x63_merge_clauses",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderkey AS k,
+               CAST(o_totalprice * 1.2 AS DOUBLE) AS price,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 4 = 0
+        UNION ALL
+        SELECT -o_orderkey, o_totalprice, 'N'
+        FROM orders WHERE o_orderkey % 1000 = 3
+    ),
+    mrg AS (
+        SELECT t.*, s.k, s.price, s.status
+        FROM orders t LEFT JOIN s ON t.o_orderkey = s.k
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN k IS NOT NULL AND status = 'F'
+                THEN price ELSE o_totalprice END AS o_totalprice,
+           o_orderdate,
+           CASE WHEN k IS NOT NULL AND status = 'F' THEN '1-URGENT'
+                WHEN k IS NULL AND o_orderstatus = 'P'
+                     AND o_orderkey % 10 = 1 THEN 'NMS-HELD'
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM mrg
+    WHERE NOT (k IS NOT NULL AND status = 'P')
+    UNION ALL
+    SELECT k, 0, status, price, TIMESTAMP '1995-01-01', '5-LOW'
+    FROM s WHERE k < 0
+    """,
+)
+def x63_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x63 — the FULL clause-level MERGE INTO surface through the
+    snapshot log (round 8): one committed merge carrying all four clause
+    kinds at once —
+
+      WHEN MATCHED AND s.status='F'  THEN UPDATE (reprice +20%, escalate)
+      WHEN MATCHED AND s.status='P'  THEN DELETE
+      WHEN NOT MATCHED AND s.k < 0   THEN INSERT (synthetic new orders)
+      WHEN NOT MATCHED BY SOURCE AND pending-and-key%10=1 THEN UPDATE
+
+    against a CDC-style source (every 4th order as upsert candidates plus
+    synthetic negative-key inserts). Clause order is first-wins, a NULL
+    condition fires nothing, and execution is FILE-SELECTIVE copy-on-write
+    (`MergeBuilder`: touched-file discovery -> rewrite only those files ->
+    inserts append -> untouched entries carry by reference). The LEFT-JOIN
+    + CASE oracle replays the exact ANSI MERGE semantics row by row, so
+    the hash match proves updates, deletes, inserts, and the
+    not-matched-by-source branch each claimed exactly their rows.
+
+    Reference tie-in: the reference's only merge is pandas concat+drop_
+    duplicates clobbered whole-file into the bucket
+    (build/unpack_to_raw.py:57); this is the transactional, clause-level,
+    file-selective form a 100 TB lake needs."""
+    table = _fresh_orders_table(spark, sf_dir, "x63")
+    orders = load(spark, sf_dir, "orders")
+    src = (
+        orders.filter(F.col("o_orderkey") % 4 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") * 1.2).cast("double").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 1000 == 3).select(
+                (-F.col("o_orderkey")).alias("k"),
+                F.col("o_totalprice").alias("price"),
+                F.lit("N").alias("status"),
+            )
+        )
+    )
+    (
+        table.merge(spark, src, "t.o_orderkey = s.k")
+        .when_matched_update(
+            set={"o_totalprice": "s.price", "o_orderpriority": "'1-URGENT'"},
+            condition="s.status = 'F'",
+        )
+        .when_matched_delete(condition="s.status = 'P'")
+        .when_not_matched_insert(
+            values={
+                "o_orderkey": "s.k",
+                "o_custkey": "0",
+                "o_orderstatus": "s.status",
+                "o_totalprice": "s.price",
+                "o_orderdate": "timestamp '1995-01-01 00:00:00'",
+                "o_orderpriority": "'5-LOW'",
+            },
+            condition="s.k < 0",
+        )
+        .when_not_matched_by_source_update(
+            set={"o_orderpriority": "'NMS-HELD'"},
+            condition="t.o_orderstatus = 'P' AND t.o_orderkey % 10 = 1",
+        )
+        .execute()
+    )
+    return table.read(spark)

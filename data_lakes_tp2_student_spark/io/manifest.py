@@ -90,6 +90,14 @@ class ConcurrentWriteConflict(RuntimeError):
     latest version."""
 
 
+class MergeCardinalityError(RuntimeError):
+    """MERGE aborted: a single target row matched MORE THAN ONE source row
+    that would modify it (update or delete) — the result would depend on
+    which source row "wins", so the merge is ambiguous. Delta raises the
+    same error (DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE);
+    deduplicate the source on the merge keys and retry."""
+
+
 def _json_safe(v):
     """Parquet-footer statistic → JSON-storable canonical value."""
     import datetime as _dt
@@ -830,24 +838,50 @@ class ManifestTable:
     ) -> int:
         """MERGE INTO as a committed version: source rows upsert into the
         latest snapshot on `key_cols` (matched → replaced by source, not
-        matched → inserted; `operators/merge.py` semantics) and the
-        result commits atomically — the convenience wrapper around the
-        read→merge→commit_overwrite dance x52 spells out. Returns the new
-        version; the pre-merge snapshot stays time-travelable."""
-        from ..operators.merge import merge_upsert
+        matched → inserted) and the result commits atomically. Returns
+        the new version; the pre-merge snapshot stays time-travelable.
 
+        Round 8: routed through the clause-level `merge()` builder
+        (update-all + insert-all), which makes the upsert FILE-SELECTIVE
+        — only files containing matched keys rewrite; the rest of the
+        snapshot carries over by reference, exactly like delete_where.
+        The pre-round-8 form rewrote the whole table every merge."""
         if len(key_cols) != 1:
             raise ValueError("merge_into currently supports a single key column")
-        latest = self.latest_version()
-        if latest is None:
-            raise FileNotFoundError(f"no committed version at {self.root}")
-        merged = merge_upsert(
-            self.read(spark, version=latest), source, key_cols[0]
+        k = key_cols[0]
+        return (
+            self.merge(spark, source, f"t.`{k}` = s.`{k}`")
+            .when_matched_update_all()
+            .when_not_matched_insert_all()
+            .execute()
         )
-        part_by = self._raw(latest).get("partition_by") or None
-        # base=latest: the merge result was derived from snapshot `latest`
-        # — anchor the conflict gate there (ADVICE r7, see compact).
-        return self._commit(merged, part_by, "overwrite", "all", base=latest)
+
+    def merge(self, spark: SparkSession, source: DataFrame, on) -> "MergeBuilder":
+        """Clause-level MERGE INTO (the Delta `DeltaTable.merge` surface):
+        `on` is the match condition between the target (alias `t`) and
+        `source` (alias `s`) — a SQL string like ``"t.id = s.id"`` or a
+        Column. Chain WHEN clauses on the returned builder, then
+        `.execute()`:
+
+            table.merge(spark, cdc, "t.id = s.id") \\
+                 .when_matched_update(set={"price": "s.price"},
+                                      condition="s.op = 'U'") \\
+                 .when_matched_delete(condition="s.op = 'D'") \\
+                 .when_not_matched_insert_all() \\
+                 .when_not_matched_by_source_delete() \\
+                 .execute()
+
+        Semantics (Delta/SQL:2003 MERGE): clauses are evaluated IN THE
+        ORDER DECLARED and the first clause whose condition holds wins
+        for each row; a row no clause claims passes through unchanged.
+        A target row that multiple source rows would modify aborts with
+        MergeCardinalityError. Execution is FILE-SELECTIVE copy-on-write:
+        only files containing a row some clause actually fires on are
+        rewritten (touched-file discovery first, like Delta's
+        findTouchedFiles), inserts append, untouched files carry over by
+        reference — and any racing commit aborts the merge
+        (ConcurrentWriteConflict, base pinned at the snapshot read)."""
+        return MergeBuilder(self, spark, source, on)
 
     @staticmethod
     def _rel_expr():
@@ -1427,3 +1461,234 @@ class ManifestTable:
             if keep and c < keep[0]:
                 self.store.delete_log(self._checkpoint_name(c))
         return removed
+
+
+class MergeBuilder:
+    """Fluent clause collector for ManifestTable.merge() — the Delta
+    `DeltaMergeBuilder` surface re-expressed over the manifest table's
+    provenance machinery (`_read_with_provenance`'s `_rel`/`_pos`).
+
+    Clause conditions and SET/VALUES expressions are SQL strings (or
+    Columns) over the aliases `t` (target) and `s` (source). Matched
+    clauses may reference both; not-matched (insert) clauses see only
+    `s`; not-matched-by-source clauses see only `t` — the same scoping
+    rules as Delta/ANSI MERGE.
+
+    Physical plan (the shape that matters at 100 TB):
+    - **Touched-file discovery** — one inner join target×source computing,
+      per target row, how many source rows FIRE a matched clause
+      (cardinality gate: >1 aborts) and which files contain firing rows;
+      plus one anti-join for not-matched-by-source clauses. Driver state
+      is O(files), never O(rows).
+    - **Rewrite** — ONLY the touched files re-join the (broadcastable)
+      source; every clause is a codegen'd CASE over a single action
+      index, so one pass computes updates, deletes, and pass-through.
+    - **Inserts** — source anti-join target, appended as fresh files.
+    - Untouched files carry over BY REFERENCE in a `remove: files` delta
+      entry; all prior versions still time-travel; racing commits abort
+      (base pinned at the snapshot read).
+    """
+
+    def __init__(self, table: ManifestTable, spark: SparkSession, source: DataFrame, on):
+        self._table = table
+        self._spark = spark
+        self._source = source
+        self._on = on
+        self._matched: list[tuple] = []      # (kind, assigns, condition)
+        self._not_matched: list[tuple] = []  # (values, condition)
+        self._nms: list[tuple] = []          # (kind, assigns, condition)
+
+    # -- clause surface (each returns self for chaining) -------------------
+
+    def when_matched_update(self, set: dict, condition=None) -> "MergeBuilder":
+        """Matched rows (condition holding) get each `set[col]` applied;
+        other columns keep their target value."""
+        self._matched.append(("update", dict(set), condition))
+        return self
+
+    def when_matched_update_all(self, condition=None) -> "MergeBuilder":
+        """UPDATE SET * — every target column present in the source (by
+        name) takes the source value; target-only columns are kept."""
+        self._matched.append(("update", "all", condition))
+        return self
+
+    def when_matched_delete(self, condition=None) -> "MergeBuilder":
+        self._matched.append(("delete", None, condition))
+        return self
+
+    def when_not_matched_insert(self, values: dict, condition=None) -> "MergeBuilder":
+        """Source rows with no target match insert a row built from
+        `values` (target columns absent from `values` become NULL)."""
+        self._not_matched.append((dict(values), condition))
+        return self
+
+    def when_not_matched_insert_all(self, condition=None) -> "MergeBuilder":
+        """INSERT * — by-name from the source; target columns the source
+        lacks become NULL."""
+        self._not_matched.append(("all", condition))
+        return self
+
+    def when_not_matched_by_source_update(self, set: dict, condition=None) -> "MergeBuilder":
+        """Target rows NO source row matches (condition over `t` only)."""
+        self._nms.append(("update", dict(set), condition))
+        return self
+
+    def when_not_matched_by_source_delete(self, condition=None) -> "MergeBuilder":
+        self._nms.append(("delete", None, condition))
+        return self
+
+    # -- execution ---------------------------------------------------------
+
+    @staticmethod
+    def _guard(condition):
+        """Clause condition → boolean Column; NULL counts as no-match
+        (ANSI MERGE); absent condition → always fires."""
+        if condition is None:
+            return F.lit(True)
+        col = F.expr(condition) if isinstance(condition, str) else condition
+        return F.coalesce(col.cast("boolean"), F.lit(False))
+
+    def _value(self, v, dtype):
+        col = F.expr(v) if isinstance(v, str) else v
+        return col.cast(dtype)
+
+    def execute(self) -> int:
+        """Run the merge; returns the new committed version (or the
+        current one if no clause fired on any row — no empty commit)."""
+        if not (self._matched or self._not_matched or self._nms):
+            raise ValueError("MERGE requires at least one WHEN clause")
+        t, spark, src = self._table, self._spark, self._source
+        reserved = {"_rel", "_pos", "__merge_src", "__merge_act"}
+        bad = reserved & set(src.columns)
+        if bad:
+            raise ValueError(f"source carries reserved merge columns {sorted(bad)}")
+        latest = t.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {t.root}")
+        m = t.manifest(latest)
+        schema = StructType.fromJson(json.loads(t._table_schema_of(m)))
+        tcols = [f.name for f in schema.fields]
+        ttypes = {f.name: f.dataType for f in schema.fields}
+        on = F.expr(self._on) if isinstance(self._on, str) else self._on
+        prov = t._read_with_provenance(spark, m)
+
+        # ---- pass 1: touched files + cardinality gate (findTouchedFiles)
+        hit: set = set()
+        if self._matched:
+            fire = F.lit(False)
+            for _kind, _assigns, cond in self._matched:
+                fire = fire | self._guard(cond)
+            per_file = (
+                prov.alias("t")
+                .join(src.alias("s"), on, "inner")
+                .groupBy("_rel", "_pos")
+                .agg(F.sum(fire.cast("int")).alias("__nf"))
+                .groupBy("_rel")
+                .agg(F.max("__nf").alias("__mx"))
+                .collect()
+            )
+            if any(r["__mx"] > 1 for r in per_file):
+                raise MergeCardinalityError(
+                    "a target row matched multiple source rows that would "
+                    "modify it — deduplicate the source on the merge keys"
+                )
+            hit |= {r["_rel"] for r in per_file if r["__mx"] > 0}
+        if self._nms:
+            fire = F.lit(False)
+            for _kind, _assigns, cond in self._nms:
+                fire = fire | self._guard(cond)
+            hit |= {
+                r._rel
+                for r in prov.alias("t")
+                .join(src.alias("s"), on, "left_anti")
+                .filter(fire)
+                .select("_rel")
+                .distinct()
+                .collect()
+            }
+        hit_rels = sorted(hit)
+
+        # ---- pass 2: new images for touched files (writeAllChanges)
+        part_by = m["partition_by"] or None
+        rewritten = None
+        if hit_rels:
+            hit_tgt = prov.filter(F.col("_rel").isin(hit_rels)).alias("t")
+            srcm = src.withColumn("__merge_src", F.lit(True)).alias("s")
+            joined = hit_tgt.join(srcm, on, "left")
+            matched = F.col("__merge_src").isNotNull()
+            # one action index per row; when-chain order = declaration
+            # order, so the first clause that fires wins (ANSI MERGE)
+            guards = []
+            for kind, assigns, cond in self._matched:
+                guards.append((len(guards), matched & self._guard(cond), kind, assigns))
+            for kind, assigns, cond in self._nms:
+                guards.append((len(guards), (~matched) & self._guard(cond), kind, assigns))
+            chain = None
+            for i, g, _kind, _assigns in guards:
+                chain = F.when(g, F.lit(i)) if chain is None else chain.when(g, F.lit(i))
+            with_act = joined.withColumn("__merge_act", chain.otherwise(F.lit(-1)))
+            del_idx = [i for i, _g, kind, _a in guards if kind == "delete"]
+            kept = (
+                with_act.filter(~F.col("__merge_act").isin(del_idx))
+                if del_idx
+                else with_act
+            )
+            out_cols = []
+            for c in tcols:
+                expr = F.col(f"t.`{c}`")
+                for i, _g, kind, assigns in guards:
+                    if kind != "update":
+                        continue
+                    amap = (
+                        {cc: f"s.`{cc}`" for cc in tcols if cc in src.columns}
+                        if assigns == "all"
+                        else assigns
+                    )
+                    if c in amap:
+                        expr = F.when(
+                            F.col("__merge_act") == i,
+                            self._value(amap[c], ttypes[c]),
+                        ).otherwise(expr)
+                out_cols.append(expr.alias(c))
+            rewritten = kept.select(*out_cols)
+
+        inserts = None
+        if self._not_matched:
+            ins_src = src.alias("s").join(prov.alias("t"), on, "left_anti")
+            chain = None
+            for j, (_values, cond) in enumerate(self._not_matched):
+                g = self._guard(cond)
+                chain = F.when(g, F.lit(j)) if chain is None else chain.when(g, F.lit(j))
+            kept = ins_src.withColumn(
+                "__merge_act", chain.otherwise(F.lit(-1))
+            ).filter(F.col("__merge_act") >= 0)
+            out_cols = []
+            for c in tcols:
+                expr = F.lit(None).cast(ttypes[c])
+                for j, (values, _cond) in enumerate(self._not_matched):
+                    vmap = (
+                        {cc: f"s.`{cc}`" for cc in tcols if cc in src.columns}
+                        if values == "all"
+                        else values
+                    )
+                    if c in vmap:
+                        expr = F.when(
+                            F.col("__merge_act") == j,
+                            self._value(vmap[c], ttypes[c]),
+                        ).otherwise(expr)
+                out_cols.append(expr.alias(c))
+            inserts = kept.select(*out_cols)
+
+        if not hit_rels:
+            # nothing rewrites; commit only if the merge actually inserts
+            if inserts is None or inserts.limit(1).count() == 0:
+                return latest
+            result = inserts
+        else:
+            result = rewritten if inserts is None else rewritten.unionByName(inserts)
+        # base=latest: the merge read snapshot `latest` — racing commits
+        # must abort, they may contain rows the ON condition should have
+        # seen (Delta's serializable MERGE; same anchor as delete_where)
+        return t._commit(
+            result, part_by, "merge", "files", base=latest, remove_paths=hit_rels
+        )

@@ -176,6 +176,11 @@ _VALUE_MUTATIONS = {
     "x62_update_dv": (
         "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
     ),
+    # the clause-level MERGE: a value nudge proves the gate constrains
+    # which rows each WHEN clause claimed (update/delete/insert/NMS)
+    "x63_merge_clauses": (
+        "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
+    ),
 }
 
 
