@@ -317,3 +317,79 @@ def x4_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), "word")
         .limit(20)
     )
+
+
+@register(
+    "i13_stream_cdc_merge",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 1
+                THEN CAST(o_totalprice * 1.1 AS DOUBLE)
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderkey % 7 <> 2
+    UNION ALL
+    SELECT -o_orderkey, 0, 'N', o_totalprice, TIMESTAMP '1995-01-01', '5-LOW'
+    FROM orders WHERE o_orderkey % 1000 = 5
+    """,
+)
+def i13_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i13 — streaming CDC apply into the manifest table (round 8): a
+    three-batch change feed (updates for keys %7==1 repriced +10%,
+    deletes for keys %7==2, inserts of synthetic negative-key orders)
+    drains through `streaming.jobs.stream_cdc_merge`, each micro-batch
+    landing as ONE atomic clause-level MERGE commit (file-selective
+    copy-on-write; `io/manifest.py:MergeBuilder`). The answer is the
+    final committed table read BACK from disk, so the hash match proves
+    the full chain: file-source micro-batch delivery → per-batch MERGE
+    routing by op → snapshot commit → read-back. Batch key sets are
+    disjoint, so arrival order cannot change the result — the property
+    that makes the feed safe under the file source's mtime ordering.
+
+    Scale: this is the Debezium→lakehouse ingestion shape — per batch
+    cost is O(changed keys' files), commits are atomic per batch, and
+    redelivery converges (tests/test_stream_cdc.py replays the feed)."""
+    import hashlib
+    import shutil
+
+    from ..io.manifest import ManifestTable
+    from ..streaming.jobs import stream_cdc_merge
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    dest = os.path.join(_TMP, f"i13_lake_{tag}")
+    stage = os.path.join(_TMP, f"i13_cdc_{tag}")
+    shutil.rmtree(dest, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    orders = load(spark, sf_dir, "orders")
+    table = ManifestTable(dest)
+    table.commit_overwrite(orders)
+
+    updates = (
+        orders.filter(F.col("o_orderkey") % 7 == 1)
+        .withColumn("o_totalprice", (F.col("o_totalprice") * 1.1).cast("double"))
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = (
+        orders.filter(F.col("o_orderkey") % 7 == 2)
+        .withColumn("op", F.lit("D"))
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 1000 == 5)
+        .select(
+            (-F.col("o_orderkey")).alias("o_orderkey"),
+            F.lit(0).cast("long").alias("o_custkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.col("o_totalprice"),
+            F.lit("1995-01-01").cast("timestamp").alias("o_orderdate"),
+            F.lit("5-LOW").alias("o_orderpriority"),
+            F.lit("I").alias("op"),
+        )
+    )
+    cdc_schema = updates.schema
+    for i, batch in enumerate([updates, deletes, inserts]):
+        batch.coalesce(1).write.mode("append").parquet(stage)
+
+    stream_cdc_merge(spark, table, stage, cdc_schema, "o_orderkey")
+    return table.read(spark)

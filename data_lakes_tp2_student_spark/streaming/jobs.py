@@ -432,3 +432,83 @@ def stream_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+def stream_cdc_merge(
+    spark: SparkSession,
+    dest,
+    cdc_dir: str,
+    cdc_schema: T.StructType,
+    key_col: str,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+    on_batch=None,
+) -> None:
+    """i13 — streaming CDC apply: a change feed (rows carrying an `op`
+    column: 'U' update / 'D' delete / 'I' insert, plus the key and the
+    row image) drains through foreachBatch and each micro-batch lands as
+    ONE clause-level MERGE commit on the manifest table —
+
+        WHEN MATCHED AND s.op='U' THEN UPDATE SET <all image columns>
+        WHEN MATCHED AND s.op='D' THEN DELETE
+        WHEN NOT MATCHED AND s.op='I' THEN INSERT <image>
+
+    This is the Debezium/Delta CDC-ingestion idiom: per batch the merge
+    is file-selective (only files containing changed keys rewrite), the
+    commit is atomic (a reader sees all of a batch's changes or none),
+    and REDELIVERY CONVERGES under at-least-once delivery with
+    deterministic change images: a replayed 'U' re-writes the same
+    values, a replayed 'D' matches nothing, a replayed 'I' arrives
+    matched and fires no clause — so the table state is idempotent in
+    the batch set (proven by tests/test_stream_cdc.py's replay run).
+
+    Contract: each micro-batch must be key-unique (one change per key per
+    batch — the usual CDC-compaction precondition); a batch carrying two
+    modifying changes for one key aborts with MergeCardinalityError
+    rather than applying them in an arbitrary order. Feeds with a
+    sequence column should compact to latest-per-key in a
+    `transform` before the sink.
+
+    `dest` is a ManifestTable or a local path; `cdc_dir` is the file
+    stream source (one file per producer batch; `max_files_per_trigger`
+    keeps batch = file). Runs the source dry synchronously, same
+    test-bed contract as the other jobs."""
+    from ..io.manifest import ManifestTable
+
+    table = dest if isinstance(dest, ManifestTable) else ManifestTable(dest)
+    if "op" not in [f.name for f in cdc_schema.fields]:
+        raise ValueError("CDC schema must carry an 'op' column (U/D/I)")
+    image_cols = [f.name for f in cdc_schema.fields if f.name != "op"]
+    feed = (
+        spark.readStream.schema(cdc_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(cdc_dir)
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if on_batch is not None:
+            on_batch(batch, batch_id)
+        if batch.isEmpty():
+            return
+        (
+            table.merge(spark, batch, f"t.`{key_col}` = s.`{key_col}`")
+            .when_matched_update(
+                set={c: f"s.`{c}`" for c in image_cols if c != key_col},
+                condition="s.op = 'U'",
+            )
+            .when_matched_delete(condition="s.op = 'D'")
+            .when_not_matched_insert(
+                values={c: f"s.`{c}`" for c in image_cols},
+                condition="s.op = 'I'",
+            )
+            .execute()
+        )
+
+    writer = feed.writeStream.outputMode("append").foreachBatch(apply)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

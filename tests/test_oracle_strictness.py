@@ -181,6 +181,12 @@ _VALUE_MUTATIONS = {
     "x63_merge_clauses": (
         "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
     ),
+    # the streaming CDC apply: micro-batch delivery -> per-batch MERGE ->
+    # commit -> read-back; the nudge proves the gate constrains the final
+    # committed state of that whole chain
+    "i13_stream_cdc_merge": (
+        "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
+    ),
 }
 
 
