@@ -711,3 +711,48 @@ def x63_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .execute()
     )
     return table.read(spark)
+
+
+@register(
+    "x64_check_constraint",
+    oracle="""
+    SELECT * FROM orders
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 100 = 7
+    """,
+)
+def x64_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x64 — CHECK constraints as commit-time quality gates (round 8,
+    Delta ADD CONSTRAINT): the orders table gets
+    `CHECK (o_totalprice >= 0)` (one validation scan, then a
+    metadata-only commit), after which a NEGATED-price append is
+    REJECTED (CheckConstraintViolation — nothing written) and a valid
+    keyshifted append lands. The answer is the final committed table:
+    if enforcement ever silently let the bad batch through, its 15k
+    negative-price rows would be IN the result and the hash would
+    mismatch — the oracle proves the gate, not just the happy path.
+
+    Scale shape: enforcement costs one combined agg pass over each
+    commit's NEW rows only (retained files were validated by their own
+    commits) — zero cost on tables without constraints, never a
+    full-table re-scan."""
+    from ..io.manifest import CheckConstraintViolation
+
+    table = _fresh_orders_table(spark, sf_dir, "x64")
+    table.add_check_constraint(spark, "price_nonneg", "o_totalprice >= 0")
+    orders = load(spark, sf_dir, "orders")
+    bad = orders.withColumn(
+        "o_totalprice", (-F.col("o_totalprice")).cast("double")
+    ).withColumn("o_orderkey", F.col("o_orderkey") + 20000000)
+    try:
+        table.commit_append(bad)
+        raise AssertionError("constraint failed to reject violating rows")
+    except CheckConstraintViolation:
+        pass
+    good = orders.filter(F.col("o_orderkey") % 100 == 7).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10000000
+    )
+    table.commit_append(good)
+    return table.read(spark)

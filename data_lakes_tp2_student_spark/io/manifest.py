@@ -90,6 +90,12 @@ class ConcurrentWriteConflict(RuntimeError):
     latest version."""
 
 
+class CheckConstraintViolation(ValueError):
+    """A commit (or ADD CONSTRAINT) found rows violating a CHECK
+    constraint. SQL CHECK semantics: NULL passes, only FALSE violates.
+    The commit wrote nothing — fix the data or drop the constraint."""
+
+
 class MergeCardinalityError(RuntimeError):
     """MERGE aborted: a single target row matched MORE THAN ONE source row
     that would modify it (update or delete) — the result would depend on
@@ -519,6 +525,14 @@ class ManifestTable:
         schema_json = df.schema.json()
         if base is ManifestTable._BASE_UNSET:
             base = self.latest_version()
+        # CHECK constraints validate the commit's INPUT rows before any
+        # data is written (one combined agg pass; zero cost when the
+        # table has no constraints). Retained files were validated by
+        # their own commits — new rows are the only unchecked surface.
+        base_cons = (
+            self._constraints_of(self._raw(base)) if base is not None else {}
+        )
+        self._validate_constraints(df, base_cons)
         _txn, new_files = self._write_txn(df, partition_by)
         # Every new file must sit in exactly the declared partition layout
         # (a mixed snapshot is unreadable: CONFLICTING_PARTITION_COLUMN_
@@ -556,8 +570,8 @@ class ManifestTable:
             if parent != base:
                 self._check_conflicts(action, remove_kind, touched, base, parent)
             table_schema = schema_json
-            if parent is not None and remove_kind != "all":
-                p_entry = self._raw(parent)
+            p_entry = self._raw(parent) if parent is not None else None
+            if p_entry is not None and remove_kind != "all":
                 # O(1) layout compatibility vs the parent COMMIT (each
                 # commit checked against its own parent, so the invariant
                 # holds across the whole retained chain) — review r6: a
@@ -569,6 +583,17 @@ class ManifestTable:
                         f", got {partition_by or []}"
                     )
                 table_schema = self._check_schema_compat(df.schema, p_entry)
+            if (
+                p_entry is not None
+                and self._constraints_of(p_entry) != base_cons
+            ):
+                # the input was validated against base's constraint set; a
+                # concurrently added/dropped constraint cannot be rebased
+                # over (the new rows were never checked against it)
+                raise ConcurrentWriteConflict(
+                    f"{action} based on version {base} conflicts with a "
+                    f"concurrent constraint change at v{parent} — re-run"
+                )
             entry = {
                 "version": (parent if parent is not None else -1) + 1,
                 "parent": parent,
@@ -580,6 +605,8 @@ class ManifestTable:
                 "remove": remove,
                 "committed_at": time.time(),
             }
+            if base_cons:
+                entry["constraints"] = base_cons
             if self._publish(entry):
                 v = entry["version"]
                 if (
@@ -630,6 +657,112 @@ class ManifestTable:
         land; a concurrent commit touching the SAME partition aborts
         this commit with ConcurrentWriteConflict (VERDICT r6 item 1a)."""
         return self._commit(df, partition_by, "replace_partitions", "partitions")
+
+    # ---------- CHECK constraints (round 8, Delta ADD CONSTRAINT) ----------
+
+    @staticmethod
+    def _constraints_of(entry: dict) -> dict:
+        """The cumulative {name: sql} CHECK-constraint map carried by a
+        log entry (absent pre-round-8 entries → none)."""
+        return entry.get("constraints") or {}
+
+    def constraints(self) -> dict:
+        """The CHECK constraints active at the current latest version."""
+        latest = self.latest_version()
+        return {} if latest is None else self._constraints_of(self._raw(latest))
+
+    @staticmethod
+    def _validate_constraints(df: DataFrame, cons: dict) -> None:
+        """One combined agg pass flagging any row where a constraint
+        evaluates FALSE (NULL passes — SQL CHECK). Raises naming every
+        violated constraint; does nothing when `cons` is empty."""
+        if not cons:
+            return
+        names = sorted(cons)
+        checks = [
+            F.max(
+                (
+                    F.coalesce(F.expr(cons[n]).cast("boolean"), F.lit(True))
+                    == F.lit(False)
+                ).cast("int")
+            ).alias(f"__c{i}")
+            for i, n in enumerate(names)
+        ]
+        row = df.agg(*checks).collect()[0]
+        violated = [n for i, n in enumerate(names) if row[i] == 1]
+        if violated:
+            raise CheckConstraintViolation(
+                "commit violates CHECK constraint(s): "
+                + ", ".join(f"{n} ({cons[n]})" for n in violated)
+            )
+
+    def add_check_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr) — Delta
+        semantics: the ENTIRE current table must already satisfy `expr`
+        (one scan, the only data this op reads), then a METADATA-ONLY
+        commit records it; every later commit validates its new rows in
+        a single extra agg pass (retained files need no re-check — their
+        commits validated them). Aborts with ConcurrentWriteConflict if
+        any commit lands between the validation scan and the publish (a
+        racer could have appended violating rows)."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        p_entry = self._raw(latest)
+        cons = dict(self._constraints_of(p_entry))
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
+        self._validate_constraints(self.read(spark, version=latest), {name: expr})
+        cons[name] = expr
+        return self._commit_metadata(latest, p_entry, "add_constraint", cons)
+
+    def drop_check_constraint(self, name: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT — metadata-only; unknown names
+        raise (a silent no-op would mask a typo'd drop before a load of
+        bad data)."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        p_entry = self._raw(latest)
+        cons = dict(self._constraints_of(p_entry))
+        if name not in cons:
+            raise ValueError(
+                f"no constraint named {name!r} (have: {sorted(cons) or 'none'})"
+            )
+        del cons[name]
+        return self._commit_metadata(latest, p_entry, "drop_constraint", cons)
+
+    def _commit_metadata(
+        self, base: int, base_entry: dict, action: str, cons: dict
+    ) -> int:
+        """Publish a files-unchanged metadata commit (constraint add/
+        drop). Conservative with respect to races: ADD was validated
+        against snapshot `base`, so ANY intervening commit aborts it
+        (its rows were never checked); DROP shares the path for
+        simplicity — both are instant retries."""
+        for _ in range(20):
+            parent = self.latest_version()
+            if parent != base:
+                raise ConcurrentWriteConflict(
+                    f"{action} validated against version {base} but v{parent} "
+                    f"landed concurrently — re-run against the new snapshot"
+                )
+            entry = {
+                "version": parent + 1,
+                "parent": parent,
+                "action": action,
+                "partition_by": base_entry.get("partition_by") or [],
+                "schema": base_entry["schema"],
+                "table_schema": self._table_schema_of(base_entry),
+                "add": [],
+                "remove": {"kind": "none"},
+                "committed_at": time.time(),
+            }
+            if cons:
+                entry["constraints"] = cons
+            if self._publish(entry):
+                return entry["version"]
+        raise RuntimeError(f"{action} lost the version race 20 times")
 
     # ---------- read ----------
 
@@ -1144,6 +1277,8 @@ class ManifestTable:
             "add": add + (extra_add or []),
             "remove": {"kind": "files", "values": sorted(removed_paths)},
         }
+        if self._constraints_of(p_entry):
+            entry_core["constraints"] = self._constraints_of(p_entry)
         for _ in range(20):
             parent = self.latest_version()
             if parent != base:
@@ -1226,9 +1361,13 @@ class ManifestTable:
             self.store.delete_txn_dir(txn)
             return latest
         part_by = m["partition_by"] or None
-        _txn2, new_files = self._write_txn(
-            apply_set(matched, cond).drop("_rel", "_pos"), part_by
+        updated = apply_set(matched, cond).drop("_rel", "_pos")
+        # the updated images are NEW rows — same constraint surface as a
+        # _commit write path (the CoW twin validates inside _commit)
+        self._validate_constraints(
+            updated, self._constraints_of(self._raw(latest))
         )
+        _txn2, new_files = self._write_txn(updated, part_by)
         hitset = set(hit)
         add = [
             dict(e, dv=list(e.get("dv", [])) + [dv_rel])
@@ -1269,7 +1408,10 @@ class ManifestTable:
         )
 
     def compact(
-        self, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        small_file_bytes: int | None = None,
     ) -> int:
         """Small-files compaction THROUGH the commit log: rewrite the
         latest snapshot into ~target-size files and commit as a new
@@ -1278,22 +1420,44 @@ class ManifestTable:
         txn dirs fold into one — readers switch atomically. Returns the
         new version. A commit landing between the snapshot read and the
         publish now ABORTS this compaction with ConcurrentWriteConflict
-        (round 7 — it used to clobber); just re-run it."""
+        (round 7 — it used to clobber); just re-run it.
+
+        With `small_file_bytes` set, compaction is FILE-SELECTIVE
+        (round 8 — Delta's OPTIMIZE shape): only files SMALLER than the
+        threshold, plus any file carrying a deletion vector (whose
+        deletes this rewrite materializes), are read and rewritten;
+        every other file carries over by reference in a `remove: files`
+        delta entry. This is the form that matters at 100 TB — a
+        streaming table's compaction cost becomes O(recent small files),
+        not O(table); the default full rewrite stays available for
+        re-binning an entire snapshot. Fewer than two candidates and no
+        DV → no-op (nothing to fold). Conflict semantics stay
+        conservative either way: any racing commit aborts the
+        compaction."""
         import math
 
         latest = self.latest_version()
         if latest is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         m = self.manifest(latest)
-        total = sum(
+
+        def size(e: dict) -> int:
             # size recorded at commit (round 8); backend stat only for
             # legacy entries that predate the `bytes` field
-            e["bytes"] if "bytes" in e else self.store.file_size(e["path"])
-            for e in m["files"]
-        )
-        n = max(1, math.ceil(total / target_file_bytes))
+            return e["bytes"] if "bytes" in e else self.store.file_size(e["path"])
+
         part_by = m["partition_by"] or None
-        df = self.read(spark, version=latest)
+        if small_file_bytes is None:
+            chosen = m["files"]
+            df = self.read(spark, version=latest)
+        else:
+            chosen = [
+                e for e in m["files"] if size(e) < small_file_bytes or e.get("dv")
+            ]
+            if len(chosen) < 2 and not any(e.get("dv") for e in chosen):
+                return latest
+            df = self._load_snapshot(spark, m, chosen)
+        n = max(1, math.ceil(sum(size(e) for e in chosen) / target_file_bytes))
         # On a partitioned table, hash-distribute BY the partition columns
         # so each value lands in one task → ~one file per partition; a
         # plain repartition(n) scatters every partition's rows across all
@@ -1304,7 +1468,16 @@ class ManifestTable:
         # the conflict gate must anchor there, not at _commit entry — a
         # commit landing between the read above and the publish would
         # otherwise be silently clobbered (ADVICE r7).
-        return self._commit(df, part_by, "compact", "all", base=latest)
+        if small_file_bytes is None:
+            return self._commit(df, part_by, "compact", "all", base=latest)
+        return self._commit(
+            df,
+            part_by,
+            "compact",
+            "files",
+            base=latest,
+            remove_paths=[e["path"] for e in chosen],
+        )
 
     def optimize_zorder(
         self,
@@ -1389,6 +1562,12 @@ class ManifestTable:
                 "remove": {"kind": "all"},
                 "committed_at": time.time(),
             }
+            # RESTORE republishes the target version's METADATA too
+            # (Delta restores schema and properties together): its
+            # constraint set comes back with its data — consistent, and
+            # never resurrects data violating a newer constraint.
+            if self._constraints_of(src):
+                entry["constraints"] = self._constraints_of(src)
             if self._publish(entry):
                 return entry["version"]
         raise RuntimeError("restore lost the version race 20 times")
@@ -1494,9 +1673,21 @@ class MergeBuilder:
         self._spark = spark
         self._source = source
         self._on = on
+        self._evolve = False
         self._matched: list[tuple] = []      # (kind, assigns, condition)
         self._not_matched: list[tuple] = []  # (values, condition)
         self._nms: list[tuple] = []          # (kind, assigns, condition)
+
+    def with_schema_evolution(self) -> "MergeBuilder":
+        """Delta `withSchemaEvolution()`: source columns absent from the
+        target become NEW table columns (add-only evolution — the same
+        commit-time contract appends already have). Pre-existing rows and
+        carried-over files read the new columns as NULL; `*_all` clauses
+        and explicit SET/VALUES may then assign them. Without this flag,
+        unknown source columns are simply not part of the merge and an
+        explicit assignment to an unknown column raises."""
+        self._evolve = True
+        return self
 
     # -- clause surface (each returns self for chaining) -------------------
 
@@ -1569,6 +1760,25 @@ class MergeBuilder:
         schema = StructType.fromJson(json.loads(t._table_schema_of(m)))
         tcols = [f.name for f in schema.fields]
         ttypes = {f.name: f.dataType for f in schema.fields}
+        if self._evolve:
+            for f in src.schema.fields:
+                if f.name not in ttypes and f.name not in reserved:
+                    tcols.append(f.name)
+                    ttypes[f.name] = f.dataType
+        assigned = set()
+        for _kind, assigns, _cond in self._matched + self._nms:
+            if isinstance(assigns, dict):
+                assigned |= set(assigns)
+        for values, _cond in self._not_matched:
+            if isinstance(values, dict):
+                assigned |= set(values)
+        unknown = assigned - set(tcols)
+        if unknown:
+            raise ValueError(
+                f"merge assigns unknown column(s) {sorted(unknown)} — not in "
+                f"the table schema (use with_schema_evolution() for new "
+                f"source columns)"
+            )
         on = F.expr(self._on) if isinstance(self._on, str) else self._on
         prov = t._read_with_provenance(spark, m)
 
@@ -1612,7 +1822,16 @@ class MergeBuilder:
         part_by = m["partition_by"] or None
         rewritten = None
         if hit_rels:
-            hit_tgt = prov.filter(F.col("_rel").isin(hit_rels)).alias("t")
+            # Load ONLY the touched files for the rewrite (their DVs still
+            # apply). A filter on `_rel` over the full snapshot would scan
+            # every file — `_rel` derives from _metadata.file_path, which
+            # the parquet source cannot prune on; restricting the ENTRY
+            # LIST is what makes pass 2 O(touched files) at 100 TB.
+            hit_set = set(hit_rels)
+            hit_entries = [e for e in m["files"] if e["path"] in hit_set]
+            hit_tgt = t._load_snapshot(
+                spark, m, hit_entries, provenance=True
+            ).alias("t")
             srcm = src.withColumn("__merge_src", F.lit(True)).alias("s")
             joined = hit_tgt.join(srcm, on, "left")
             matched = F.col("__merge_src").isNotNull()
@@ -1627,15 +1846,41 @@ class MergeBuilder:
             for i, g, _kind, _assigns in guards:
                 chain = F.when(g, F.lit(i)) if chain is None else chain.when(g, F.lit(i))
             with_act = joined.withColumn("__merge_act", chain.otherwise(F.lit(-1)))
+            # A target row can match SEVERAL source rows of which at most
+            # one fires (the cardinality gate bounds firing pairs, not
+            # matching pairs) — without this reduction each non-firing
+            # pair would emit a pass-through COPY of the row. Keep exactly
+            # one pair per target row, preferring the firing one.
+            from pyspark.sql.window import Window
+
+            rn = F.row_number().over(
+                Window.partitionBy("_rel", "_pos").orderBy(
+                    F.when(F.col("__merge_act") == -1, F.lit(2**31)).otherwise(
+                        F.col("__merge_act")
+                    )
+                )
+            )
+            with_act = (
+                with_act.withColumn("__merge_rn", rn)
+                .filter(F.col("__merge_rn") == 1)
+                .drop("__merge_rn")
+            )
             del_idx = [i for i, _g, kind, _a in guards if kind == "delete"]
             kept = (
                 with_act.filter(~F.col("__merge_act").isin(del_idx))
                 if del_idx
                 else with_act
             )
+            orig = {f.name for f in schema.fields}
             out_cols = []
             for c in tcols:
-                expr = F.col(f"t.`{c}`")
+                # evolved columns have no target side yet: pre-existing
+                # rows read them as NULL (add-only evolution contract)
+                expr = (
+                    F.col(f"t.`{c}`")
+                    if c in orig
+                    else F.lit(None).cast(ttypes[c])
+                )
                 for i, _g, kind, assigns in guards:
                     if kind != "update":
                         continue

@@ -1546,3 +1546,182 @@ def test_plain_read_plan_unchanged_by_dv_support(spark, tab):
     tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
     plan = tab.read(spark)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "file_path" not in plan
+
+
+# --- round-8: file-selective compaction (Delta OPTIMIZE shape) -------------
+
+
+def test_selective_compact_folds_only_small_files(spark, tab):
+    """compact(small_file_bytes=...) rewrites ONLY sub-threshold files;
+    the big file's entry carries over by reference (same path) and the
+    table reads back identically."""
+    big = [(i, f"v{i}", "d1") for i in range(500)]
+    tab.commit_overwrite(_df(spark, big))
+    tab.commit_append(_df(spark, [(1001, "a", "d1")]))
+    tab.commit_append(_df(spark, [(1002, "b", "d1")]))
+    tab.commit_append(_df(spark, [(1003, "c", "d1")]))
+    m = tab.manifest(tab.latest_version())
+    sizes = sorted(e["bytes"] for e in m["files"])
+    assert sizes[-1] > sizes[0]  # the 500-row file is the biggest
+    big_paths = {e["path"] for e in m["files"] if e["bytes"] == sizes[-1]}
+    before = tab.read(spark).count()
+    v = tab.compact(spark, small_file_bytes=sizes[-1])
+    after = tab.manifest(v)
+    # big file(s) carried by reference; small ones folded away
+    assert big_paths <= {e["path"] for e in after["files"]}
+    assert len(after["files"]) < len(m["files"])
+    removed = set(tab._raw(v)["remove"]["values"])
+    assert removed and not (removed & big_paths)
+    assert tab.read(spark).count() == before
+
+
+def test_selective_compact_materializes_deletion_vectors(spark, tab):
+    """A file carrying a DV is a compaction candidate REGARDLESS of size:
+    the rewrite folds the surviving rows in and the new version carries
+    no dv references — merge-on-read debt paid down."""
+    tab.commit_overwrite(_df(spark, [(i, f"v{i}", "d1") for i in range(300)]))
+    tab.delete_where(spark, "id % 3 = 0", mode="dv")
+    m = tab.manifest(tab.latest_version())
+    assert any(e.get("dv") for e in m["files"])
+    v = tab.compact(spark, small_file_bytes=1)  # size excludes everything...
+    after = tab.manifest(v)  # ...but the DV'd file still rewrites
+    assert not any(e.get("dv") for e in after["files"])
+    assert sorted(r.id for r in tab.read(spark).collect()) == sorted(
+        i for i in range(300) if i % 3 != 0
+    )
+
+
+def test_selective_compact_noop_when_nothing_to_fold(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    v0 = tab.latest_version()
+    assert tab.compact(spark, small_file_bytes=1) == v0  # no small, no DV
+    assert tab.versions()[-1] == v0
+
+
+def test_selective_compact_partitioned_keeps_layout(spark, tab):
+    """Selective compaction on a partitioned table: candidates rewrite
+    INTO the partition layout; cross-partition reads stay exact."""
+    tab.commit_overwrite(
+        _df(spark, [(1, "a", "d1"), (2, "b", "d2")]), partition_by=["day"]
+    )
+    tab.commit_append(_df(spark, [(3, "c", "d1")]), partition_by=["day"])
+    tab.commit_append(_df(spark, [(4, "d", "d2")]), partition_by=["day"])
+    v = tab.compact(spark, small_file_bytes=10**9)  # everything is small
+    got = tab.read(spark, partition_filter={"day": ["d1"]})
+    assert sorted((r.id, r.day) for r in got.collect()) == [(1, "d1"), (3, "d1")]
+    assert rows(tab.read(spark)) == [
+        (1, "a", "d1"), (2, "b", "d2"), (3, "c", "d1"), (4, "d", "d2")
+    ]
+
+
+# --- round-8: CHECK constraints (Delta ADD CONSTRAINT) ---------------------
+
+
+from data_lakes_tp2_student_spark.io.manifest import CheckConstraintViolation
+
+
+def test_add_constraint_validates_existing_data(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (-5, "bad", "d1")]))
+    with pytest.raises(CheckConstraintViolation, match="id_positive"):
+        tab.add_check_constraint(spark, "id_positive", "id > 0")
+    assert tab.latest_version() == 0  # nothing committed
+    assert tab.constraints() == {}
+
+
+def test_constraint_gates_every_later_commit(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    v = tab.add_check_constraint(spark, "id_positive", "id > 0")
+    assert v == 1 and tab.constraints() == {"id_positive": "id > 0"}
+    # the metadata commit kept the snapshot readable
+    assert rows(tab.read(spark)) == [(1, "a", "d1")]
+    with pytest.raises(CheckConstraintViolation, match="id_positive"):
+        tab.commit_append(_df(spark, [(-2, "bad", "d1")]))
+    assert tab.latest_version() == 1  # failed commit wrote nothing
+    tab.commit_append(_df(spark, [(2, "ok", "d1")]))  # valid rows land
+    assert (2, "ok", "d1") in rows(tab.read(spark))
+    # NULL passes (SQL CHECK semantics)
+    tab.commit_append(
+        spark.createDataFrame([(None, "n", "d1")], "id int, v string, day string")
+    )
+    assert tab.latest_version() == 3
+
+
+def test_constraint_gates_update_paths_both_modes(spark, tab):
+    """UPDATE producing violating images must abort in BOTH physical
+    modes (CoW rides _commit; DV validates its fresh appended file)."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d1")]))
+    tab.add_check_constraint(spark, "id_positive", "id > 0")
+    for mode in ("cow", "dv"):
+        with pytest.raises(CheckConstraintViolation):
+            tab.update_where(spark, "id = 1", {"id": "-9"}, mode=mode)
+    assert sorted(r.id for r in tab.read(spark).collect()) == [1, 2]
+    # a valid update still lands in both modes
+    tab.update_where(spark, "id = 1", {"id": "10"}, mode="cow")
+    tab.update_where(spark, "id = 2", {"id": "20"}, mode="dv")
+    assert sorted(r.id for r in tab.read(spark).collect()) == [10, 20]
+
+
+def test_constraint_gates_merge(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    tab.add_check_constraint(spark, "v_nonempty", "length(v) > 0")
+    src = spark.createDataFrame([(1, "")], "sid int, sv string")
+    with pytest.raises(CheckConstraintViolation):
+        tab.merge(spark, src, "t.id = s.sid").when_matched_update(
+            set={"v": "s.sv"}
+        ).execute()
+    assert rows(tab.read(spark)) == [(1, "a", "d1")]
+
+
+def test_drop_constraint_reopens_and_guards_typos(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    tab.add_check_constraint(spark, "id_positive", "id > 0")
+    with pytest.raises(ValueError, match="already exists"):
+        tab.add_check_constraint(spark, "id_positive", "id > 10")
+    with pytest.raises(ValueError, match="no constraint named"):
+        tab.drop_check_constraint("id_positve")  # typo'd
+    tab.drop_check_constraint("id_positive")
+    assert tab.constraints() == {}
+    tab.commit_append(_df(spark, [(-7, "now ok", "d1")]))
+    assert (-7, "now ok", "d1") in rows(tab.read(spark))
+
+
+def test_constraints_survive_dv_commits_and_restore(spark, tab):
+    """DV delete commits and RESTORE both republish metadata — neither
+    may silently drop the constraint map; restore brings back the
+    restored version's set (Delta restores properties with data)."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d1")]))
+    v_add = tab.add_check_constraint(spark, "id_positive", "id > 0")
+    tab.delete_where(spark, "id = 2", mode="dv")
+    assert tab.constraints() == {"id_positive": "id > 0"}  # carried by _commit_dv
+    with pytest.raises(CheckConstraintViolation):
+        tab.commit_append(_df(spark, [(-1, "x", "d1")]))
+    # restore to BEFORE the constraint existed -> constraint gone with it
+    tab.restore(0)
+    assert tab.constraints() == {}
+    tab.commit_append(_df(spark, [(-1, "x", "d1")]))  # now allowed
+    # and restoring the constrained version brings the constraint back
+    tab.restore(v_add)
+    assert tab.constraints() == {"id_positive": "id > 0"}
+
+
+def test_add_constraint_racing_commit_aborts(spark, tab):
+    """A commit landing between ADD CONSTRAINT's validation scan and its
+    publish aborts the add — the racer's rows were never checked."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    real_publish = tab._publish
+    fired = {"done": False}
+
+    def racing_publish(entry):
+        if not fired["done"]:
+            fired["done"] = True
+            tab.clone().commit_append(_df(spark, [(-3, "racer", "d1")]))
+        return real_publish(entry)
+
+    tab._publish = racing_publish
+    try:
+        with pytest.raises(ConcurrentWriteConflict, match="constraint|landed"):
+            tab.add_check_constraint(spark, "id_positive", "id > 0")
+    finally:
+        tab._publish = real_publish
+    assert tab.constraints() == {}
+    assert (-3, "racer", "d1") in rows(tab.read(spark))

@@ -254,3 +254,98 @@ def test_merge_on_empty_table_raises(spark, tmp_path):
         empty.merge(
             spark, _df(spark, [(1, "a", "d1")]), "t.id = s.id"
         ).when_matched_delete().execute()
+
+
+def test_merge_rewrite_phase_loads_only_touched_files(spark, tab, monkeypatch):
+    """Pass 2's rewrite must LOAD only the touched file entries — not
+    scan the snapshot and filter on `_rel` (a metadata-derived column
+    the parquet source cannot prune on). Asserted by recording every
+    entry list _load_snapshot receives."""
+    tab.commit_overwrite(_df(spark, BASE), partition_by=["day"])
+    calls = []
+    real = type(tab)._load_snapshot
+
+    def spying(self, spark_, m, files, provenance=False):
+        calls.append([e["path"] for e in files])
+        return real(self, spark_, m, files, provenance)
+
+    monkeypatch.setattr(type(tab), "_load_snapshot", spying)
+    (
+        tab.merge(spark, _src(spark, [(1, "A!", "U")]), "t.id = s.sid")
+        .when_matched_update(set={"v": "s.sv"})
+        .execute()
+    )
+    all_files = {e["path"] for e in tab.manifest(0)["files"]}
+    removed = set(tab._raw(tab.latest_version())["remove"]["values"])
+    # some call saw a PROPER SUBSET (the touched files); d2/d3 files
+    # were never in any rewrite-phase load
+    assert removed in [set(c) for c in calls]
+    assert removed < all_files
+
+
+def test_merge_schema_evolution(spark, tab):
+    """with_schema_evolution(): a new source column becomes a table
+    column; matched rows take the source value, untouched/carried rows
+    read NULL — and a later plain read returns the evolved schema."""
+    tab.commit_overwrite(_df(spark, BASE), partition_by=["day"])
+    src = spark.createDataFrame(
+        [(1, "A!", 0.9)], "sid int, sv string, score double"
+    )
+    (
+        tab.merge(spark, src, "t.id = s.sid")
+        .with_schema_evolution()
+        .when_matched_update(set={"v": "s.sv", "score": "s.score"})
+        .execute()
+    )
+    got = {r.id: (r.v, r.score) for r in tab.read(spark).collect()}
+    assert got[1] == ("A!", 0.9)
+    # rows in untouched files AND unmatched rows in rewritten files: NULL
+    assert got[2][1] is None and got[3][1] is None and got[4][1] is None
+
+
+def test_merge_insert_all_evolution(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    src = spark.createDataFrame(
+        [(9, "n", "d9", 5)], "id int, v string, day string, extra int"
+    )
+    (
+        tab.merge(spark, src, "t.id = s.id")
+        .with_schema_evolution()
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    got = {r.id: r.extra for r in tab.read(spark).collect()}
+    assert got == {1: None, 9: 5}
+
+
+def test_merge_unknown_assignment_raises_without_evolution(spark, tab):
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    src = spark.createDataFrame([(1, 0.5)], "sid int, score double")
+    with pytest.raises(ValueError, match="unknown column.*schema_evolution"):
+        tab.merge(spark, src, "t.id = s.sid").when_matched_update(
+            set={"score": "s.score"}
+        ).execute()
+
+
+def test_multi_match_single_fire_no_duplicate_rows(spark, tab):
+    """THE subtle pair-explosion case: a target row matching TWO source
+    rows where only ONE fires must emit exactly one (updated) output row
+    — and matching two NON-firing pairs in a hit file must emit exactly
+    one pass-through copy (review r8: the left join emits one row per
+    PAIR; without the per-target-row reduction both cases duplicated)."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d1")]))
+    src = _src(
+        spark,
+        [
+            (1, "X", "U"),   # fires on id=1
+            (1, "y", "N"),   # matches id=1, does NOT fire
+            (2, "p", "N"),   # two non-firing matches for id=2 ...
+            (2, "q", "N"),   # ... in a file hit via id=1
+        ],
+    )
+    (
+        tab.merge(spark, src, "t.id = s.sid")
+        .when_matched_update(set={"v": "s.sv"}, condition="s.op = 'U'")
+        .execute()
+    )
+    assert rows(tab.read(spark)) == [(1, "X", "d1"), (2, "b", "d1")]

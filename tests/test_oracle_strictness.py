@@ -187,6 +187,11 @@ _VALUE_MUTATIONS = {
     "i13_stream_cdc_merge": (
         "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
     ),
+    # CHECK constraints: the nudge proves the gate constrains the final
+    # state of the add-constraint -> rejected-append -> valid-append chain
+    "x64_check_constraint": (
+        "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
+    ),
 }
 
 
