@@ -393,3 +393,52 @@ def i13_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream_cdc_merge(spark, table, stage, cdc_schema, "o_orderkey")
     return table.read(spark)
+
+
+@register("i14_stream_lake_source", oracle="SELECT * FROM orders")
+def i14_stream_lake_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i14 — the manifest table as a streaming SOURCE (round 8, the
+    readStream half of the lakehouse contract; i9/i13 are the write
+    half): orders lands in the table as an initial snapshot plus two
+    append commits, and `spark.readStream.format("manifest_stream")`
+    (streaming/source.py — Spark 4 Python Data Source API, offsets =
+    commit versions) drains it into a memory sink. The hash match vs
+    plain orders proves the source delivered every committed row exactly
+    once across the initial-load batch and the incremental append
+    batches — the subscribe-to-the-table form that replaces the
+    reference's re-read-the-bucket polling (build/unpack_to_raw.py:57).
+
+    Scale shape: offset resolution is O(Δ versions) driver-side JSON;
+    each data file is one input partition read as Arrow batches
+    executor-side — file-per-task parallelism, no driver materialization."""
+    import hashlib
+    import shutil
+
+    from ..io.manifest import ManifestTable
+    from ..streaming.source import ManifestStreamDataSource
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    dest = os.path.join(_TMP, f"i14_lake_{tag}")
+    shutil.rmtree(dest, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders")
+    table = ManifestTable(dest)
+    table.commit_overwrite(orders.filter(F.col("o_orderkey") % 3 == 0))
+    table.commit_append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    table.commit_append(orders.filter(F.col("o_orderkey") % 3 == 2))
+
+    spark.dataSource.register(ManifestStreamDataSource)
+    name = f"i14_sink_{tag}"
+    q = (
+        spark.readStream.format("manifest_stream")
+        .option("path", dest)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,150 @@
+"""The manifest table as a Structured Streaming SOURCE (round 8).
+
+Delta parity: `spark.readStream.format("delta")` turns a lake table into
+an unbounded stream of its committed appends. This module gives the
+manifest table the same role through Spark 4's Python Data Source API
+(SPARK-44076, public): offsets ARE commit versions, each micro-batch is
+exactly the data files ADDED by versions (start, end], and every file is
+one input partition — so the read parallelizes file-per-task like any
+parquet scan, and the exactly-once contract falls out of the offset log
+(Spark checkpoints the last processed version; a restart resumes from
+it; replays re-read the same immutable files).
+
+Change commits (overwrite / row-level delete-update / merge /
+replace_partitions / compact / restore) REWRITE data, which an
+append-only stream cannot represent — they fail the stream loudly, or
+are skipped wholesale with `skipChangeCommits=true` (streaming only
+later appends), exactly Delta's knob of the same name. Version 0 is the
+initial snapshot and always streams (Delta's initial load). Metadata-only
+commits (constraint add/drop) stream nothing and are skipped silently.
+
+Reference tie-in: the reference has no streaming at all — its closest
+notion is re-reading the clobbered bucket CSV (build/unpack_to_raw.py:57);
+this is the subscribe-to-the-table form that replaces that polling.
+
+Scale shape: offset resolution and partition planning are driver-side
+O(Δ versions) metadata ops on the JSON log; the data path is
+file-per-partition pyarrow batch reads (Arrow all the way into Spark),
+no driver materialization. The local LogStore serves files in place;
+object-store tables stream through the store's immutable-file cache.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+# actions whose entries only ADD data relative to their parent — safe for
+# an append-only stream. Everything else rewrites (or rolls back) rows.
+_APPEND_ACTIONS = {"append"}
+# metadata-only actions: no data motion either way; skipped silently
+_METADATA_ACTIONS = {"add_constraint", "drop_constraint"}
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class ManifestStreamReader(DataSourceStreamReader):
+    """Versions are offsets: {"version": N} means commits 0..N consumed."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._root = options["path"]
+        self._skip_changes = str(
+            options.get("skipchangecommits", "false")
+        ).lower() in ("true", "1")
+        from ..io.manifest import ManifestTable
+
+        self._table = ManifestTable(self._root)
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        latest = self._table.latest_version()
+        return {"version": -1 if latest is None else latest}
+
+    def partitions(self, start: dict, end: dict):
+        parts: list[_FilePartition] = []
+        rels: list[str] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            entry = self._table._raw(v)
+            action = entry.get("action", "?")
+            adds, remove = self._table._entry_delta(entry)
+            if v > 0 and action not in _APPEND_ACTIONS:
+                if action in _METADATA_ACTIONS or not (
+                    adds or remove.get("kind") not in (None, "none")
+                ):
+                    continue  # nothing moved — nothing to stream
+                if self._skip_changes:
+                    continue  # Delta's skipChangeCommits: drop the rewrite
+                raise ValueError(
+                    f"manifest stream at {self._root}: version {v} is a "
+                    f"data-changing commit ({action}) — an append-only "
+                    f"stream cannot represent it. Set skipChangeCommits="
+                    f"true to stream only appends, or consume "
+                    f"changes_since() for CDC semantics."
+                )
+            rels.extend(e["path"] for e in adds)
+        if rels:
+            _base, paths = self._table.store.resolve_read(rels)
+            parts = [_FilePartition(p) for p in paths]
+        return parts
+
+    def read(self, partition: _FilePartition):
+        """Executor-side: one parquet file → arrow batches projected to
+        the stream schema (older files may predate evolved columns —
+        pad with typed nulls; add-only evolution guarantees no column
+        ever narrows)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        want = to_arrow_schema(self._schema)
+        table = pq.read_table(partition.path)
+        cols = []
+        for field in want:
+            if field.name in table.column_names:
+                cols.append(table[field.name].cast(field.type))
+            else:
+                cols.append(pa.nulls(len(table), field.type))
+        out = pa.table(dict(zip(want.names, cols)), schema=want)
+        for batch in out.to_batches():
+            yield batch
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in Spark's offset checkpoint
+
+
+class ManifestStreamDataSource(DataSource):
+    """`spark.dataSource.register(ManifestStreamDataSource)` then
+    `spark.readStream.format("manifest_stream").option("path", root)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_stream"
+
+    def schema(self) -> StructType:
+        from ..io.manifest import ManifestTable
+
+        table = ManifestTable(self.options["path"])
+        latest = table.latest_version()
+        if latest is None:
+            raise FileNotFoundError(
+                f"no committed version at {self.options['path']}"
+            )
+        return StructType.fromJson(
+            json.loads(table._table_schema_of(table._raw(latest)))
+        )
+
+    def streamReader(self, schema: StructType) -> ManifestStreamReader:
+        return ManifestStreamReader(schema, dict(self.options))

@@ -192,6 +192,11 @@ _VALUE_MUTATIONS = {
     "x64_check_constraint": (
         "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
     ),
+    # the manifest STREAMING SOURCE: offsets->partitions->arrow read path;
+    # the nudge proves the gate constrains the streamed row values
+    "i14_stream_lake_source": (
+        "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
+    ),
 }
 
 

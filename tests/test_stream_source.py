@@ -1,0 +1,162 @@
+"""The manifest table as a streaming SOURCE (streaming/source.py, r8).
+
+Contract: offsets are commit versions; the initial snapshot (v0) streams,
+each later append streams exactly its added files, change commits fail
+loudly (or are skipped with skipChangeCommits), checkpointed restarts
+resume from the last processed version, and evolved-schema tables pad
+pre-evolution files with NULLs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_lakes_tp2_student_spark.io.manifest import ManifestTable
+from data_lakes_tp2_student_spark.streaming.source import ManifestStreamDataSource
+
+from .test_manifest import _df
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(ManifestStreamDataSource)
+
+
+def _rows(spark, query_name):
+    return sorted(
+        (r.id, r.v, r.day)
+        for r in spark.sql(f"SELECT * FROM {query_name}").collect()
+    )
+
+
+def _start(spark, root, name, ckpt=None, **opts):
+    reader = spark.readStream.format("manifest_stream").option("path", root)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    w = reader.load().writeStream.format("memory").queryName(name).outputMode("append")
+    if ckpt:
+        w = w.option("checkpointLocation", ckpt)
+    return w.start()
+
+
+def test_initial_snapshot_then_incremental_appends(spark, tmp_path):
+    root = str(tmp_path / "tab")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))  # v0: initial load
+    tab.commit_append(_df(spark, [(2, "b", "d1")]))
+    q = _start(spark, root, "src_inc")
+    try:
+        q.processAllAvailable()
+        assert _rows(spark, "src_inc") == [(1, "a", "d1"), (2, "b", "d1")]
+        # a commit landing WHILE the stream runs arrives incrementally
+        tab.commit_append(_df(spark, [(3, "c", "d2")]))
+        q.processAllAvailable()
+        assert _rows(spark, "src_inc") == [
+            (1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")
+        ]
+    finally:
+        q.stop()
+
+
+def test_change_commit_fails_stream_loudly(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    root = str(tmp_path / "tab")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d1")]))
+    tab.delete_where(spark, "id = 2")  # v1 rewrites a file
+    q = _start(spark, root, "src_chg")
+    try:
+        with pytest.raises(StreamingQueryException, match="data-changing|append-only"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_skip_change_commits_streams_only_appends(spark, tmp_path):
+    root = str(tmp_path / "tab")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d1")]))
+    tab.delete_where(spark, "id = 2")          # change commit: skipped
+    tab.commit_append(_df(spark, [(3, "c", "d2")]))  # append: streamed
+    q = _start(spark, root, "src_skip", skipChangeCommits="true")
+    try:
+        q.processAllAvailable()
+        # the delete's rewrite is NOT re-streamed (so id=2 from v0 stays,
+        # id=1's rewritten copy is not duplicated) — Delta's contract
+        assert _rows(spark, "src_skip") == [
+            (1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")
+        ]
+    finally:
+        q.stop()
+
+
+def test_metadata_commits_stream_nothing(spark, tmp_path):
+    root = str(tmp_path / "tab")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    tab.add_check_constraint(spark, "id_pos", "id > 0")
+    tab.commit_append(_df(spark, [(2, "b", "d1")]))
+    q = _start(spark, root, "src_meta")
+    try:
+        q.processAllAvailable()
+        assert _rows(spark, "src_meta") == [(1, "a", "d1"), (2, "b", "d1")]
+    finally:
+        q.stop()
+
+
+def test_checkpoint_restart_resumes_from_last_version(spark, tmp_path):
+    """foreachBatch sink (the memory sink cannot recover a checkpoint):
+    after a restart against the same checkpoint, ONLY versions committed
+    since the last processed offset stream."""
+    root = str(tmp_path / "tab")
+    ckpt = str(tmp_path / "ckpt")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    delivered = []
+
+    def run():
+        q = (
+            spark.readStream.format("manifest_stream")
+            .option("path", root)
+            .load()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda b, i: delivered.extend(
+                    (r.id, r.v, r.day) for r in b.collect()
+                )
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    assert sorted(delivered) == [(1, "a", "d1")]
+    tab.commit_append(_df(spark, [(2, "b", "d1")]))
+    delivered.clear()
+    run()  # restart with the SAME checkpoint: only the new version
+    assert sorted(delivered) == [(2, "b", "d1")]
+
+
+def test_evolved_schema_pads_old_files_with_null(spark, tmp_path):
+    root = str(tmp_path / "tab")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    evolved = spark.createDataFrame(
+        [(2, "b", "d1", 0.5)], "id int, v string, day string, score double"
+    )
+    tab.commit_append(evolved)
+    q = _start(spark, root, "src_evo")
+    try:
+        q.processAllAvailable()
+        got = {
+            r.id: r.score
+            for r in spark.sql("SELECT * FROM src_evo").collect()
+        }
+        assert got == {1: None, 2: 0.5}
+    finally:
+        q.stop()
