@@ -978,12 +978,15 @@ class ManifestTable:
         (update-all + insert-all), which makes the upsert FILE-SELECTIVE
         — only files containing matched keys rewrite; the rest of the
         snapshot carries over by reference, exactly like delete_where.
-        The pre-round-8 form rewrote the whole table every merge."""
-        if len(key_cols) != 1:
-            raise ValueError("merge_into currently supports a single key column")
-        k = key_cols[0]
+        The pre-round-8 form rewrote the whole table every merge (and
+        supported only a single key column; composite keys now join on
+        the conjunction, NULL-safely — a NULL key component never
+        matches, standard SQL join semantics)."""
+        if not key_cols:
+            raise ValueError("merge_into requires at least one key column")
+        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in key_cols)
         return (
-            self.merge(spark, source, f"t.`{k}` = s.`{k}`")
+            self.merge(spark, source, cond)
             .when_matched_update_all()
             .when_not_matched_insert_all()
             .execute()
@@ -1509,6 +1512,28 @@ class ManifestTable:
         # base=latest: anchor the conflict gate at the snapshot this
         # rewrite was derived from (ADVICE r7 — see compact).
         return self._commit(df, part_by, "optimize", "all", base=latest)
+
+    def describe_detail(self) -> dict:
+        """Delta `DESCRIBE DETAIL`: one dict of table-level facts derived
+        from the manifest alone (no data scan) — current version, file
+        count, total bytes, partition columns, constraint map, DV debt
+        (files carrying deletion vectors), and the commit timestamp."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        e = self._raw(latest)
+        files = self._snapshot_files(latest)
+        return {
+            "location": self.root,
+            "version": latest,
+            "num_files": len(files),
+            "size_bytes": sum(f.get("bytes", 0) for f in files),
+            "partition_columns": e.get("partition_by") or [],
+            "constraints": dict(self._constraints_of(e)),
+            "num_files_with_dv": sum(1 for f in files if f.get("dv")),
+            "last_commit_action": e.get("action"),
+            "last_commit_at": float(e["committed_at"]),
+        }
 
     def version_at(self, timestamp: float) -> int:
         """Timestamp-based time travel (Delta's TIMESTAMP AS OF): the

@@ -578,8 +578,15 @@ def test_merge_into_and_changes_since(spark, tab):
     changes = tab.changes_since(spark, 0, ["id"])
     got = {r.id: (r.change_type, r.v) for r in changes.collect()}
     assert got == {2: ("update_postimage", "B!"), 3: ("insert", "c")}
-    with pytest.raises(ValueError, match="single key"):
-        tab.merge_into(spark, _df(spark, [(9, "z", "d9")]), ["id", "day"])
+    # composite keys (round 8): (id, day) both match -> update; a row
+    # matching only one key component inserts
+    tab.merge_into(
+        spark, _df(spark, [(2, "B2", "d2"), (2, "other-day", "d9")]), ["id", "day"]
+    )
+    got = rows(tab.read(spark))
+    assert (2, "B2", "d2") in got and (2, "other-day", "d9") in got
+    with pytest.raises(ValueError, match="at least one key"):
+        tab.merge_into(spark, _df(spark, [(9, "z", "d9")]), [])
 
 
 # --- round-7: write-write conflict detection (VERDICT r6 item 1a) ----------
@@ -1725,3 +1732,18 @@ def test_add_constraint_racing_commit_aborts(spark, tab):
         tab._publish = real_publish
     assert tab.constraints() == {}
     assert (-3, "racer", "d1") in rows(tab.read(spark))
+
+
+def test_describe_detail(spark, tab):
+    tab.commit_overwrite(
+        _df(spark, [(1, "a", "d1"), (2, "b", "d2")]), partition_by=["day"]
+    )
+    tab.add_check_constraint(spark, "id_pos", "id > 0")
+    tab.delete_where(spark, "id = 2", mode="dv")
+    d = tab.describe_detail()
+    assert d["version"] == tab.latest_version()
+    assert d["num_files"] >= 1 and d["size_bytes"] > 0
+    assert d["partition_columns"] == ["day"]
+    assert d["constraints"] == {"id_pos": "id > 0"}
+    assert d["num_files_with_dv"] == 1
+    assert d["last_commit_action"] == "delete_dv"

@@ -101,6 +101,15 @@ def test_metadata_commits_stream_nothing(spark, tmp_path):
     try:
         q.processAllAvailable()
         assert _rows(spark, "src_meta") == [(1, "a", "d1"), (2, "b", "d1")]
+        # a MID-STREAM metadata commit produces an offset-advancing batch
+        # with ZERO partitions — must not wedge or error the query
+        tab.drop_check_constraint("id_pos")
+        q.processAllAvailable()
+        tab.commit_append(_df(spark, [(3, "c", "d2")]))
+        q.processAllAvailable()
+        assert _rows(spark, "src_meta") == [
+            (1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")
+        ]
     finally:
         q.stop()
 
