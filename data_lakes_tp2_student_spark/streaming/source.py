@@ -52,6 +52,34 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+def _open_table(options: dict):
+    """Construct the table from stream options. Local paths need only
+    `path`; an `s3://bucket/prefix` path builds an S3LogStore from the
+    `endpoint` / `access_key` / `secret_key` / `region` / `cache_dir`
+    options (the conditional-put log backend). NOTE: the S3 store reads
+    hydrate a driver-local file cache, so the S3-backed stream is a
+    single-node (local[N]) shape in this environment — a multi-node
+    cluster should read via s3a paths once the hadoop-aws jars exist
+    (the same boundary io/logstore.py documents for batch reads)."""
+    root = options["path"]
+    if root.startswith("s3://"):
+        from urllib.parse import urlparse
+
+        from ..io.logstore import S3LogStore
+        from ..io.manifest import ManifestTable
+
+        u = urlparse(root)
+        kw = {}
+        for opt in ("endpoint", "access_key", "secret_key", "region", "cache_dir"):
+            if opt in options:
+                kw[opt] = options[opt]
+        store = S3LogStore(u.netloc, u.path.lstrip("/"), **kw)
+        return ManifestTable(root, log_store=store)
+    from ..io.manifest import ManifestTable
+
+    return ManifestTable(root)
+
+
 class ManifestStreamReader(DataSourceStreamReader):
     """Versions are offsets: {"version": N} means commits 0..N consumed."""
 
@@ -61,9 +89,22 @@ class ManifestStreamReader(DataSourceStreamReader):
         self._skip_changes = str(
             options.get("skipchangecommits", "false")
         ).lower() in ("true", "1")
-        from ..io.manifest import ManifestTable
+        self._options = dict(options)
+        self._table_obj = None
 
-        self._table = ManifestTable(self._root)
+    @property
+    def _table(self):
+        if self._table_obj is None:
+            self._table_obj = _open_table(self._options)
+        return self._table_obj
+
+    def __getstate__(self):
+        # the reader is pickled to executors for read(); the table (and
+        # its S3 client, which holds thread locks) is DRIVER state —
+        # executors only ever touch partition.path
+        state = {k: v for k, v in self.__dict__.items() if k != "_table_obj"}
+        state["_table_obj"] = None
+        return state
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -134,9 +175,7 @@ class ManifestStreamDataSource(DataSource):
         return "manifest_stream"
 
     def schema(self) -> StructType:
-        from ..io.manifest import ManifestTable
-
-        table = ManifestTable(self.options["path"])
+        table = _open_table(dict(self.options))
         latest = table.latest_version()
         if latest is None:
             raise FileNotFoundError(

@@ -349,3 +349,19 @@ def test_multi_match_single_fire_no_duplicate_rows(spark, tab):
         .execute()
     )
     assert rows(tab.read(spark)) == [(1, "X", "d1"), (2, "b", "d1")]
+
+
+def test_column_typed_arguments(spark, tab):
+    """`on`, conditions, and SET values as Column objects (not SQL
+    strings) — both forms are first-class."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d1")]))
+    src = _src(spark, [(1, "X", "U"), (2, None, "D")])
+    (
+        tab.merge(spark, src, F.expr("t.id = s.sid"))
+        .when_matched_update(
+            set={"v": F.upper(F.col("s.sv"))}, condition=F.col("s.op") == "U"
+        )
+        .when_matched_delete(condition=F.col("s.op") == "D")
+        .execute()
+    )
+    assert rows(tab.read(spark)) == [(1, "X", "d1")]

@@ -169,3 +169,52 @@ def test_evolved_schema_pads_old_files_with_null(spark, tmp_path):
         assert got == {1: None, 2: 0.5}
     finally:
         q.stop()
+
+
+def test_s3_backed_table_streams(spark, tmp_path):
+    """The two round-8 flagships compose: a table whose log lives on S3
+    (conditional-put LogStore) streams through the same source — options
+    carry the store config since a stream cannot carry an object."""
+    pytest.importorskip("moto", reason="moto not installed")
+    import uuid
+
+    from .test_manifest import moto_endpoint as _fixture  # noqa: F401
+
+    from moto.server import ThreadedMotoServer
+
+    server = ThreadedMotoServer(port=0)
+    server.start()
+    try:
+        host, port = server.get_host_and_port()
+        endpoint = f"http://127.0.0.1:{port}"
+        from data_lakes_tp2_student_spark.io.logstore import S3LogStore
+
+        prefix = f"stream-{uuid.uuid4().hex[:8]}"
+        store = S3LogStore(
+            "lake", prefix, endpoint=endpoint, cache_dir=str(tmp_path / "cache")
+        )
+        try:
+            store.client.create_bucket(Bucket="lake")
+        except store.client.exceptions.ClientError:
+            pass
+        tab = ManifestTable(f"s3://lake/{prefix}", log_store=store)
+        tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+        tab.commit_append(_df(spark, [(2, "b", "d1")]))
+        q = (
+            spark.readStream.format("manifest_stream")
+            .option("path", f"s3://lake/{prefix}")
+            .option("endpoint", endpoint)
+            .option("cache_dir", str(tmp_path / "cache2"))
+            .load()
+            .writeStream.format("memory")
+            .queryName("src_s3")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert _rows(spark, "src_s3") == [(1, "a", "d1"), (2, "b", "d1")]
+        finally:
+            q.stop()
+    finally:
+        server.stop()
