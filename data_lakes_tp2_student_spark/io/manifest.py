@@ -525,15 +525,30 @@ class ManifestTable:
         schema_json = df.schema.json()
         if base is ManifestTable._BASE_UNSET:
             base = self.latest_version()
-        # CHECK constraints validate the commit's INPUT rows before any
-        # data is written (one combined agg pass; zero cost when the
-        # table has no constraints). Retained files were validated by
-        # their own commits — new rows are the only unchecked surface.
+        # CHECK constraints validate the commit's NEW rows (retained
+        # files were validated by their own commits). Validation reads
+        # the freshly WRITTEN files back rather than re-running the
+        # input plan: the written parquet is column-pruned to exactly
+        # the constraint columns (a MERGE's join would otherwise
+        # recompute in full), and a violation deletes the txn dir so
+        # the failed commit leaves nothing. Zero cost with no
+        # constraints.
         base_cons = (
             self._constraints_of(self._raw(base)) if base is not None else {}
         )
-        self._validate_constraints(df, base_cons)
         _txn, new_files = self._write_txn(df, partition_by)
+        if base_cons and new_files:
+            _b, paths = self.store.resolve_read(
+                [e["path"] for e in new_files]
+            )
+            try:
+                self._validate_constraints(
+                    df.sparkSession.read.option("basePath", _b).parquet(*paths),
+                    base_cons,
+                )
+            except CheckConstraintViolation:
+                self.store.delete_txn_dir(f"txn={_txn}")
+                raise
         # Every new file must sit in exactly the declared partition layout
         # (a mixed snapshot is unreadable: CONFLICTING_PARTITION_COLUMN_
         # NAMES — catch it at COMMIT time, not at every later read).

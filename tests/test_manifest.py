@@ -1641,9 +1641,13 @@ def test_constraint_gates_every_later_commit(spark, tab):
     assert v == 1 and tab.constraints() == {"id_positive": "id > 0"}
     # the metadata commit kept the snapshot readable
     assert rows(tab.read(spark)) == [(1, "a", "d1")]
+    dirs_before = sorted(tab.store.list_txn_dirs())
     with pytest.raises(CheckConstraintViolation, match="id_positive"):
         tab.commit_append(_df(spark, [(-2, "bad", "d1")]))
     assert tab.latest_version() == 1  # failed commit wrote nothing
+    # ...and cleaned its txn dir up (validation reads the written files
+    # back, so a violation must delete them rather than orphan them)
+    assert sorted(tab.store.list_txn_dirs()) == dirs_before
     tab.commit_append(_df(spark, [(2, "ok", "d1")]))  # valid rows land
     assert (2, "ok", "d1") in rows(tab.read(spark))
     # NULL passes (SQL CHECK semantics)
