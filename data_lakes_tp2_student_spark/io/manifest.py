@@ -1789,7 +1789,7 @@ class MergeBuilder:
         if not (self._matched or self._not_matched or self._nms):
             raise ValueError("MERGE requires at least one WHEN clause")
         t, spark, src = self._table, self._spark, self._source
-        reserved = {"_rel", "_pos", "__merge_src", "__merge_act"}
+        reserved = {"_rel", "_pos", "__merge_src", "__merge_act", "__merge_rn"}
         bad = reserved & set(src.columns)
         if bad:
             raise ValueError(f"source carries reserved merge columns {sorted(bad)}")
