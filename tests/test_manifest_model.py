@@ -10,7 +10,10 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from data_lakes_tp2_student_spark.io.manifest import ManifestTable
+from data_lakes_tp2_student_spark.io.manifest import (
+    CheckConstraintViolation,
+    ManifestTable,
+)
 
 
 @pytest.fixture(scope="module")
@@ -292,10 +295,13 @@ def test_full_lifecycle_random_sequences_match_model(spark, make_tab):
         tab = make_tab("lifecycle", checkpoint_interval=rng.choice([0, 2, 3, 5]))
         model: list = []
         snap: dict[int, list] = {}
+        cons_thresholds: dict[str, int] = {}  # name -> "id < thr" bound
         for _ in range(rng.randint(8, 12)):
             kind = rng.choice(
                 ["overwrite", "append", "replace", "restore", "compact",
-                 "vacuum", "delete", "update", "delete_dv", "update_dv"]
+                 "vacuum", "delete", "update", "delete_dv", "update_dv",
+                 "merge", "selective_compact", "add_constraint",
+                 "drop_constraint"]
             )
             if kind in ("overwrite", "append", "replace"):
                 rows_in = [
@@ -303,16 +309,29 @@ def test_full_lifecycle_random_sequences_match_model(spark, make_tab):
                     for _ in range(rng.randint(1, 4))
                 ]
                 df = spark.createDataFrame(rows_in, "id int, v string, day string")
-                if kind == "overwrite":
-                    v = tab.commit_overwrite(df, partition_by=["day"])
-                    model = list(rows_in)
-                elif kind == "append":
-                    v = tab.commit_append(df, partition_by=["day"])
-                    model = model + rows_in
-                else:
-                    v = tab.commit_replace_partitions(df, ["day"])
-                    touched = {r[2] for r in rows_in}
-                    model = [r for r in model if r[2] not in touched] + rows_in
+                # an active CHECK constraint may reject the batch — the
+                # abort is atomic (txn dir deleted, no version), so the
+                # model simply doesn't change (round 8)
+                try:
+                    if kind == "overwrite":
+                        v = tab.commit_overwrite(df, partition_by=["day"])
+                        model = list(rows_in)
+                    elif kind == "append":
+                        v = tab.commit_append(df, partition_by=["day"])
+                        model = model + rows_in
+                    else:
+                        v = tab.commit_replace_partitions(df, ["day"])
+                        touched = {r[2] for r in rows_in}
+                        model = [r for r in model if r[2] not in touched] + rows_in
+                except CheckConstraintViolation:
+                    # only possible when a constraint is active and some
+                    # row's id breaches its threshold
+                    assert any(
+                        r[0] >= thr
+                        for r in rows_in
+                        for thr in cons_thresholds.values()
+                    )
+                    continue
                 snap[v] = list(model)
             elif kind in ("delete", "delete_dv") and tab.versions() and model:
                 # row-level delete (round 8): CoW rewrite or merge-on-read
@@ -333,11 +352,82 @@ def test_full_lifecycle_random_sequences_match_model(spark, make_tab):
                     (r[0], "U" if r[0] >= thr else r[1], r[2]) for r in model
                 ]
                 snap[nv] = list(model)
+            elif kind == "merge" and tab.versions() and model:
+                # clause-level MERGE (round 8): key-unique source carrying
+                # updates, deletes, and an insert; duplicate TARGET ids all
+                # take the clause (one source row may touch many rows)
+                ids = sorted({r[0] for r in model})
+                u = [i for i in ids if rng.random() < 0.3][:3]
+                d = [i for i in ids if i not in u and rng.random() < 0.3][:3]
+                new_id = rng.randint(0, 25)
+                src_rows = (
+                    [(i, "M", None, "U") for i in u]
+                    + [(i, None, None, "D") for i in d]
+                    + ([(new_id, "I", rng.choice(days), "I")]
+                       if new_id not in u + d else [])
+                )
+                if not src_rows:
+                    continue
+                src = spark.createDataFrame(
+                    src_rows, "sid int, sv string, sday string, op string"
+                )
+                try:
+                    nv = (
+                        tab.merge(spark, src, "t.id = s.sid")
+                        .when_matched_update(
+                            set={"v": "s.sv"}, condition="s.op = 'U'"
+                        )
+                        .when_matched_delete(condition="s.op = 'D'")
+                        .when_not_matched_insert(
+                            values={"id": "s.sid", "v": "s.sv", "day": "s.sday"},
+                            condition="s.op = 'I'",
+                        )
+                        .execute()
+                    )
+                except CheckConstraintViolation:
+                    assert any(
+                        new_id >= thr for thr in cons_thresholds.values()
+                    )
+                    continue
+                model = [
+                    (r[0], "M" if r[0] in u else r[1], r[2])
+                    for r in model
+                    if r[0] not in d
+                ]
+                if new_id not in ids and new_id not in u + d:
+                    model = model + [(new_id, "I", src_rows[-1][2])]
+                snap[nv] = list(model)
+            elif kind == "add_constraint" and tab.versions():
+                thr = rng.randint(5, 25)
+                name = f"c{len(cons_thresholds)}_{thr}"
+                try:
+                    nv = tab.add_check_constraint(spark, name, f"id < {thr}")
+                    cons_thresholds[name] = thr
+                    snap[nv] = list(model)
+                except CheckConstraintViolation:
+                    # existing data already breaches the bound — rejected
+                    assert any(r[0] >= thr for r in model)
+            elif kind == "drop_constraint" and cons_thresholds:
+                name = rng.choice(sorted(cons_thresholds))
+                nv = tab.drop_check_constraint(name)
+                del cons_thresholds[name]
+                snap[nv] = list(model)
+            elif kind == "selective_compact" and tab.versions():
+                nv = tab.compact(
+                    spark, small_file_bytes=rng.choice([1, 10**9])
+                )
+                snap[nv] = list(model)
             elif kind == "restore" and tab.versions():
                 rv = rng.choice(tab.versions())
                 nv = tab.restore(rv)
                 model = list(snap[rv])
                 snap[nv] = list(model)
+                # RESTORE republishes the restored version's metadata —
+                # its constraint set comes back with it
+                cons_thresholds = {
+                    n: int(e.rsplit(" ", 1)[1])
+                    for n, e in tab.constraints().items()
+                }
             elif kind == "compact" and tab.versions():
                 nv = tab.compact(spark)
                 snap[nv] = list(model)
