@@ -90,6 +90,16 @@ class ManifestStreamReader(DataSourceStreamReader):
             options.get("skipchangecommits", "false")
         ).lower() in ("true", "1")
         self._options = dict(options)
+        # Delta's maxFilesPerTrigger analog at version granularity: caps
+        # how many COMMITS one micro-batch may span, pacing steady-state
+        # ingestion of a hot table. 0/absent = unbounded. The position is
+        # learned from partitions()/commit() callbacks, so the FIRST
+        # micro-batch of each run is uncapped (the API's latestOffset
+        # carries no start; a checkpointed restart's catch-up batch is
+        # therefore one read — bounded pacing resumes from the second
+        # trigger). Documented, honest limitation.
+        self._max_versions = int(options.get("maxversionspertrigger", 0))
+        self._position: int | None = None
         self._table_obj = None
 
     @property
@@ -111,9 +121,14 @@ class ManifestStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         latest = self._table.latest_version()
-        return {"version": -1 if latest is None else latest}
+        if latest is None:
+            return {"version": -1}
+        if self._max_versions > 0 and self._position is not None:
+            latest = min(latest, self._position + self._max_versions)
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
+        self._position = end["version"]
         parts: list[_FilePartition] = []
         rels: list[str] = []
         for v in range(start["version"] + 1, end["version"] + 1):
@@ -163,7 +178,9 @@ class ManifestStreamReader(DataSourceStreamReader):
             yield batch
 
     def commit(self, end: dict) -> None:
-        pass  # progress lives in Spark's offset checkpoint
+        # durable progress lives in Spark's offset checkpoint; remember
+        # the position locally for maxVersionsPerTrigger pacing
+        self._position = end["version"]
 
 
 class ManifestStreamDataSource(DataSource):

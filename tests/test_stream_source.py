@@ -218,3 +218,33 @@ def test_s3_backed_table_streams(spark, tmp_path):
             q.stop()
     finally:
         server.stop()
+
+
+def test_max_versions_per_trigger_paces_batches(spark, tmp_path):
+    """maxVersionsPerTrigger=1: commits landing while the stream runs
+    arrive as ONE micro-batch per version (steady-state pacing), not one
+    catch-up blob. (The first trigger of a run is uncapped — documented:
+    the API's latestOffset carries no start position.)"""
+    root = str(tmp_path / "tab")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    batches = []
+    q = (
+        spark.readStream.format("manifest_stream")
+        .option("path", root)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, i: batches.append(sorted(r.id for r in b.collect())))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert batches == [[1]]
+        for i in (2, 3, 4):
+            tab.commit_append(_df(spark, [(i, "x", "d1")]))
+        q.processAllAvailable()
+        # three versions -> three paced batches, in commit order
+        assert batches == [[1], [2], [3], [4]]
+    finally:
+        q.stop()
