@@ -117,7 +117,17 @@ class ManifestStreamReader(DataSourceStreamReader):
         return state
 
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        """Default: stream from the initial snapshot (version 0).
+        `startingVersion=N` starts at commit N instead (the escape hatch
+        for tables whose early log was vacuumed); `startingVersion=latest`
+        subscribes to FUTURE commits only (Delta's same-named option)."""
+        sv = self._options.get("startingversion")
+        if sv is None:
+            return {"version": -1}
+        if str(sv).lower() == "latest":
+            latest = self._table.latest_version()
+            return {"version": -1 if latest is None else latest}
+        return {"version": int(sv) - 1}
 
     def latestOffset(self) -> dict:
         latest = self._table.latest_version()

@@ -248,3 +248,27 @@ def test_max_versions_per_trigger_paces_batches(spark, tmp_path):
         assert batches == [[1], [2], [3], [4]]
     finally:
         q.stop()
+
+
+def test_starting_version_options(spark, tmp_path):
+    """startingVersion=N skips the earlier commits; =latest subscribes
+    to future commits only (Delta's same-named option)."""
+    root = str(tmp_path / "tab")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))   # v0
+    tab.commit_append(_df(spark, [(2, "b", "d1")]))      # v1
+    q = _start(spark, root, "src_sv1", startingVersion="1")
+    try:
+        q.processAllAvailable()
+        assert _rows(spark, "src_sv1") == [(2, "b", "d1")]  # v0 skipped
+    finally:
+        q.stop()
+    q = _start(spark, root, "src_svl", startingVersion="latest")
+    try:
+        q.processAllAvailable()
+        assert _rows(spark, "src_svl") == []  # nothing yet...
+        tab.commit_append(_df(spark, [(3, "c", "d2")]))
+        q.processAllAvailable()
+        assert _rows(spark, "src_svl") == [(3, "c", "d2")]  # ...future only
+    finally:
+        q.stop()
