@@ -442,3 +442,63 @@ def i14_stream_lake_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register("i15_stream_lake_sink", oracle="SELECT * FROM orders")
+def i15_stream_lake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i15 — the manifest table as a streaming SINK through the official
+    Data Source API (io/datasource.py:ManifestStreamWriter; i14 is the
+    source half — this query chains BOTH): orders lands in a source
+    table as v0 + two appends, `spark.readStream.format(
+    "manifest_stream")` drains it, and `writeStream.format("manifest")`
+    publishes each micro-batch as ONE atomic conflict-checked commit
+    into a second manifest table, with `txnAppId` recording Delta's txn
+    action per batch (a restarted stream skips any batchId the log
+    already holds — exactly-once over at-least-once redelivery). The
+    hash match vs plain orders proves the full loop — source offsets,
+    executor-staged Arrow writes, per-epoch atomic publish — loses and
+    invents nothing.
+
+    Scale shape: data never funnels through the driver (executors stage
+    parquet per task, only O(files) entries ride the commit messages);
+    each epoch is one O(Δfiles) log publish; readers and the downstream
+    manifest_stream source see exactly one version per batch."""
+    import hashlib
+    import shutil
+
+    from ..io.datasource import ManifestDataSource
+    from ..io.manifest import ManifestTable
+    from ..streaming.source import ManifestStreamDataSource
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    src_root = os.path.join(_TMP, f"i15_src_{tag}")
+    sink_root = os.path.join(_TMP, f"i15_sink_{tag}")
+    ck = os.path.join(_TMP, f"i15_ck_{tag}")
+    for d in (src_root, sink_root, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders")
+    src = ManifestTable(src_root)
+    src.commit_overwrite(orders.filter(F.col("o_orderkey") % 3 == 0))
+    src.commit_append(orders.filter(F.col("o_orderkey") % 3 == 1))
+
+    spark.dataSource.register(ManifestStreamDataSource)
+    spark.dataSource.register(ManifestDataSource)
+    q = (
+        spark.readStream.format("manifest_stream")
+        .option("path", src_root)
+        .load()
+        .writeStream.format("manifest")
+        .option("path", sink_root)
+        .option("txnAppId", f"i15_{tag}")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # a commit landing while the stream runs arrives as its own epoch
+        src.commit_append(orders.filter(F.col("o_orderkey") % 3 == 2))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return ManifestTable(sink_root).read(spark)

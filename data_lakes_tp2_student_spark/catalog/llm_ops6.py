@@ -756,3 +756,96 @@ def x64_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table.commit_append(good)
     return table.read(spark)
+
+
+@register(
+    "x65_dsv2_batch_read",
+    oracle="""
+    SELECT * FROM orders
+    WHERE o_orderkey % 7 <> 0
+      AND o_orderstatus = 'F'
+      AND o_orderkey > 15000
+    """,
+)
+def x65_dsv2_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x65 — the manifest table as a registered BATCH format (round 8,
+    io/datasource.py): `spark.read.format("manifest")` over a table that
+    exercises every read-path feature at once — Hive-partitioned files
+    (partition values injected from manifest entries), a deletion vector
+    (merge-on-read DELETE applied executor-side), and `pushFilters`
+    (SPARK-48921) pruning files via the manifest's partition values and
+    [min, max] stats before Spark plans a single task. The hash match vs
+    the plain-SQL oracle proves file skipping is an over-approximation
+    that never drops a qualifying row; the reader hands every predicate
+    back to Spark for exact row-level evaluation — parquet's
+    PushedFilters contract, now over MANIFEST metadata instead of
+    footers (no storage listing, no footer reads at planning time).
+
+    Scale shape: planning is driver-side O(files) over JSON; at 100 TB
+    the partition+stats prune is the difference between scanning a
+    day's files and scanning the table."""
+    import hashlib as _h
+
+    from ..io.datasource import ManifestDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ManifestDataSource)
+    root = os.path.join(
+        _TMP, "x65_" + _h.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = ManifestTable(root, stats_cols=["o_orderkey"])
+    table.commit_overwrite(
+        load(spark, sf_dir, "orders").repartition(8, "o_orderkey"),
+        partition_by=["o_orderstatus"],
+    )
+    table.delete_where(spark, "o_orderkey % 7 = 0", mode="dv")
+    return (
+        spark.read.format("manifest")
+        .option("path", root)
+        .load()
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") > 15000))
+    )
+
+
+@register("x66_dsv2_batch_write", oracle="SELECT * FROM orders")
+def x66_dsv2_batch_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x66 — the manifest table as a registered batch WRITE format: two
+    `df.write.format("manifest")` calls (a partitioned overwrite, then
+    an append that inherits the table's layout) publish two atomic
+    commits. Executors stream Arrow batches straight into per-partition
+    parquet files inside the txn staging dir and ship only manifest
+    ENTRIES to the driver-side commit — data never funnels through the
+    driver, and the publish takes the same conflict-checked version-race
+    loop as commit_append. The hash match vs plain `SELECT * FROM
+    orders` proves the executor-written files carry every row, partition
+    values land in the Hive path (not the file) and are re-derived on
+    read, and the two halves union to exactly the input."""
+    import hashlib as _h
+
+    from ..io.datasource import ManifestDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ManifestDataSource)
+    root = os.path.join(
+        _TMP, "x66_" + _h.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .write.format("manifest")
+        .mode("overwrite")
+        .option("path", root)
+        .option("partitionBy", "o_orderstatus")
+        .option("statsCols", "o_orderkey")
+        .save()
+    )
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .write.format("manifest")
+        .mode("append")
+        .option("path", root)
+        .save()
+    )
+    return ManifestTable(root).read(spark)

@@ -1,0 +1,627 @@
+"""The manifest table as a BATCH DataFrame format: `manifest` (round 8).
+
+Delta parity for the idiomatic entry points:
+
+    spark.dataSource.register(ManifestDataSource)
+    df = (spark.read.format("manifest")
+          .option("path", root).option("versionAsOf", 3).load())
+    (df2.write.format("manifest").mode("append")
+        .option("path", root).save())
+
+built on Spark 4's Python Data Source API (SPARK-44076, public). The
+READER plans one input partition per data file from the pinned
+snapshot's manifest — and implements `pushFilters` (SPARK-48921): Spark
+hands the scan's predicates down before planning, the reader prunes
+files against the manifest's partition values and recorded [min, max]
+column stats (the same data skipping `ManifestTable.read`'s explicit
+`partition_filter`/`range_filter` arguments expose), then RETURNS every
+filter so Spark still applies it row-level — file skipping is an
+over-approximation, never a row filter. Deletion vectors are applied
+executor-side: a DV'd file's partition carries its DV parquet paths and
+masks deleted positions out of the Arrow table before yielding.
+
+The WRITER is the Arrow fast path (`DataSourceArrowWriter`): each
+executor task streams its record batches straight into one parquet file
+per partition value inside the table's `txn=<id>` staging dir (Hive
+layout, partition columns as directories, exactly like the Spark-write
+path), computes the footer [min, max] stats locally, and ships only the
+manifest ENTRIES back as its commit message. The driver then publishes
+all entries through `ManifestTable._commit_files` — the same constraint
+validation, layout compatibility, schema-evolution check, and
+version-race loop every other commit takes, so a DataSource write is
+atomic, conflict-checked, and isolated exactly like `commit_append`.
+`abort()` deletes the txn dir; a crash before commit leaves only an
+orphan dir that `vacuum` reaps.
+
+Reference tie-in: the reference reads/writes its zones with bare
+pandas/boto3 (build/unpack_to_raw.py:17-22, src/process_to_curated.py);
+this is the engine-native format registration those scripts would use.
+
+Scale shape: planning is driver-side O(files in snapshot) over the JSON
+manifest (no storage listing); reads are file-per-task Arrow streams;
+writes never funnel through the driver — data stays on executors, only
+O(files) metadata rides the commit messages. Writer requires a
+local-filesystem root: executors write through the shared POSIX
+namespace (on a real cluster: NFS/Lustre or an s3a path once the
+hadoop-aws jars exist — the same boundary io/logstore.py documents).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamArrowWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from .logstore import LocalLogStore
+from .manifest import HIVE_NULL, ManifestTable, _file_stats, _json_safe, _path_value
+
+
+def _open_table(options: dict) -> ManifestTable:
+    """Table handle from (case-lowered) DataSource options. Local paths
+    need only `path`; an `s3://bucket/prefix` path builds an S3LogStore
+    from `endpoint`/`access_key`/`secret_key`/`region`/`cache_dir`."""
+    root = options["path"]
+    kw = {}
+    if "statscols" in options:
+        kw["stats_cols"] = [
+            c.strip() for c in options["statscols"].split(",") if c.strip()
+        ]
+    if root.startswith("s3://"):
+        from urllib.parse import urlparse
+
+        from .logstore import S3LogStore
+
+        u = urlparse(root)
+        skw = {}
+        for opt in ("endpoint", "access_key", "secret_key", "region", "cache_dir"):
+            if opt in options:
+                skw[opt] = options[opt]
+        kw["log_store"] = S3LogStore(u.netloc, u.path.lstrip("/"), **skw)
+    return ManifestTable(root, **kw)
+
+
+def _resolve_version(table: ManifestTable, options: dict) -> int:
+    """Time travel: `versionAsOf` pins a commit, `timestampAsOf` (ISO
+    string or epoch seconds) resolves through version_at; default is the
+    latest committed version."""
+    if "versionasof" in options:
+        return int(options["versionasof"])
+    if "timestampasof" in options:
+        ts = options["timestampasof"]
+        try:
+            ts = float(ts)
+        except ValueError:
+            from datetime import datetime
+
+            ts = datetime.fromisoformat(ts).timestamp()
+        return table.version_at(ts)
+    latest = table.latest_version()
+    if latest is None:
+        raise FileNotFoundError(f"no committed version at {table.root}")
+    return latest
+
+
+def _nullable(schema: StructType) -> StructType:
+    """The schema with every top-level field nullable — what file-based
+    sources always report: pre-evolution files are null-padded for added
+    columns, so a committed non-nullable field would make Spark throw
+    'Value at index is null' on the padded batches."""
+    from pyspark.sql.types import StructField
+
+    return StructType(
+        [StructField(f.name, f.dataType, True, f.metadata) for f in schema.fields]
+    )
+
+
+def _project(arrow_table, want, partition: dict | None = None):
+    """Project an Arrow table to the `want` schema: cast shared columns,
+    fill PARTITION columns from the manifest entry's values (Hive-layout
+    data files don't store them — a plain file read would return them
+    null), and null-pad columns the (older, pre-evolution) file predates
+    — the same contract as ManifestTable.read()'s mergeSchema scan."""
+    import pyarrow as pa
+
+    n = len(arrow_table)
+    cols = []
+    for field in want:
+        if field.name in arrow_table.column_names:
+            cols.append(arrow_table[field.name].cast(field.type))
+        elif partition and field.name in partition:
+            v = partition[field.name]
+            if v is None:
+                cols.append(pa.nulls(n, field.type))
+            else:
+                # partition values travel as their path strings; cast
+                # re-derives the committed type (int/date/bool/str)
+                cols.append(pa.array([v] * n, type=pa.string()).cast(field.type))
+        else:
+            cols.append(pa.nulls(n, field.type))
+    return pa.table(dict(zip(want.names, cols)), schema=want)
+
+
+class _ScanPartition(InputPartition):
+    """One data file: absolute path, manifest-relative path (the DV
+    join key), the entry's partition values (Hive layout keeps them out
+    of the file), and its deletion-vector parquet paths."""
+
+    def __init__(self, path: str, rel: str, partition: dict, dv_paths: tuple):
+        self.path = path
+        self.rel = rel
+        self.partition = partition
+        self.dv_paths = dv_paths
+
+
+class ManifestBatchReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        table = _open_table(options)
+        self._table = table
+        version = _resolve_version(table, options)
+        m = table.manifest(version)
+        self._files = m["files"]
+        self._partition_by = set(m["partition_by"])
+        # pushed-filter pruning state: {col: set of partition strings}
+        # and {col: [lo, hi]} range bounds (None = unbounded side)
+        self._part_prune: dict[str, set] = {}
+        self._range_prune: dict[str, list] = {}
+
+    def __getstate__(self):
+        # the reader is pickled to executors for read(), which needs only
+        # the schema — the table handle (S3 stores hold client locks) and
+        # the file list are DRIVER planning state
+        state = dict(self.__dict__)
+        state["_table"] = None
+        state["_files"] = []
+        return state
+
+    def pushFilters(self, filters):
+        """Record file-prunable predicates; YIELD BACK every filter —
+        manifest skipping drops whole files whose stats/partition cannot
+        match, but surviving files still hold non-matching rows, so
+        Spark must keep the row-level predicate (exactly parquet's
+        PushedFilters contract)."""
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr is not None and len(attr) == 1:
+                col = attr[0]
+                if col in self._partition_by:
+                    if isinstance(f, EqualTo):
+                        self._part_prune.setdefault(col, set()).update(
+                            {_path_value(f.value)}
+                        )
+                    elif isinstance(f, In):
+                        self._part_prune.setdefault(col, set()).update(
+                            _path_value(v) for v in f.value
+                        )
+                # strict bounds are kept inclusive: pruning may only
+                # over-approximate the surviving file set. Any type
+                # surprise (null literal, mixed-type bounds) simply
+                # skips the prune — never fails the scan.
+                try:
+                    v = _json_safe(f.value)
+                    bounds = self._range_prune.setdefault(col, [None, None])
+                    if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual)):
+                        bounds[0] = v if bounds[0] is None else max(bounds[0], v)
+                    if isinstance(f, (EqualTo, LessThan, LessThanOrEqual)):
+                        bounds[1] = v if bounds[1] is None else min(bounds[1], v)
+                except (AttributeError, TypeError):
+                    pass
+            yield f
+
+    @staticmethod
+    def _stats_overlap(entry: dict, col: str, lo, hi) -> bool:
+        st = entry.get("stats", {}).get(col)
+        if st is None:
+            return True  # no stats = cannot skip (skipping is optional)
+        try:
+            return (lo is None or st[1] >= lo) and (hi is None or st[0] <= hi)
+        except TypeError:
+            return True  # cross-type bound (e.g. str vs int) — keep
+
+
+    def partitions(self):
+        files = self._files
+        for col, want in self._part_prune.items():
+            files = [e for e in files if e["partition"].get(col) in want]
+        for col, (lo, hi) in self._range_prune.items():
+            if lo is None and hi is None:
+                continue
+            files = [e for e in files if self._stats_overlap(e, col, lo, hi)]
+        if not files:
+            # Spark requires at least one partition; an empty one yields
+            # nothing (read() returns immediately on a None path)
+            return [_ScanPartition("", "", {}, ())]
+        _base, paths = self._table.store.resolve_read(
+            [e["path"] for e in files]
+        )
+        parts = []
+        for e, p in zip(files, paths):
+            dv = e.get("dv") or []
+            dv_paths = (
+                tuple(self._table.store.resolve_read(sorted(dv))[1])
+                if dv
+                else ()
+            )
+            parts.append(_ScanPartition(p, e["path"], e["partition"], dv_paths))
+        return parts
+
+    def read(self, partition: _ScanPartition):
+        """Executor-side: the file's Arrow batches, DV positions masked
+        out, projected to the snapshot's cumulative table schema."""
+        if not partition.path:
+            return
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        table = pq.read_table(partition.path)
+        if partition.dv_paths:
+            masks = []
+            for dvp in partition.dv_paths:
+                dv = pq.read_table(dvp, columns=["file", "pos"])
+                dv = dv.filter(pc.equal(dv["file"], partition.rel))
+                masks.append(dv["pos"].to_numpy(zero_copy_only=False))
+            dead = np.concatenate(masks) if masks else np.array([], dtype=int)
+            keep = np.ones(len(table), dtype=bool)
+            keep[dead.astype(int)] = False
+            table = table.filter(pa.array(keep))
+        out = _project(
+            table, to_arrow_schema(self._schema), partition.partition
+        )
+        for batch in out.to_batches():
+            yield batch
+
+
+class _CommitEntries(WriterCommitMessage):
+    def __init__(self, entries: list[dict]):
+        self.entries = entries
+
+
+class _StagedWriterBase:
+    """Shared machinery of the batch and STREAMING manifest writers:
+    option parsing, the executor-side Arrow→parquet staging write, and
+    the sessionless DuckDB constraint validation."""
+
+    def _init_common(self, schema: StructType, options: dict, overwrite: bool):
+        table = _open_table(options)
+        if not isinstance(table.store, LocalLogStore):
+            raise ValueError(
+                "the manifest WRITER requires a local-filesystem root "
+                "(executors write through the shared POSIX namespace); "
+                "commit S3-backed tables via "
+                "ManifestTable.commit_append/commit_overwrite"
+            )
+        self._root = table.root
+        self._data_dir = table.store.data_dir
+        self._schema = schema
+        self._overwrite = overwrite
+        # partition layout: explicit option wins; an APPEND to an
+        # existing table inherits its layout (the commit would reject a
+        # mismatch anyway — inheriting makes the obvious call just work)
+        opt = options.get("partitionby", "")
+        self._partition_by = [c.strip() for c in opt.split(",") if c.strip()]
+        base = table.latest_version()
+        if not self._partition_by and not overwrite and base is not None:
+            self._partition_by = list(
+                table._raw(base).get("partition_by") or []
+            )
+        missing = [c for c in self._partition_by if c not in schema.names]
+        if missing:
+            raise ValueError(
+                f"partitionBy columns {missing} absent from the written "
+                f"schema {schema.names}"
+            )
+        if "txn" in schema.names:
+            # same reservation _write_txn enforces: the commit-id path
+            # segment is spelled txn=<id> and would collide on read
+            raise ValueError(
+                "column name 'txn' is reserved by the manifest layout"
+            )
+        self._stats_cols = table.stats_cols
+        self._options = dict(options)
+        return table, base
+
+    def _next_stage(self) -> str:
+        raise NotImplementedError
+
+    def write(self, iterator):
+        """One executor task: group each batch by partition values and
+        append to that value's open ParquetWriter (one file per value
+        per task — the same fan-out `df.write.partitionBy` produces)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        stage = self._next_stage()
+        want = to_arrow_schema(self._schema)
+        data_fields = [
+            f for f in want if f.name not in set(self._partition_by)
+        ]
+        data_schema = pa.schema(data_fields)
+        task = TaskContext.get().partitionId()
+        writers: dict[tuple, pq.ParquetWriter] = {}
+        paths: dict[tuple, str] = {}
+
+        def file_for(key: tuple) -> pq.ParquetWriter:
+            if key not in writers:
+                segs = [
+                    f"{c}={HIVE_NULL if v is None else _path_value(v)}"
+                    for c, v in zip(self._partition_by, key)
+                ]
+                d = os.path.join(stage, *segs)
+                os.makedirs(d, exist_ok=True)
+                p = os.path.join(
+                    d, f"part-{task:05d}-{uuid.uuid4().hex}.parquet"
+                )
+                paths[key] = p
+                writers[key] = pq.ParquetWriter(p, data_schema)
+            return writers[key]
+
+        for batch in iterator:
+            t = _project(pa.Table.from_batches([batch]), want)
+            if len(t) == 0:
+                continue
+            if not self._partition_by:
+                groups = {(): t}
+            else:
+                by_key: dict[tuple, list[int]] = {}
+                for i, k in enumerate(
+                    zip(*(t[c].to_pylist() for c in self._partition_by))
+                ):
+                    by_key.setdefault(k, []).append(i)
+                groups = (
+                    {next(iter(by_key)): t}
+                    if len(by_key) == 1
+                    else {k: t.take(idx) for k, idx in by_key.items()}
+                )
+            for key, gt in groups.items():
+                file_for(key).write_table(
+                    gt.select([f.name for f in data_fields])
+                )
+        entries = []
+        for key, w in writers.items():
+            w.close()
+            p = paths[key]
+            entry = {
+                "path": os.path.relpath(p, self._root),
+                "partition": {
+                    c: (None if v is None else _path_value(v))
+                    for c, v in zip(self._partition_by, key)
+                },
+                "bytes": os.path.getsize(p),
+            }
+            if self._stats_cols:
+                entry["stats"] = _file_stats(p, self._stats_cols)
+            entries.append(entry)
+        return _CommitEntries(entries)
+
+    @staticmethod
+    def _validate_with_duckdb(table: ManifestTable, entries: list[dict], cons: dict):
+        """CHECK constraints on the staged files. The commit callback
+        runs in a sessionless Python worker (no JVM, no SparkSession),
+        so the Spark validation pass _commit_files normally runs is
+        unreachable — DuckDB evaluates the same `coalesce(expr, TRUE) =
+        FALSE` predicate (NULL passes, SQL CHECK) over each staged
+        parquet, with the entry's partition values injected as literals
+        (Hive layout keeps them out of the file). FAIL CLOSED: an
+        expression DuckDB cannot evaluate aborts the commit rather than
+        skipping the check — commit such tables via
+        ManifestTable.commit_append."""
+        import duckdb
+
+        from .manifest import CheckConstraintViolation
+
+        _b, paths = table.store.resolve_read([e["path"] for e in entries])
+        for e, p in zip(entries, paths):
+            extra = "".join(
+                f", NULL AS {c}"
+                if v is None
+                else ", '{}' AS {}".format(v.replace("'", "''"), c)
+                for c, v in e["partition"].items()
+            )
+            rel = "(SELECT *{} FROM read_parquet('{}'))".format(
+                extra, p.replace("'", "''")
+            )
+            for name in sorted(cons):
+                expr = cons[name]
+                try:
+                    n = duckdb.sql(
+                        f"SELECT count(*) FROM {rel} t WHERE "
+                        f"coalesce(CAST(({expr}) AS BOOLEAN), TRUE) = FALSE"
+                    ).fetchone()[0]
+                except Exception as err:
+                    raise CheckConstraintViolation(
+                        f"CHECK constraint {name!r} ({expr}) could not "
+                        f"be validated on the DataSource write path "
+                        f"({err}) — failing closed; commit via "
+                        f"ManifestTable.commit_append instead"
+                    ) from err
+                if n:
+                    raise CheckConstraintViolation(
+                        f"commit violates CHECK constraint(s): "
+                        f"{name} ({expr})"
+                    )
+
+
+class ManifestBatchWriter(_StagedWriterBase, DataSourceArrowWriter):
+    """Executors stream Arrow batches into per-(task, partition-value)
+    parquet files inside ONE txn staging dir; the driver publishes the
+    collected entries as ONE conflict-checked commit."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        table, base = self._init_common(schema, options, overwrite)
+        self._txn = uuid.uuid4().hex
+        self._stage = table.store.txn_stage_dir(self._txn)
+        # conflict anchor + constraint set: captured NOW, before any
+        # data lands (the input is derived from this table state)
+        self._base = base
+        self._base_cons = (
+            table._constraints_of(table._raw(base)) if base is not None else {}
+        )
+
+    def _next_stage(self) -> str:
+        return self._stage
+
+    def commit(self, messages):
+        from .manifest import CheckConstraintViolation
+
+        table = _open_table(self._options)
+        entries = [
+            e for m in messages if m is not None for e in m.entries
+        ]
+        if self._base_cons and entries:
+            try:
+                self._validate_with_duckdb(table, entries, self._base_cons)
+            except CheckConstraintViolation:
+                table.store.delete_txn_dir(f"txn={self._txn}")
+                raise
+        table._commit_files(
+            None,
+            self._txn,
+            entries,
+            self._schema.json(),
+            self._partition_by or None,
+            "overwrite" if self._overwrite else "append",
+            "all" if self._overwrite else "none",
+            self._base,
+            self._base_cons,
+            validate=False,
+        )
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self._stage, ignore_errors=True)
+
+
+class ManifestStreamWriter(_StagedWriterBase, DataSourceStreamArrowWriter):
+    """The manifest table as a streaming SINK through the official API:
+    `df.writeStream.format("manifest")` — every micro-batch publishes
+    ONE atomic manifest commit (append mode appends; complete mode
+    replaces the table), so readers flip between consistent snapshots
+    and the manifest_stream source downstream sees one version per
+    batch. With `txnAppId`, the commit records Delta's txn action
+    ({app, version=batchId}) and a restarted stream SKIPS any batch the
+    log already holds — exactly-once across at-least-once redelivery
+    (the caveat is Delta's own: vacuum must retain the log past the
+    longest restart lag).
+
+    Unlike the batch writer, each TASK of each batch stages into its own
+    fresh `txn=<uuid>` dir (tasks of different epochs must not collide);
+    a failed batch's dirs become unreferenced orphans that vacuum reaps
+    after its in-flight-writer window. The conflict anchor is resolved
+    at each commit, not at writer construction: a stream append is a
+    blind append and rebases over any concurrent writer."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self._init_common(schema, options, overwrite)
+        self._app = options.get("txnappid")
+
+    def _next_stage(self) -> str:
+        return os.path.join(self._data_dir, f"txn={uuid.uuid4().hex}")
+
+    def _drop_staged(self, table: ManifestTable, entries: list[dict]):
+        for d in sorted({e["path"].split("/")[1] for e in entries}):
+            try:
+                table.store.delete_txn_dir(d)
+            except OSError:
+                pass  # already gone — cleanup is best-effort
+
+    def commit(self, messages, batchId: int):
+        from .manifest import CheckConstraintViolation
+
+        table = _open_table(self._options)
+        entries = [
+            e for m in messages if m is not None for e in m.entries
+        ]
+        if self._app is not None:
+            last = table.last_txn_version(self._app)
+            if last is not None and last >= batchId:
+                # a redelivered batch the log already holds: drop the
+                # freshly staged duplicates, commit nothing
+                self._drop_staged(table, entries)
+                return
+        base = table.latest_version()
+        base_cons = (
+            table._constraints_of(table._raw(base)) if base is not None else {}
+        )
+        if base_cons and entries:
+            try:
+                self._validate_with_duckdb(table, entries, base_cons)
+            except CheckConstraintViolation:
+                self._drop_staged(table, entries)
+                raise
+        table._commit_files(
+            None,
+            None,
+            entries,
+            self._schema.json(),
+            self._partition_by or None,
+            "overwrite" if self._overwrite else "append",
+            "all" if self._overwrite else "none",
+            base,
+            base_cons,
+            validate=False,
+            entry_extra=(
+                {"txn": {"app": self._app, "version": batchId}}
+                if self._app is not None
+                else None
+            ),
+        )
+
+    def abort(self, messages, batchId: int):
+        table = _open_table(self._options)
+        entries = [
+            e for m in messages if m is not None for e in m.entries
+        ]
+        if entries:
+            self._drop_staged(table, entries)
+
+
+class ManifestDataSource(DataSource):
+    """`spark.dataSource.register(ManifestDataSource)` then
+    `spark.read.format("manifest")` / `df.write.format("manifest")`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest"
+
+    def schema(self) -> StructType:
+        options = dict(self.options)
+        table = _open_table(options)
+        version = _resolve_version(table, options)
+        return _nullable(
+            StructType.fromJson(
+                json.loads(table._table_schema_of(table._raw(version)))
+            )
+        )
+
+    def reader(self, schema: StructType) -> ManifestBatchReader:
+        return ManifestBatchReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> ManifestBatchWriter:
+        return ManifestBatchWriter(schema, dict(self.options), overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> ManifestStreamWriter:
+        return ManifestStreamWriter(schema, dict(self.options), overwrite)

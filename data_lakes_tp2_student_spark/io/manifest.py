@@ -525,6 +525,48 @@ class ManifestTable:
         schema_json = df.schema.json()
         if base is ManifestTable._BASE_UNSET:
             base = self.latest_version()
+        base_cons = (
+            self._constraints_of(self._raw(base)) if base is not None else {}
+        )
+        _txn, new_files = self._write_txn(df, partition_by)
+        return self._commit_files(
+            df.sparkSession,
+            _txn,
+            new_files,
+            schema_json,
+            partition_by,
+            action,
+            remove_kind,
+            base,
+            base_cons,
+            remove_paths,
+            max_attempts,
+        )
+
+    def _commit_files(
+        self,
+        spark: SparkSession,
+        txn: str,
+        new_files: list[dict],
+        schema_json: str,
+        partition_by: list[str] | None,
+        action: str,
+        remove_kind: str,
+        base,
+        base_cons: dict,
+        remove_paths: list[str] | None = None,
+        max_attempts: int = 20,
+        validate: bool = True,
+        entry_extra: dict | None = None,
+    ) -> int:
+        """Publish ALREADY-WRITTEN txn files as one atomic commit — the
+        back half of _commit, factored out so writers that stage files
+        without a driver-side DataFrame (the `manifest` batch DataSource,
+        io/datasource.py, whose executors write Arrow batches straight
+        into the txn dir) share the exact same constraint validation,
+        layout checks, and version-race loop. `base`/`base_cons` are the
+        conflict anchor and constraint set the INPUT was derived from —
+        capture them before the data write, not here."""
         # CHECK constraints validate the commit's NEW rows (retained
         # files were validated by their own commits). Validation reads
         # the freshly WRITTEN files back rather than re-running the
@@ -532,22 +574,22 @@ class ManifestTable:
         # the constraint columns (a MERGE's join would otherwise
         # recompute in full), and a violation deletes the txn dir so
         # the failed commit leaves nothing. Zero cost with no
-        # constraints.
-        base_cons = (
-            self._constraints_of(self._raw(base)) if base is not None else {}
-        )
-        _txn, new_files = self._write_txn(df, partition_by)
-        if base_cons and new_files:
+        # constraints. `validate=False` is for callers that already
+        # validated the staged files themselves (the DataSource writer's
+        # commit callback runs in a sessionless Python worker and
+        # validates via DuckDB instead) — base_cons still rides the
+        # entry and the concurrent-constraint-change check below.
+        if validate and base_cons and new_files:
             _b, paths = self.store.resolve_read(
                 [e["path"] for e in new_files]
             )
             try:
                 self._validate_constraints(
-                    df.sparkSession.read.option("basePath", _b).parquet(*paths),
+                    spark.read.option("basePath", _b).parquet(*paths),
                     base_cons,
                 )
             except CheckConstraintViolation:
-                self.store.delete_txn_dir(f"txn={_txn}")
+                self.store.delete_txn_dir(f"txn={txn}")
                 raise
         # Every new file must sit in exactly the declared partition layout
         # (a mixed snapshot is unreadable: CONFLICTING_PARTITION_COLUMN_
@@ -597,7 +639,9 @@ class ManifestTable:
                         f"table's partition_by {p_entry.get('partition_by')}"
                         f", got {partition_by or []}"
                     )
-                table_schema = self._check_schema_compat(df.schema, p_entry)
+                table_schema = self._check_schema_compat(
+                    StructType.fromJson(json.loads(schema_json)), p_entry
+                )
             if (
                 p_entry is not None
                 and self._constraints_of(p_entry) != base_cons
@@ -622,6 +666,10 @@ class ManifestTable:
             }
             if base_cons:
                 entry["constraints"] = base_cons
+            if entry_extra:
+                # e.g. {"txn": {"app":…, "version":…}} — the Delta txn
+                # action the streaming sink uses for idempotent restarts
+                entry.update(entry_extra)
             if self._publish(entry):
                 v = entry["version"]
                 if (
@@ -1549,6 +1597,21 @@ class ManifestTable:
             "last_commit_action": e.get("action"),
             "last_commit_at": float(e["committed_at"]),
         }
+
+    def last_txn_version(self, app: str) -> int | None:
+        """The highest `txn` version committed for `app` in the RETAINED
+        log — Delta's txn action, the idempotence anchor for exactly-once
+        streaming sinks: a restarted stream skips any batchId ≤ this.
+        Driver-side O(retained log) JSON scan. Caveat (same as Delta's
+        log retention): vacuum truncating the log past a batch's entry
+        forgets that batch was committed — keep `keep_versions` above the
+        longest possible restart lag for idempotent-writer tables."""
+        best = None
+        for v in self.versions():
+            t = self._raw(v).get("txn")
+            if t and t.get("app") == app:
+                best = t["version"] if best is None else max(best, t["version"])
+        return best
 
     def version_at(self, timestamp: float) -> int:
         """Timestamp-based time travel (Delta's TIMESTAMP AS OF): the

@@ -49,6 +49,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # the `manifest` Python DataSource (io/datasource.py) implements
+        # pushFilters; Spark refuses the scan unless this is on
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
     )

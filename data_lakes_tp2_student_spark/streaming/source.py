@@ -48,8 +48,12 @@ _METADATA_ACTIONS = {"add_constraint", "drop_constraint"}
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, partition: dict):
         self.path = path
+        # the entry's partition values: Hive-layout data files don't
+        # store partition columns — a plain file read would stream them
+        # as nulls on partitioned tables (round-8 review find)
+        self.partition = partition
 
 
 def _open_table(options: dict):
@@ -159,31 +163,34 @@ class ManifestStreamReader(DataSourceStreamReader):
                     f"true to stream only appends, or consume "
                     f"changes_since() for CDC semantics."
                 )
-            rels.extend(e["path"] for e in adds)
+            rels.extend((e["path"], e["partition"]) for e in adds)
         if rels:
-            _base, paths = self._table.store.resolve_read(rels)
-            parts = [_FilePartition(p) for p in paths]
+            _base, paths = self._table.store.resolve_read(
+                [r for r, _p in rels]
+            )
+            parts = [
+                _FilePartition(p, part)
+                for p, (_r, part) in zip(paths, rels)
+            ]
         return parts
 
     def read(self, partition: _FilePartition):
         """Executor-side: one parquet file → arrow batches projected to
-        the stream schema (older files may predate evolved columns —
-        pad with typed nulls; add-only evolution guarantees no column
-        ever narrows)."""
-        import pyarrow as pa
+        the stream schema — partition columns filled from the manifest
+        entry's values (Hive layout keeps them out of the file), columns
+        an older file predates padded with typed nulls (add-only
+        evolution guarantees no column ever narrows)."""
         import pyarrow.parquet as pq
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        want = to_arrow_schema(self._schema)
-        table = pq.read_table(partition.path)
-        cols = []
-        for field in want:
-            if field.name in table.column_names:
-                cols.append(table[field.name].cast(field.type))
-            else:
-                cols.append(pa.nulls(len(table), field.type))
-        out = pa.table(dict(zip(want.names, cols)), schema=want)
+        from ..io.datasource import _project
+
+        out = _project(
+            pq.read_table(partition.path),
+            to_arrow_schema(self._schema),
+            partition.partition,
+        )
         for batch in out.to_batches():
             yield batch
 
@@ -208,8 +215,15 @@ class ManifestStreamDataSource(DataSource):
             raise FileNotFoundError(
                 f"no committed version at {self.options['path']}"
             )
-        return StructType.fromJson(
-            json.loads(table._table_schema_of(table._raw(latest)))
+        from ..io.datasource import _nullable
+
+        # nullable like every file source: pre-evolution files are
+        # null-padded for added columns, and a non-nullable field would
+        # make Spark throw on the padded batches
+        return _nullable(
+            StructType.fromJson(
+                json.loads(table._table_schema_of(table._raw(latest)))
+            )
         )
 
     def streamReader(self, schema: StructType) -> ManifestStreamReader:

@@ -1,0 +1,325 @@
+"""The manifest table as a batch DataFrame format (io/datasource.py, r8).
+
+Contract: `spark.read.format("manifest")` reads exactly what
+`ManifestTable.read` reads (time travel, schema evolution, deletion
+vectors, partition columns included); `pushFilters` prunes FILES from
+the scan while Spark keeps the row-level predicate; and
+`df.write.format("manifest")` publishes one atomic, constraint-checked,
+conflict-checked commit through the same loop as commit_append.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan, In, LessThanOrEqual
+
+from data_lakes_tp2_student_spark.io.datasource import (
+    ManifestBatchReader,
+    ManifestBatchWriter,
+    ManifestDataSource,
+    _CommitEntries,
+)
+from data_lakes_tp2_student_spark.io.manifest import (
+    CheckConstraintViolation,
+    ConcurrentWriteConflict,
+    ManifestTable,
+)
+
+from .test_manifest import _df
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(ManifestDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
+def _read(spark, root, **opts):
+    r = spark.read.format("manifest").option("path", root)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def _multiset(df):
+    return Counter(map(tuple, df.collect()))
+
+
+def test_write_then_read_roundtrip_partitioned(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", "d1"), (2, "b", "d2"), (3, "c", "d1")])
+    (
+        df.write.format("manifest")
+        .mode("overwrite")
+        .option("path", root)
+        .option("partitionBy", "day")
+        .save()
+    )
+    tab = ManifestTable(root)
+    assert tab.versions() == [0]
+    m = tab.manifest(0)
+    assert m["partition_by"] == ["day"]
+    # Hive layout: every file sits in a day=<v> dir
+    assert all(e["partition"].get("day") in ("d1", "d2") for e in m["files"])
+    got = _read(spark, root)
+    assert got.columns == ["id", "v", "day"]
+    assert _multiset(got) == _multiset(df)
+    # partition column values survive the file read (files don't store them)
+    assert got.filter(F.col("day") == "d1").count() == 2
+
+
+def test_append_inherits_partition_layout(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _df(spark, [(1, "a", "d1")]).write.format("manifest").mode(
+        "overwrite"
+    ).option("path", root).option("partitionBy", "day").save()
+    _df(spark, [(2, "b", "d2")]).write.format("manifest").mode(
+        "append"
+    ).option("path", root).save()
+    tab = ManifestTable(root)
+    m = tab.manifest(1)
+    assert m["partition_by"] == ["day"]
+    assert _multiset(_read(spark, root)) == _multiset(
+        _df(spark, [(1, "a", "d1"), (2, "b", "d2")])
+    )
+
+
+def test_version_and_timestamp_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _df(spark, [(1, "a", "d1")]).write.format("manifest").mode(
+        "overwrite"
+    ).option("path", root).save()
+    tab = ManifestTable(root)
+    ts_between = tab._raw(0)["committed_at"] + 0.001
+    _df(spark, [(2, "b", "d2")]).write.format("manifest").mode(
+        "append"
+    ).option("path", root).save()
+    assert _read(spark, root).count() == 2
+    assert _read(spark, root, versionAsOf=0).count() == 1
+    assert _read(spark, root, timestampAsOf=str(ts_between)).count() == 1
+
+
+def test_reader_matches_table_read_with_deletion_vectors(spark, tmp_path):
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root)
+    rows = [(i, f"v{i}", f"d{i % 3}") for i in range(60)]
+    tab.commit_overwrite(_df(spark, rows), partition_by=["day"])
+    assert tab._delete_where_dv(spark, F.col("id") % 7 == 0) > 0
+    assert any(e.get("dv") for e in tab.manifest(tab.latest_version())["files"])
+    assert _multiset(_read(spark, root)) == _multiset(tab.read(spark))
+    assert _read(spark, root).filter(F.col("id") % 7 == 0).count() == 0
+
+
+def test_schema_evolution_null_pads_old_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _df(spark, [(1, "a", "d1")]).write.format("manifest").mode(
+        "overwrite"
+    ).option("path", root).save()
+    evolved = _df(spark, [(2, "b", "d2")]).withColumn("extra", F.lit(9))
+    evolved.write.format("manifest").mode("append").option("path", root).save()
+    got = _read(spark, root)
+    assert got.columns == ["id", "v", "day", "extra"]
+    by_id = {r.id: r.extra for r in got.collect()}
+    assert by_id == {1: None, 2: 9}
+
+
+def test_push_filters_prune_files_not_rows(spark, tmp_path):
+    root = str(tmp_path / "t")
+    rows = [(i, f"v{i}", f"d{i % 3}") for i in range(90)]
+    df = _df(spark, rows)
+    (
+        df.write.format("manifest")
+        .mode("overwrite")
+        .option("path", root)
+        .option("partitionBy", "day")
+        .option("statsCols", "id")
+        .save()
+    )
+    # end-to-end: results under filters are exact (files pruned, rows
+    # still filtered by Spark — file skipping over-approximates)
+    got = _read(spark, root).filter((F.col("day") == "d1") & (F.col("id") > 50))
+    exp = df.filter((F.col("day") == "d1") & (F.col("id") > 50))
+    assert _multiset(got) == _multiset(exp)
+    # plan-level: the reader's partitions() shrinks under pushed filters
+    schema = _read(spark, root).schema
+    pruned = ManifestBatchReader(schema, {"path": root})
+    remaining = list(
+        pruned.pushFilters([EqualTo(("day",), "d1"), GreaterThan(("id",), 50)])
+    )
+    assert len(remaining) == 2  # every filter is handed back to Spark
+    full = ManifestBatchReader(schema, {"path": root})
+    n_pruned, n_full = len(pruned.partitions()), len(full.partitions())
+    assert n_pruned < n_full
+    # partition pruning alone keeps only day=d1 files
+    part_only = ManifestBatchReader(schema, {"path": root})
+    list(part_only.pushFilters([In(("day",), ("d1",))]))
+    d1_files = sum(
+        1
+        for e in ManifestTable(root).manifest(0)["files"]
+        if e["partition"]["day"] == "d1"
+    )
+    assert len(part_only.partitions()) == d1_files
+    # stats pruning alone: id <= 5 overlaps only low-id files
+    rng_only = ManifestBatchReader(schema, {"path": root})
+    list(rng_only.pushFilters([LessThanOrEqual(("id",), 5)]))
+    assert len(rng_only.partitions()) < n_full
+
+
+def test_empty_prune_returns_empty_result(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _df(spark, [(1, "a", "d1")]).write.format("manifest").mode(
+        "overwrite"
+    ).option("path", root).option("partitionBy", "day").save()
+    assert _read(spark, root).filter(F.col("day") == "nope").count() == 0
+
+
+def test_write_validates_check_constraints(spark, tmp_path):
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    tab.add_check_constraint(spark, "pos_id", "id > 0")
+    before_txns = tab.store.list_txn_dirs()
+    # the Python-side CheckConstraintViolation surfaces Spark-wrapped
+    with pytest.raises(Exception, match="pos_id"):
+        _df(spark, [(-5, "x", "d9")]).write.format("manifest").mode(
+            "append"
+        ).option("path", root).save()
+    # the failed txn left no files behind and no new version
+    assert tab.store.list_txn_dirs() == before_txns
+    assert tab.versions() == [0, 1]  # data + constraint commits only
+    assert tab.read(spark).count() == 1
+
+
+def test_write_passes_check_constraints_with_partition_columns(spark, tmp_path):
+    """The accept path of the writer's DuckDB validation — including a
+    constraint over a PARTITION column, whose values live in the path,
+    not the file, and are injected as literals."""
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]), partition_by=["day"])
+    tab.add_check_constraint(spark, "pos_id", "id > 0")
+    tab.add_check_constraint(spark, "day_known", "day IN ('d1','d2')")
+    (
+        _df(spark, [(2, "b", "d2")]).write.format("manifest")
+        .mode("append").option("path", root).save()
+    )
+    assert tab.read(spark).count() == 2
+    with pytest.raises(Exception, match="day_known"):
+        _df(spark, [(3, "c", "d9")]).write.format("manifest").mode(
+            "append"
+        ).option("path", root).save()
+
+
+def test_write_fails_closed_on_unvalidatable_constraint(spark, tmp_path):
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    # xxhash64 is Spark-only — DuckDB cannot evaluate it
+    tab.add_check_constraint(spark, "sparky", "xxhash64(v) IS NOT NULL")
+    with pytest.raises(Exception, match="failing closed|could not"):
+        _df(spark, [(2, "b", "d2")]).write.format("manifest").mode(
+            "append"
+        ).option("path", root).save()
+    assert tab.read(spark).count() == 1
+
+
+def test_writer_conflict_detection_anchors_at_construction(spark, tmp_path):
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    df = _df(spark, [(9, "z", "d9")])
+    w = ManifestBatchWriter(df.schema, {"path": root}, overwrite=True)
+    # a commit lands between the writer's snapshot and its publish
+    tab.commit_append(_df(spark, [(2, "b", "d2")]))
+    with pytest.raises(ConcurrentWriteConflict):
+        w.commit([_CommitEntries([])])
+    # a blind APPEND writer rebases instead (appends commute)
+    w2 = ManifestBatchWriter(df.schema, {"path": root}, overwrite=False)
+    tab.commit_append(_df(spark, [(3, "c", "d3")]))
+    w2.commit([_CommitEntries([])])
+    assert tab.latest_version() == 3
+
+
+def test_writer_rejects_reserved_and_missing_columns(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", "d1")])
+    with pytest.raises(Exception, match="reserved"):
+        df.withColumnRenamed("v", "txn").write.format("manifest").mode(
+            "overwrite"
+        ).option("path", root).save()
+    with pytest.raises(Exception, match="absent"):
+        df.write.format("manifest").mode("overwrite").option(
+            "path", root
+        ).option("partitionBy", "nope").save()
+
+
+def test_writer_rejects_object_store_roots(spark):
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("id int, v string, day string")
+    with pytest.raises(ValueError, match="local-filesystem"):
+        ManifestBatchWriter(
+            schema,
+            {
+                "path": "s3://bucket/prefix",
+                "endpoint": "http://127.0.0.1:1",
+                "access_key": "x",
+                "secret_key": "y",
+            },
+            overwrite=False,
+        )
+
+
+def test_null_partition_value_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", None)], "id int, v string, day string"
+    )
+    (
+        df.write.format("manifest")
+        .mode("overwrite")
+        .option("path", root)
+        .option("partitionBy", "day")
+        .save()
+    )
+    got = _read(spark, root)
+    assert _multiset(got) == _multiset(df)
+    assert got.filter(F.col("day").isNull()).count() == 1
+
+
+def test_stream_source_fills_partition_columns(spark, tmp_path):
+    """Regression (round-8 review find): Hive-layout files don't store
+    partition columns — the streaming source must fill them from the
+    manifest entry, not stream NULLs."""
+    from data_lakes_tp2_student_spark.streaming.source import (
+        ManifestStreamDataSource,
+    )
+
+    spark.dataSource.register(ManifestStreamDataSource)
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(
+        _df(spark, [(1, "a", "d1"), (2, "b", "d2")]), partition_by=["day"]
+    )
+    tab.commit_append(_df(spark, [(3, "c", "d1")]), partition_by=["day"])
+    q = (
+        spark.readStream.format("manifest_stream")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("part_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = sorted(
+            (r.id, r.v, r.day)
+            for r in spark.sql("SELECT * FROM part_stream").collect()
+        )
+        assert rows == [(1, "a", "d1"), (2, "b", "d2"), (3, "c", "d1")]
+    finally:
+        q.stop()
