@@ -764,7 +764,7 @@ def x64_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM orders
     WHERE o_orderkey % 7 <> 0
       AND o_orderstatus = 'F'
-      AND o_orderkey > 15000
+      AND o_orderkey > 1200
     """,
 )
 def x65_dsv2_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,7 +804,7 @@ def x65_dsv2_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("manifest")
         .option("path", root)
         .load()
-        .filter((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") > 15000))
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") > 1200))
     )
 
 

@@ -611,6 +611,10 @@ class ManifestDataSource(DataSource):
         options = dict(self.options)
         table = _open_table(options)
         version = _resolve_version(table, options)
+        # pin the resolved version for reader(): without this, "latest"
+        # resolves twice and a commit landing between the two calls would
+        # pair version N's schema with version N+1's files
+        self._pinned_version = version
         return _nullable(
             StructType.fromJson(
                 json.loads(table._table_schema_of(table._raw(version)))
@@ -618,7 +622,11 @@ class ManifestDataSource(DataSource):
         )
 
     def reader(self, schema: StructType) -> ManifestBatchReader:
-        return ManifestBatchReader(schema, dict(self.options))
+        options = dict(self.options)
+        pinned = getattr(self, "_pinned_version", None)
+        if pinned is not None and "versionasof" not in options:
+            options["versionasof"] = str(pinned)
+        return ManifestBatchReader(schema, options)
 
     def writer(self, schema: StructType, overwrite: bool) -> ManifestBatchWriter:
         return ManifestBatchWriter(schema, dict(self.options), overwrite)

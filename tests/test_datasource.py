@@ -168,6 +168,20 @@ def test_push_filters_prune_files_not_rows(spark, tmp_path):
     assert len(rng_only.partitions()) < n_full
 
 
+def test_load_pins_version_at_analysis(spark, tmp_path):
+    """schema() resolution pins the snapshot for the reader — a commit
+    landing between load() and the action must not mix version N's
+    schema with version N+1's files (reader isolation, same contract as
+    ManifestTable.read)."""
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    df = _read(spark, root)
+    tab.commit_append(_df(spark, [(2, "b", "d2")]))
+    assert df.count() == 1  # pinned pre-commit
+    assert _read(spark, root).count() == 2  # a fresh load sees the append
+
+
 def test_empty_prune_returns_empty_result(spark, tmp_path):
     root = str(tmp_path / "t")
     _df(spark, [(1, "a", "d1")]).write.format("manifest").mode(

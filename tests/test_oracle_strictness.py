@@ -197,6 +197,22 @@ _VALUE_MUTATIONS = {
     "i14_stream_lake_source": (
         "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
     ),
+    # the registered BATCH format: partition-value injection + DV mask +
+    # pushdown pruning all sit between the manifest and the returned rows
+    # — the nudge proves the gate constrains the values that chain yields
+    "x65_dsv2_batch_read": (
+        "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
+    ),
+    # the registered batch WRITER: executor-staged files -> entry commit
+    # -> read-back; the nudge proves the gate constrains what was written
+    "x66_dsv2_batch_write": (
+        "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
+    ),
+    # the STREAMING SINK: per-epoch atomic commits + txn idempotence; the
+    # nudge proves the gate constrains the final committed table
+    "i15_stream_lake_sink": (
+        "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
+    ),
 }
 
 
