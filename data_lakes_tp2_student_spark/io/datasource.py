@@ -57,6 +57,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    EqualNullSafe,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -200,8 +201,13 @@ class ManifestBatchReader(DataSourceReader):
             attr = getattr(f, "attribute", None)
             if attr is not None and len(attr) == 1:
                 col = attr[0]
+                # a null-safe equality with a NON-null literal prunes
+                # exactly like EqualTo (null rows can't match it)
+                eq = isinstance(f, EqualTo) or (
+                    isinstance(f, EqualNullSafe) and f.value is not None
+                )
                 if col in self._partition_by:
-                    if isinstance(f, EqualTo):
+                    if eq:
                         self._part_prune.setdefault(col, set()).update(
                             {_path_value(f.value)}
                         )
@@ -214,12 +220,19 @@ class ManifestBatchReader(DataSourceReader):
                 # surprise (null literal, mixed-type bounds) simply
                 # skips the prune — never fails the scan.
                 try:
-                    v = _json_safe(f.value)
                     bounds = self._range_prune.setdefault(col, [None, None])
-                    if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual)):
-                        bounds[0] = v if bounds[0] is None else max(bounds[0], v)
-                    if isinstance(f, (EqualTo, LessThan, LessThanOrEqual)):
-                        bounds[1] = v if bounds[1] is None else min(bounds[1], v)
+                    if isinstance(f, In) and f.value:
+                        # col ∈ S ⇒ min(S) ≤ col ≤ max(S): zone-map fold
+                        vals = [_json_safe(v) for v in f.value]
+                        lo, hi = min(vals), max(vals)
+                        bounds[0] = lo if bounds[0] is None else max(bounds[0], lo)
+                        bounds[1] = hi if bounds[1] is None else min(bounds[1], hi)
+                    else:
+                        v = _json_safe(f.value)
+                        if eq or isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                            bounds[0] = v if bounds[0] is None else max(bounds[0], v)
+                        if eq or isinstance(f, (LessThan, LessThanOrEqual)):
+                            bounds[1] = v if bounds[1] is None else min(bounds[1], v)
                 except (AttributeError, TypeError):
                     pass
             yield f

@@ -166,6 +166,22 @@ def test_push_filters_prune_files_not_rows(spark, tmp_path):
     rng_only = ManifestBatchReader(schema, {"path": root})
     list(rng_only.pushFilters([LessThanOrEqual(("id",), 5)]))
     assert len(rng_only.partitions()) < n_full
+    # In on a STATS column folds to [min, max] zone-map bounds
+    in_stats = ManifestBatchReader(schema, {"path": root})
+    list(in_stats.pushFilters([In(("id",), (1, 2, 3))]))
+    assert len(in_stats.partitions()) < n_full
+    # null-safe equality with a non-null literal prunes like EqualTo
+    from pyspark.sql.datasource import EqualNullSafe
+
+    ns = ManifestBatchReader(schema, {"path": root})
+    list(ns.pushFilters([EqualNullSafe(("day",), "d1")]))
+    assert len(ns.partitions()) == d1_files
+    # end-to-end exactness for both new shapes
+    got2 = _read(spark, root).filter(
+        F.col("day").eqNullSafe("d1") & F.col("id").isin(1, 4, 7)
+    )
+    exp2 = df.filter(F.col("day").eqNullSafe("d1") & F.col("id").isin(1, 4, 7))
+    assert _multiset(got2) == _multiset(exp2)
 
 
 def test_load_pins_version_at_analysis(spark, tmp_path):
@@ -302,6 +318,57 @@ def test_null_partition_value_roundtrip(spark, tmp_path):
     got = _read(spark, root)
     assert _multiset(got) == _multiset(df)
     assert got.filter(F.col("day").isNull()).count() == 1
+
+
+def test_reader_over_s3_backed_table(spark, tmp_path):
+    """`spark.read.format("manifest").option("path", "s3://…")` — the
+    reader's planning resolves S3 objects through the store's
+    immutable-file cache into local paths (single-node shape, the same
+    boundary io/logstore.py documents), so time travel and pushdown work
+    unchanged over an object-store table."""
+    import uuid as _uuid
+
+    pytest.importorskip("moto", reason="moto not installed")
+    from moto.server import ThreadedMotoServer
+
+    from data_lakes_tp2_student_spark.io.logstore import S3LogStore
+
+    server = ThreadedMotoServer(port=0)
+    server.start()
+    try:
+        host, port = server.get_host_and_port()
+        endpoint = f"http://127.0.0.1:{port}"
+        prefix = f"ds-{_uuid.uuid4().hex[:10]}"
+        store = S3LogStore(
+            "lake", prefix, endpoint=endpoint,
+            cache_dir=str(tmp_path / "cache"),
+        )
+        try:
+            store.client.create_bucket(Bucket="lake")
+        except store.client.exceptions.ClientError:
+            pass
+        tab = ManifestTable(f"s3://lake/{prefix}", log_store=store)
+        tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d2")]))
+        tab.commit_append(_df(spark, [(3, "c", "d1")]))
+        got = (
+            spark.read.format("manifest")
+            .option("path", f"s3://lake/{prefix}")
+            .option("endpoint", endpoint)
+            .option("cache_dir", str(tmp_path / "cache2"))
+            .load()
+        )
+        assert _multiset(got) == _multiset(tab.read(spark))
+        v0 = (
+            spark.read.format("manifest")
+            .option("path", f"s3://lake/{prefix}")
+            .option("endpoint", endpoint)
+            .option("cache_dir", str(tmp_path / "cache2"))
+            .option("versionAsOf", 0)
+            .load()
+        )
+        assert v0.count() == 2
+    finally:
+        server.stop()
 
 
 def test_stream_source_fills_partition_columns(spark, tmp_path):
