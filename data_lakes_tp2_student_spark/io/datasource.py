@@ -1,4 +1,6 @@
-"""The manifest table as a BATCH DataFrame format: `manifest` (round 8).
+"""The manifest table as a registered DataFrame format: `manifest`
+(round 8) — batch reader, batch writer, and streaming SINK (the
+streaming SOURCE lives in streaming/source.py as `manifest_stream`).
 
 Delta parity for the idiomatic entry points:
 
@@ -44,6 +46,15 @@ O(files) metadata rides the commit messages. Writer requires a
 local-filesystem root: executors write through the shared POSIX
 namespace (on a real cluster: NFS/Lustre or an s3a path once the
 hadoop-aws jars exist — the same boundary io/logstore.py documents).
+
+Surface boundaries Spark itself enforces (both fail LOUD with
+actionable messages, verified): save modes are append/overwrite only
+(`UNSUPPORTED_DATA_SOURCE_SAVE_MODE` for error/ignore), and the native
+`df.write.partitionBy(...)` clause is rejected for Python data sources
+("provided partitioning ... does not match") — declare the layout with
+`.option("partitionBy", "col1,col2")` instead. `txnAppId`+`txnVersion`
+(batch) / `txnAppId` (streaming, version = batchId) give Delta-style
+idempotent writes via the log's txn action.
 """
 
 from __future__ import annotations
@@ -492,17 +503,38 @@ class ManifestBatchWriter(_StagedWriterBase, DataSourceArrowWriter):
         self._base_cons = (
             table._constraints_of(table._raw(base)) if base is not None else {}
         )
+        # Delta's idempotent DataFrame writes: txnAppId + txnVersion
+        # together make re-running the same job version a no-op (the
+        # foreachBatch retry idiom); requiring BOTH catches the typo'd
+        # half that would silently disable the protection
+        self._app = options.get("txnappid")
+        ver = options.get("txnversion")
+        if (self._app is None) != (ver is None):
+            raise ValueError(
+                "txnAppId and txnVersion must be set together for "
+                "idempotent writes"
+            )
+        self._app_version = int(ver) if ver is not None else None
 
     def _next_stage(self) -> str:
         return self._stage
 
     def commit(self, messages):
+        import shutil
+
         from .manifest import CheckConstraintViolation
 
         table = _open_table(self._options)
         entries = [
             e for m in messages if m is not None for e in m.entries
         ]
+        if self._app is not None:
+            last = table.last_txn_version(self._app)
+            if last is not None and last >= self._app_version:
+                # this job version already committed: drop the duplicate
+                # staging, publish nothing
+                shutil.rmtree(self._stage, ignore_errors=True)
+                return
         if self._base_cons and entries:
             try:
                 self._validate_with_duckdb(table, entries, self._base_cons)
@@ -520,6 +552,11 @@ class ManifestBatchWriter(_StagedWriterBase, DataSourceArrowWriter):
             self._base,
             self._base_cons,
             validate=False,
+            entry_extra=(
+                {"txn": {"app": self._app, "version": self._app_version}}
+                if self._app is not None
+                else None
+            ),
         )
 
     def abort(self, messages):

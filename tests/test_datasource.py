@@ -303,6 +303,39 @@ def test_writer_rejects_object_store_roots(spark):
         )
 
 
+def test_idempotent_batch_write_via_txn(spark, tmp_path):
+    """Delta's txnAppId/txnVersion: re-running the same job version is a
+    no-op — the foreachBatch retry idiom, end-to-end through the Spark
+    write path."""
+    root = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", "d1")])
+
+    def write(ver):
+        (
+            df.write.format("manifest").mode("append")
+            .option("path", root)
+            .option("txnAppId", "job")
+            .option("txnVersion", str(ver))
+            .save()
+        )
+
+    write(1)
+    write(1)  # redelivered: skipped
+    tab = ManifestTable(root)
+    assert tab.versions() == [0]
+    assert tab.read(spark).count() == 1
+    write(0)  # an EARLIER version is also skipped
+    assert tab.versions() == [0]
+    write(2)  # the next version commits
+    assert tab.versions() == [0, 1]
+    assert tab.read(spark).count() == 2
+    assert tab.last_txn_version("job") == 2
+    with pytest.raises(Exception, match="together"):
+        df.write.format("manifest").mode("append").option(
+            "path", root
+        ).option("txnAppId", "job").save()
+
+
 def test_null_partition_value_roundtrip(spark, tmp_path):
     root = str(tmp_path / "t")
     df = spark.createDataFrame(
