@@ -383,14 +383,26 @@ class _StagedWriterBase:
             f for f in want if f.name not in set(self._partition_by)
         ]
         data_schema = pa.schema(data_fields)
-        task = TaskContext.get().partitionId()
+        tc = TaskContext.get()
+        task = tc.partitionId() if tc is not None else 0
         writers: dict[tuple, pq.ParquetWriter] = {}
         paths: dict[tuple, str] = {}
 
+        from urllib.parse import quote
+
         def file_for(key: tuple) -> pq.ParquetWriter:
             if key not in writers:
+                # percent-escape the value (Hive convention, what
+                # _parse_partition's unquote and Spark's partition
+                # discovery both decode): a raw '/' would nest an extra
+                # dir and corrupt the layout; '=' / '%' would mis-parse
                 segs = [
-                    f"{c}={HIVE_NULL if v is None else _path_value(v)}"
+                    "{}={}".format(
+                        c,
+                        HIVE_NULL
+                        if v is None
+                        else quote(_path_value(v), safe=""),
+                    )
                     for c, v in zip(self._partition_by, key)
                 ]
                 d = os.path.join(stage, *segs)
@@ -409,16 +421,23 @@ class _StagedWriterBase:
             if not self._partition_by:
                 groups = {(): t}
             else:
-                by_key: dict[tuple, list[int]] = {}
-                for i, k in enumerate(
-                    zip(*(t[c].to_pylist() for c in self._partition_by))
-                ):
-                    by_key.setdefault(k, []).append(i)
-                groups = (
-                    {next(iter(by_key)): t}
-                    if len(by_key) == 1
-                    else {k: t.take(idx) for k, idx in by_key.items()}
-                )
+                import pyarrow.compute as pc
+
+                # fast path — a repartitioned/sorted write usually has
+                # ONE partition value per batch: detect it Arrow-native
+                # (no per-row Python materialization, round-8 review)
+                uniq = [pc.unique(t[c]) for c in self._partition_by]
+                if all(len(u) == 1 for u in uniq):
+                    groups = {tuple(u[0].as_py() for u in uniq): t}
+                else:
+                    by_key: dict[tuple, list[int]] = {}
+                    for i, k in enumerate(
+                        zip(*(t[c].to_pylist() for c in self._partition_by))
+                    ):
+                        by_key.setdefault(k, []).append(i)
+                    groups = {
+                        k: t.take(idx) for k, idx in by_key.items()
+                    }
             for key, gt in groups.items():
                 file_for(key).write_table(
                     gt.select([f.name for f in data_fields])
@@ -522,7 +541,7 @@ class ManifestBatchWriter(_StagedWriterBase, DataSourceArrowWriter):
     def commit(self, messages):
         import shutil
 
-        from .manifest import CheckConstraintViolation
+        from .manifest import CheckConstraintViolation, TxnAlreadyCommitted
 
         table = _open_table(self._options)
         entries = [
@@ -532,32 +551,57 @@ class ManifestBatchWriter(_StagedWriterBase, DataSourceArrowWriter):
             last = table.last_txn_version(self._app)
             if last is not None and last >= self._app_version:
                 # this job version already committed: drop the duplicate
-                # staging, publish nothing
+                # staging, publish nothing (re-checked race-free inside
+                # the publish loop via txn_guard)
                 shutil.rmtree(self._stage, ignore_errors=True)
                 return
+        # a retried/speculative task may have left PARTIAL files in the
+        # shared stage dir before its successful attempt's message won —
+        # once committed, the txn dir is live and vacuum (txn-dir
+        # granular) would never reap them; remove everything the commit
+        # messages don't reference (round-8 review find)
+        referenced = {e["path"] for e in entries}
+        for dirpath, _dirs, names in os.walk(self._stage):
+            for n in names:
+                full = os.path.join(dirpath, n)
+                if os.path.relpath(full, self._root) not in referenced:
+                    try:
+                        os.unlink(full)
+                    except OSError:
+                        pass
         if self._base_cons and entries:
             try:
                 self._validate_with_duckdb(table, entries, self._base_cons)
             except CheckConstraintViolation:
                 table.store.delete_txn_dir(f"txn={self._txn}")
                 raise
-        table._commit_files(
-            None,
-            self._txn,
-            entries,
-            self._schema.json(),
-            self._partition_by or None,
-            "overwrite" if self._overwrite else "append",
-            "all" if self._overwrite else "none",
-            self._base,
-            self._base_cons,
-            validate=False,
-            entry_extra=(
-                {"txn": {"app": self._app, "version": self._app_version}}
-                if self._app is not None
-                else None
-            ),
-        )
+        try:
+            table._commit_files(
+                None,
+                self._txn,
+                entries,
+                self._schema.json(),
+                self._partition_by or None,
+                "overwrite" if self._overwrite else "append",
+                "all" if self._overwrite else "none",
+                self._base,
+                self._base_cons,
+                validate=False,
+                entry_extra=(
+                    {"txn": {"app": self._app, "version": self._app_version}}
+                    if self._app is not None
+                    else None
+                ),
+                txn_guard=(
+                    (self._app, self._app_version)
+                    if self._app is not None
+                    else None
+                ),
+            )
+        except TxnAlreadyCommitted:
+            # a concurrent writer with the same token won the race
+            # between our pre-check and the publish — drop the duplicate
+            shutil.rmtree(self._stage, ignore_errors=True)
 
     def abort(self, messages):
         import shutil
@@ -599,7 +643,7 @@ class ManifestStreamWriter(_StagedWriterBase, DataSourceStreamArrowWriter):
                 pass  # already gone — cleanup is best-effort
 
     def commit(self, messages, batchId: int):
-        from .manifest import CheckConstraintViolation
+        from .manifest import CheckConstraintViolation, TxnAlreadyCommitted
 
         table = _open_table(self._options)
         entries = [
@@ -609,7 +653,8 @@ class ManifestStreamWriter(_StagedWriterBase, DataSourceStreamArrowWriter):
             last = table.last_txn_version(self._app)
             if last is not None and last >= batchId:
                 # a redelivered batch the log already holds: drop the
-                # freshly staged duplicates, commit nothing
+                # freshly staged duplicates, commit nothing (re-checked
+                # race-free inside the publish loop via txn_guard)
                 self._drop_staged(table, entries)
                 return
         base = table.latest_version()
@@ -622,23 +667,29 @@ class ManifestStreamWriter(_StagedWriterBase, DataSourceStreamArrowWriter):
             except CheckConstraintViolation:
                 self._drop_staged(table, entries)
                 raise
-        table._commit_files(
-            None,
-            None,
-            entries,
-            self._schema.json(),
-            self._partition_by or None,
-            "overwrite" if self._overwrite else "append",
-            "all" if self._overwrite else "none",
-            base,
-            base_cons,
-            validate=False,
-            entry_extra=(
-                {"txn": {"app": self._app, "version": batchId}}
-                if self._app is not None
-                else None
-            ),
-        )
+        try:
+            table._commit_files(
+                None,
+                None,
+                entries,
+                self._schema.json(),
+                self._partition_by or None,
+                "overwrite" if self._overwrite else "append",
+                "all" if self._overwrite else "none",
+                base,
+                base_cons,
+                validate=False,
+                entry_extra=(
+                    {"txn": {"app": self._app, "version": batchId}}
+                    if self._app is not None
+                    else None
+                ),
+                txn_guard=(
+                    (self._app, batchId) if self._app is not None else None
+                ),
+            )
+        except TxnAlreadyCommitted:
+            self._drop_staged(table, entries)
 
     def abort(self, messages, batchId: int):
         table = _open_table(self._options)

@@ -96,6 +96,15 @@ class CheckConstraintViolation(ValueError):
     The commit wrote nothing — fix the data or drop the constraint."""
 
 
+class TxnAlreadyCommitted(Exception):
+    """Raised inside the commit loop when a CONCURRENT commit carrying
+    the same idempotence token (txn app, version ≥ ours) lands between
+    the caller's pre-check and the publish — the zombie-writer /
+    restarted-stream double-delivery race. Callers (the DataSource
+    writers) catch it and drop their duplicate staging; the data is
+    already in the table exactly once."""
+
+
 class MergeCardinalityError(RuntimeError):
     """MERGE aborted: a single target row matched MORE THAN ONE source row
     that would modify it (update or delete) — the result would depend on
@@ -129,10 +138,18 @@ def _file_stats(path: str, cols: list[str]) -> dict[str, list]:
     """Per-file [min, max] for `cols`, read from the parquet FOOTER the
     write just produced (pyarrow metadata — no data pages touched).
     Columns without usable stats (all-null, missing, unsupported type)
-    are omitted; readers treat missing stats as 'cannot skip'."""
+    are omitted; readers treat missing stats as 'cannot skip'.
+
+    FLOAT/DOUBLE columns containing any NaN record NO stats: parquet
+    footers exclude NaN from min/max while Spark orders NaN GREATER
+    than every value, so a [min, max] that ignores NaN would let
+    `col > hi` prune a file whose NaN rows qualify — a silently wrong
+    answer (round-8 review find). The NaN probe reads just that column
+    once at commit time; NaN-free float columns keep full skipping."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
     out: dict[str, list] = {}
     for c in cols:
@@ -146,6 +163,18 @@ def _file_stats(path: str, cols: list[str]) -> dict[str, list]:
                 break
             lo = st.min if lo is None or st.min < lo else lo
             hi = st.max if hi is None or st.max > hi else hi
+        if lo is not None and isinstance(lo, float):
+            import math
+
+            import pyarrow.compute as pc
+
+            vals = pf.read(columns=[c])[c]
+            if (
+                math.isnan(lo)
+                or math.isnan(hi)
+                or pc.any(pc.is_nan(vals)).as_py()
+            ):
+                lo = hi = None
         if lo is not None:
             out[c] = [_json_safe(lo), _json_safe(hi)]
     return out
@@ -507,6 +536,7 @@ class ManifestTable:
         max_attempts: int = 20,
         base=_BASE_UNSET,
         remove_paths: list[str] | None = None,
+        entry_extra: dict | None = None,
     ) -> int:
         """The ONE commit loop. The data write happens once — files are
         immutable and version-independent; only the log entry rebases (or
@@ -541,6 +571,7 @@ class ManifestTable:
             base_cons,
             remove_paths,
             max_attempts,
+            entry_extra=entry_extra,
         )
 
     def _commit_files(
@@ -558,6 +589,7 @@ class ManifestTable:
         max_attempts: int = 20,
         validate: bool = True,
         entry_extra: dict | None = None,
+        txn_guard: tuple | None = None,
     ) -> int:
         """Publish ALREADY-WRITTEN txn files as one atomic commit — the
         back half of _commit, factored out so writers that stage files
@@ -626,6 +658,21 @@ class ManifestTable:
             parent = self.latest_version()
             if parent != base:
                 self._check_conflicts(action, remove_kind, touched, base, parent)
+                if txn_guard is not None:
+                    # the idempotence pre-check is TOCTOU on its own
+                    # (round-8 review find): a concurrent writer with the
+                    # same (app, version) may have published since —
+                    # re-scan ONLY the newly landed versions, O(Δ)
+                    app, ver = txn_guard
+                    for v in range(
+                        (base + 1) if base is not None else 0, parent + 1
+                    ):
+                        t = self._raw(v).get("txn")
+                        if t and t.get("app") == app and t["version"] >= ver:
+                            raise TxnAlreadyCommitted(
+                                f"txn ({app!r}, {ver}) already committed "
+                                f"at version {v}"
+                            )
             table_schema = schema_json
             p_entry = self._raw(parent) if parent is not None else None
             if p_entry is not None and remove_kind != "all":
@@ -1605,13 +1652,16 @@ class ManifestTable:
         Driver-side O(retained log) JSON scan. Caveat (same as Delta's
         log retention): vacuum truncating the log past a batch's entry
         forgets that batch was committed — keep `keep_versions` above the
-        longest possible restart lag for idempotent-writer tables."""
-        best = None
-        for v in self.versions():
+        longest possible restart lag for idempotent-writer tables.
+        Scans NEWEST-first and stops at the first hit: the skip check
+        itself makes per-app versions monotone with commit order, so the
+        first match from the end IS the max — a long-lived txn stream
+        pays O(distance to its last commit), not O(log) per batch."""
+        for v in reversed(self.versions()):
             t = self._raw(v).get("txn")
             if t and t.get("app") == app:
-                best = t["version"] if best is None else max(best, t["version"])
-        return best
+                return t["version"]
+        return None
 
     def version_at(self, timestamp: float) -> int:
         """Timestamp-based time travel (Delta's TIMESTAMP AS OF): the

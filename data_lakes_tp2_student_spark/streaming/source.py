@@ -57,31 +57,16 @@ class _FilePartition(InputPartition):
 
 
 def _open_table(options: dict):
-    """Construct the table from stream options. Local paths need only
-    `path`; an `s3://bucket/prefix` path builds an S3LogStore from the
-    `endpoint` / `access_key` / `secret_key` / `region` / `cache_dir`
-    options (the conditional-put log backend). NOTE: the S3 store reads
-    hydrate a driver-local file cache, so the S3-backed stream is a
-    single-node (local[N]) shape in this environment — a multi-node
-    cluster should read via s3a paths once the hadoop-aws jars exist
-    (the same boundary io/logstore.py documents for batch reads)."""
-    root = options["path"]
-    if root.startswith("s3://"):
-        from urllib.parse import urlparse
+    """Construct the table from stream options — shared with the batch
+    format (io/datasource.py; one copy of the s3:// option plumbing).
+    NOTE: the S3 store reads hydrate a driver-local file cache, so the
+    S3-backed stream is a single-node (local[N]) shape in this
+    environment — a multi-node cluster should read via s3a paths once
+    the hadoop-aws jars exist (the same boundary io/logstore.py
+    documents for batch reads)."""
+    from ..io.datasource import _open_table as _open
 
-        from ..io.logstore import S3LogStore
-        from ..io.manifest import ManifestTable
-
-        u = urlparse(root)
-        kw = {}
-        for opt in ("endpoint", "access_key", "secret_key", "region", "cache_dir"):
-            if opt in options:
-                kw[opt] = options[opt]
-        store = S3LogStore(u.netloc, u.path.lstrip("/"), **kw)
-        return ManifestTable(root, log_store=store)
-    from ..io.manifest import ManifestTable
-
-    return ManifestTable(root)
+    return _open(options)
 
 
 class ManifestStreamReader(DataSourceStreamReader):

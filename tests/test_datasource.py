@@ -336,6 +336,106 @@ def test_idempotent_batch_write_via_txn(spark, tmp_path):
         ).option("txnAppId", "job").save()
 
 
+def test_partition_values_with_path_metacharacters_roundtrip(spark, tmp_path):
+    """Round-8 review find: a raw '/' in a partition value would nest an
+    extra directory (corrupting the Hive layout), '='/'%' would
+    mis-parse — the writer must percent-escape what _parse_partition's
+    unquote and Spark's partition discovery decode."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "d1/x"), (2, "b", "k=v"), (3, "c", "p%33 q")],
+        "id int, v string, day string",
+    )
+    (
+        df.write.format("manifest").mode("overwrite")
+        .option("path", root).option("partitionBy", "day").save()
+    )
+    tab = ManifestTable(root)
+    assert sorted(
+        e["partition"]["day"] for e in tab.manifest(0)["files"]
+    ) == ["d1/x", "k=v", "p%33 q"]
+    # BOTH read paths decode the same values
+    assert _multiset(tab.read(spark)) == _multiset(df)
+    assert _multiset(_read(spark, root)) == _multiset(df)
+
+
+def test_nan_float_stats_never_prune_qualifying_rows(spark, tmp_path):
+    """Round-8 review find: parquet min/max exclude NaN while Spark
+    orders NaN greater than everything — a float column containing NaN
+    must record NO stats, so `col > hi` cannot prune the file whose NaN
+    rows qualify."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, float("nan"))], "id int, x double"
+    ).coalesce(1)
+    (
+        df.write.format("manifest").mode("overwrite")
+        .option("path", root).option("statsCols", "id,x").save()
+    )
+    tab = ManifestTable(root, stats_cols=["id", "x"])
+    for e in tab.manifest(0)["files"]:
+        assert "x" not in e.get("stats", {}), "NaN column must omit stats"
+        assert "id" in e.get("stats", {})  # int stats still recorded
+    # the NaN row survives a pushed range predicate (NaN > 100 is TRUE)
+    got = _read(spark, root).filter(F.col("x") > 100.0)
+    assert got.count() == 1
+    # NaN-free float columns keep their stats (skipping stays available)
+    root2 = str(tmp_path / "t2")
+    spark.createDataFrame([(1, 1.5)], "id int, x double").write.format(
+        "manifest"
+    ).mode("overwrite").option("path", root2).option("statsCols", "x").save()
+    assert all(
+        "x" in e["stats"] for e in ManifestTable(root2).manifest(0)["files"]
+    )
+
+
+def test_txn_guard_catches_concurrent_same_token_commit(spark, tmp_path):
+    """Round-8 review find: the last_txn_version pre-check is TOCTOU —
+    the publish loop must re-scan newly landed versions for the same
+    (app, version) token and abort the duplicate."""
+    from data_lakes_tp2_student_spark.io.manifest import TxnAlreadyCommitted
+
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))  # v0, base
+    # the "zombie's rival" lands batch 7 at v1
+    tab._commit(
+        _df(spark, [(2, "b", "d2")]), None, "append", "none",
+        entry_extra={"txn": {"app": "job", "version": 7}},
+    )
+    # a writer whose pre-check ran BEFORE v1 (base=0) now publishes the
+    # same token: the in-loop guard must refuse
+    with pytest.raises(TxnAlreadyCommitted):
+        tab._commit_files(
+            None, None, [], _df(spark, [(9, "z", "d9")]).schema.json(),
+            None, "append", "none", 0, {},
+            validate=False,
+            entry_extra={"txn": {"app": "job", "version": 7}},
+            txn_guard=("job", 7),
+        )
+    assert tab.latest_version() == 1  # nothing duplicated
+
+
+def test_batch_commit_removes_unreferenced_stage_files(spark, tmp_path):
+    """Round-8 review find: a retried/speculative task's partial files
+    sit in the shared stage dir; commit must remove everything the
+    commit messages don't reference, or they ship with the table
+    forever (vacuum is txn-dir granular)."""
+    import os
+
+    root = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", "d1")])
+    w = ManifestBatchWriter(df.schema, {"path": root}, overwrite=True)
+    os.makedirs(w._stage, exist_ok=True)
+    stray = os.path.join(w._stage, "part-99999-deadbeef.parquet")
+    open(stray, "wb").write(b"truncated garbage")
+    msg = w.write(iter(df.toArrow().to_batches()))
+    w.commit([msg])
+    assert not os.path.exists(stray)
+    tab = ManifestTable(root)
+    assert tab.read(spark).count() == 1
+
+
 def test_null_partition_value_roundtrip(spark, tmp_path):
     root = str(tmp_path / "t")
     df = spark.createDataFrame(
