@@ -561,7 +561,7 @@ class ManifestBatchWriter(_StagedWriterBase, DataSourceArrowWriter):
         # granular) would never reap them; remove everything the commit
         # messages don't reference (round-8 review find)
         referenced = {e["path"] for e in entries}
-        for dirpath, _dirs, names in os.walk(self._stage):
+        for dirpath, dirs, names in os.walk(self._stage, topdown=False):
             for n in names:
                 full = os.path.join(dirpath, n)
                 if os.path.relpath(full, self._root) not in referenced:
@@ -569,6 +569,14 @@ class ManifestBatchWriter(_StagedWriterBase, DataSourceArrowWriter):
                         os.unlink(full)
                     except OSError:
                         pass
+            if dirpath != self._stage and not os.listdir(dirpath):
+                # a loser attempt's partition dir emptied by the unlink
+                # pass would otherwise live in the committed txn dir
+                # forever (vacuum is txn-dir granular)
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
         if self._base_cons and entries:
             try:
                 self._validate_with_duckdb(table, entries, self._base_cons)

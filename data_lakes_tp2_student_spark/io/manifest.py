@@ -168,13 +168,20 @@ def _file_stats(path: str, cols: list[str]) -> dict[str, list]:
 
             import pyarrow.compute as pc
 
-            vals = pf.read(columns=[c])[c]
-            if (
-                math.isnan(lo)
-                or math.isnan(hi)
-                or pc.any(pc.is_nan(vals)).as_py()
-            ):
+            if math.isnan(lo) or math.isnan(hi):
                 lo = hi = None
+            else:
+                # probe row group by row group with early exit — bounds
+                # the commit-time cost to one row group in memory and
+                # usually exits on the first NaN (review wave 2). NOTE:
+                # tables committed by pre-round-8 builds may carry float
+                # stats recorded WITHOUT this probe — re-commit
+                # (compact()) refreshes them.
+                for rg in range(md.num_row_groups):
+                    vals = pf.read_row_group(rg, columns=[c])[c]
+                    if pc.any(pc.is_nan(vals)).as_py():
+                        lo = hi = None
+                        break
         if lo is not None:
             out[c] = [_json_safe(lo), _json_safe(hi)]
     return out
@@ -654,15 +661,31 @@ class ManifestTable:
             ]
         elif remove_kind == "files":
             remove["values"] = sorted(remove_paths or [])
+        if txn_guard is None and entry_extra and "txn" in entry_extra:
+            # ANY path that writes an idempotence token gets the guard —
+            # an unguarded token write would plant out-of-order versions
+            # and break last_txn_version's newest-first monotonicity
+            # (round-8 review wave 2)
+            txn_guard = (entry_extra["txn"]["app"], entry_extra["txn"]["version"])
+        if txn_guard is not None:
+            # sequential-duplicate check (the in-loop guard below only
+            # fires when a commit landed CONCURRENTLY, parent != base)
+            app, ver = txn_guard
+            last = self.last_txn_version(app)
+            if last is not None and last >= ver:
+                raise TxnAlreadyCommitted(
+                    f"txn ({app!r}, {ver}) already committed (log holds "
+                    f"version {last})"
+                )
         for _ in range(max_attempts):
             parent = self.latest_version()
             if parent != base:
-                self._check_conflicts(action, remove_kind, touched, base, parent)
                 if txn_guard is not None:
-                    # the idempotence pre-check is TOCTOU on its own
-                    # (round-8 review find): a concurrent writer with the
-                    # same (app, version) may have published since —
-                    # re-scan ONLY the newly landed versions, O(Δ)
+                    # duplicate classification must run BEFORE conflict
+                    # detection: an overwrite-mode redelivery should be
+                    # skipped as a duplicate, not fail as a conflict
+                    # (round-8 review wave 2); re-scan ONLY the newly
+                    # landed versions, O(Δ)
                     app, ver = txn_guard
                     for v in range(
                         (base + 1) if base is not None else 0, parent + 1
@@ -673,6 +696,7 @@ class ManifestTable:
                                 f"txn ({app!r}, {ver}) already committed "
                                 f"at version {v}"
                             )
+                self._check_conflicts(action, remove_kind, touched, base, parent)
             table_schema = schema_json
             p_entry = self._raw(parent) if parent is not None else None
             if p_entry is not None and remove_kind != "all":

@@ -414,6 +414,33 @@ def test_txn_guard_catches_concurrent_same_token_commit(spark, tmp_path):
             txn_guard=("job", 7),
         )
     assert tab.latest_version() == 1  # nothing duplicated
+    # overwrite-mode duplicates classify as TxnAlreadyCommitted, NOT
+    # ConcurrentWriteConflict (the guard runs before conflict detection
+    # — review wave 2): a complete-mode stream redelivery is a skip, not
+    # a stream-killing conflict error
+    with pytest.raises(TxnAlreadyCommitted):
+        tab._commit_files(
+            None, None, [], _df(spark, [(9, "z", "d9")]).schema.json(),
+            None, "overwrite", "all", 0, {},
+            validate=False,
+            txn_guard=("job", 7),
+        )
+    # sequential duplicate (base == parent, no rebase loop): the
+    # pre-check inside _commit_files catches it too
+    with pytest.raises(TxnAlreadyCommitted):
+        tab._commit_files(
+            None, None, [], _df(spark, [(9, "z", "d9")]).schema.json(),
+            None, "append", "none", tab.latest_version(), {},
+            validate=False,
+            txn_guard=("job", 7),
+        )
+    # an UNGUARDED token write derives the guard from entry_extra
+    with pytest.raises(TxnAlreadyCommitted):
+        tab._commit(
+            _df(spark, [(9, "z", "d9")]), None, "append", "none",
+            entry_extra={"txn": {"app": "job", "version": 6}},
+        )
+    assert tab.latest_version() == 1
 
 
 def test_batch_commit_removes_unreferenced_stage_files(spark, tmp_path):
@@ -429,9 +456,15 @@ def test_batch_commit_removes_unreferenced_stage_files(spark, tmp_path):
     os.makedirs(w._stage, exist_ok=True)
     stray = os.path.join(w._stage, "part-99999-deadbeef.parquet")
     open(stray, "wb").write(b"truncated garbage")
+    # a loser attempt that wrote into a partition dir the winner never
+    # produced: its emptied dir must be removed too, not just the file
+    loser_dir = os.path.join(w._stage, "day=ghost")
+    os.makedirs(loser_dir, exist_ok=True)
+    open(os.path.join(loser_dir, "part-00042-dead.parquet"), "wb").write(b"x")
     msg = w.write(iter(df.toArrow().to_batches()))
     w.commit([msg])
     assert not os.path.exists(stray)
+    assert not os.path.exists(loser_dir)
     tab = ManifestTable(root)
     assert tab.read(spark).count() == 1
 
