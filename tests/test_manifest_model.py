@@ -301,7 +301,7 @@ def test_full_lifecycle_random_sequences_match_model(spark, make_tab):
                 ["overwrite", "append", "replace", "restore", "compact",
                  "vacuum", "delete", "update", "delete_dv", "update_dv",
                  "merge", "selective_compact", "add_constraint",
-                 "drop_constraint"]
+                 "drop_constraint", "dsv2_append"]
             )
             if kind in ("overwrite", "append", "replace"):
                 rows_in = [
@@ -397,6 +397,44 @@ def test_full_lifecycle_random_sequences_match_model(spark, make_tab):
                 if new_id not in ids and new_id not in u + d:
                     model = model + [(new_id, "I", src_rows[-1][2])]
                 snap[nv] = list(model)
+            elif kind == "dsv2_append":
+                # the DataSource writer path (round 8): executor-style
+                # Arrow staging + the same commit loop, interleaved with
+                # every other op under the same model — local store only
+                # (the writer requires the shared POSIX namespace)
+                from data_lakes_tp2_student_spark.io.datasource import (
+                    ManifestBatchWriter,
+                )
+                from data_lakes_tp2_student_spark.io.logstore import (
+                    LocalLogStore,
+                )
+
+                if not isinstance(tab.store, LocalLogStore):
+                    continue
+                rows_in = [
+                    (rng.randint(0, 20), rng.choice("abc"), rng.choice(days))
+                    for _ in range(rng.randint(1, 4))
+                ]
+                df = spark.createDataFrame(
+                    rows_in, "id int, v string, day string"
+                )
+                w = ManifestBatchWriter(
+                    df.schema,
+                    {"path": tab.root, "partitionby": "day"},
+                    overwrite=False,
+                )
+                try:
+                    msg = w.write(iter(df.toArrow().to_batches()))
+                    w.commit([msg])
+                except CheckConstraintViolation:
+                    assert any(
+                        r[0] >= thr
+                        for r in rows_in
+                        for thr in cons_thresholds.values()
+                    )
+                    continue
+                model = model + rows_in
+                snap[tab.latest_version()] = list(model)
             elif kind == "add_constraint" and tab.versions():
                 thr = rng.randint(5, 25)
                 name = f"c{len(cons_thresholds)}_{thr}"
