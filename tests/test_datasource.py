@@ -486,6 +486,30 @@ def test_null_partition_value_roundtrip(spark, tmp_path):
     assert got.filter(F.col("day").isNull()).count() == 1
 
 
+def test_typed_partition_columns_roundtrip(spark, tmp_path):
+    """Non-string partition columns travel as path strings and must cast
+    back to their committed types on BOTH read paths (date, int, bool)."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2021-03-04", 7, True), (2, "2021-03-05", 8, False)],
+        "id int, d string, k int, flag boolean",
+    ).select(
+        "id", F.col("d").cast("date").alias("d"), "k", "flag"
+    )
+    (
+        df.write.format("manifest").mode("overwrite")
+        .option("path", root).option("partitionBy", "d,k,flag").save()
+    )
+    tab = ManifestTable(root)
+    got_native, got_ds = tab.read(spark), _read(spark, root)
+    assert dict(got_ds.dtypes) == {
+        "id": "int", "d": "date", "k": "int", "flag": "boolean"
+    }
+    assert _multiset(got_ds) == _multiset(df)
+    assert _multiset(got_native) == _multiset(df)
+    assert got_ds.filter(F.col("d") == "2021-03-04").count() == 1
+
+
 def test_reader_over_s3_backed_table(spark, tmp_path):
     """`spark.read.format("manifest").option("path", "s3://…")` — the
     reader's planning resolves S3 objects through the store's
