@@ -849,3 +849,31 @@ def x66_dsv2_batch_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         .save()
     )
     return ManifestTable(root).read(spark)
+
+
+@register("x67_deep_clone", oracle="SELECT * FROM orders")
+def x67_deep_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x67 — DEEP CLONE (round 8, Delta's CLONE ... DEEP): after the x8
+    merge commits as version 1, `clone_to(dest, version=0)` materializes
+    the PRE-merge snapshot as a new independent table — plain files copy
+    byte-identical with their manifest stats carried (no decode, no
+    shuffle, no SparkSession in the copy path), constraints and
+    partition layout travel, and the clone's log starts fresh at v0.
+    The hash match vs plain orders proves the clone is exactly the
+    pinned snapshot, not the mutated head — the env-promotion /
+    disaster-recovery primitive the reference's clobber-the-bucket
+    write (build/unpack_to_raw.py:57) cannot express.
+
+    Scale shape: O(snapshot bytes) object copy (distcp-shaped on a real
+    cluster), O(files) metadata; reading the clone afterward is the
+    ordinary manifest read path."""
+    import hashlib as _h
+
+    table = _fresh_orders_table(spark, sf_dir, "x67")
+    _commit_upsert(spark, table)  # version 1 mutates the head...
+    dest_root = os.path.join(
+        _TMP, "x67_clone_" + _h.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(dest_root, ignore_errors=True)
+    clone = table.clone_to(dest_root, version=0)  # ...we clone version 0
+    return clone.read(spark)

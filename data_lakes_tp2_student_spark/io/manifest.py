@@ -70,6 +70,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from urllib.parse import unquote
@@ -1668,6 +1669,105 @@ class ManifestTable:
             "last_commit_action": e.get("action"),
             "last_commit_at": float(e["committed_at"]),
         }
+
+    def clone_to(
+        self,
+        dest_root: str,
+        version: int | None = None,
+        log_store=None,
+        checkpoint_interval: int = 10,
+    ) -> "ManifestTable":
+        """DEEP CLONE (Delta's `CLONE ... DEEP`): materialize `version`'s
+        snapshot as a NEW independent table at `dest_root`. Plain files
+        copy BYTE-IDENTICAL with their manifest [min, max] stats carried
+        (zero decode, zero shuffle — no SparkSession needed); files
+        carrying deletion vectors are materialized (deleted positions
+        dropped via pyarrow, so the clone starts merge-on-read-debt
+        free); CHECK constraints carry over; partition layout is
+        preserved. The clone's log starts at v0 with action "clone" and
+        shares NO storage with the source — vacuuming either table never
+        touches the other, which is the deliberate reason a SHALLOW
+        cross-root clone is not offered here (shared files would break
+        the vacuum liveness contract both tables' readers rely on).
+
+        Scale shape: O(snapshot bytes) sequential copy through the
+        driver-local namespace (the logstore cache for S3 sources; the
+        staged dir uploads on S3 destinations) — the env's single-node
+        boundary; on a cluster with s3a jars this becomes a distcp-style
+        object copy. Use for env promotion / disaster recovery, not as
+        a read path."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self.manifest(version)
+        src_entry = self._raw(version)
+        cons = self._constraints_of(src_entry)
+        dest = ManifestTable(
+            dest_root,
+            stats_cols=self.stats_cols,
+            checkpoint_interval=checkpoint_interval,
+            log_store=log_store,
+        )
+        txn = uuid.uuid4().hex
+        stage = dest.store.txn_stage_dir(txn)
+        carried: dict[str, dict] = {}  # staged local path -> source entry
+        _b, paths = self.store.resolve_read([e["path"] for e in m["files"]])
+        for e, src in zip(m["files"], paths):
+            # keep the partition dirs (everything between txn=<id> and
+            # the filename — already Hive-escaped in the source layout);
+            # fresh filename so cross-txn name reuse can never collide
+            segs = e["path"].split("/")[2:-1]
+            d = os.path.join(stage, *segs)
+            os.makedirs(d, exist_ok=True)
+            out = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
+            if e.get("dv"):
+                import pyarrow as pa
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+
+                table = pq.read_table(src)
+                _db, dv_paths = self.store.resolve_read(sorted(e["dv"]))
+                keep = [True] * len(table)
+                for dvp in dv_paths:
+                    dv = pq.read_table(dvp, columns=["file", "pos"])
+                    dv = dv.filter(pc.equal(dv["file"], e["path"]))
+                    for p in dv["pos"].to_pylist():
+                        keep[p] = False
+                pq.write_table(table.filter(pa.array(keep)), out)
+                entry_meta = {"bytes": os.path.getsize(out)}
+                if self.stats_cols:
+                    entry_meta["stats"] = _file_stats(out, self.stats_cols)
+            else:
+                shutil.copyfile(src, out)
+                entry_meta = {"bytes": e.get("bytes", os.path.getsize(out))}
+                if "stats" in e:
+                    entry_meta["stats"] = e["stats"]
+            carried[os.path.abspath(out)] = entry_meta
+        entries = []
+        for rel, local in dest.store.finalize_txn(txn):
+            meta = carried[os.path.abspath(local)]
+            entry = {
+                "path": rel,
+                "partition": _parse_partition(rel),
+                "bytes": meta["bytes"],
+            }
+            if "stats" in meta:
+                entry["stats"] = meta["stats"]
+            entries.append(entry)
+        dest._commit_files(
+            None,
+            txn,
+            entries,
+            self._table_schema_of(src_entry),
+            m["partition_by"] or None,
+            "clone",
+            "all",
+            dest.latest_version(),
+            cons,
+            validate=False,
+        )
+        return dest
 
     def last_txn_version(self, app: str) -> int | None:
         """The highest `txn` version committed for `app` in the RETAINED

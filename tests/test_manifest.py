@@ -1751,3 +1751,71 @@ def test_describe_detail(spark, tab):
     assert d["constraints"] == {"id_pos": "id > 0"}
     assert d["num_files_with_dv"] == 1
     assert d["last_commit_action"] == "delete_dv"
+
+
+def test_deep_clone_latest_and_old_version(spark, tab, tmp_path):
+    """clone_to (Delta DEEP CLONE): byte-copy of a pinned snapshot into
+    an independent table — layout, stats, and constraints carried; the
+    clone's log starts fresh at v0 with action 'clone'."""
+    tab.commit_overwrite(
+        _df(spark, [(1, "a", "d1"), (2, "b", "d2"), (3, "c", "d1")]),
+        partition_by=["day"],
+    )
+    tab.add_check_constraint(spark, "id_pos", "id > 0")
+    tab.commit_append(_df(spark, [(4, "d", "d2")]), partition_by=["day"])
+    v_old = 0
+
+    dest = tab.clone_to(str(tmp_path / "clone_latest"))
+    assert dest.versions() == [0]
+    assert dest._raw(0)["action"] == "clone"
+    m = dest.manifest(0)
+    assert m["partition_by"] == ["day"]
+    assert sorted(
+        (r.id, r.v, r.day) for r in dest.read(spark).collect()
+    ) == sorted((r.id, r.v, r.day) for r in tab.read(spark).collect())
+    assert dest.constraints() == {"id_pos": "id > 0"}
+    # the clone ENFORCES the carried constraint
+    with pytest.raises(CheckConstraintViolation):
+        dest.commit_append(_df(spark, [(-1, "x", "d1")]), partition_by=["day"])
+
+    old = tab.clone_to(str(tmp_path / "clone_v0"), version=v_old)
+    assert sorted(
+        (r.id, r.v, r.day) for r in old.read(spark).collect()
+    ) == sorted(
+        (r.id, r.v, r.day) for r in tab.read(spark, version=v_old).collect()
+    )
+
+
+def test_deep_clone_materializes_dv_and_carries_stats(spark, tmp_path):
+    src = ManifestTable(str(tmp_path / "src"), stats_cols=["id"])
+    src.commit_overwrite(
+        _df(spark, [(i, f"v{i}", f"d{i % 2}") for i in range(20)])
+    )
+    src.delete_where(spark, "id % 5 = 0", mode="dv")
+    assert any(e.get("dv") for e in src.manifest(src.latest_version())["files"])
+    dest = src.clone_to(str(tmp_path / "dst"))
+    m = dest.manifest(0)
+    # merge-on-read debt does not travel: deletes are materialized
+    assert not any(e.get("dv") for e in m["files"])
+    assert all("stats" in e and "id" in e["stats"] for e in m["files"])
+    assert sorted(r.id for r in dest.read(spark).collect()) == sorted(
+        i for i in range(20) if i % 5 != 0
+    )
+
+
+def test_deep_clone_is_storage_independent(spark, tmp_path):
+    src = ManifestTable(str(tmp_path / "src"))
+    src.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    src.commit_overwrite(_df(spark, [(2, "b", "d2")]))
+    dest = src.clone_to(str(tmp_path / "dst"), version=0)
+    # vacuum the source past the cloned version: the clone is untouched
+    src.vacuum(keep_versions=1, min_age_seconds=0)
+    with pytest.raises(Exception):
+        src.read(spark, version=0).collect()  # source history gone (loud)
+    assert [(r.id, r.v, r.day) for r in dest.read(spark).collect()] == [
+        (1, "a", "d1")
+    ]
+    # and vacuuming the CLONE never touches the source
+    dest.commit_overwrite(_df(spark, [(9, "z", "d9")]))
+    dest.vacuum(keep_versions=1, min_age_seconds=0)
+    assert src.read(spark).count() == 1

@@ -213,6 +213,12 @@ _VALUE_MUTATIONS = {
     "i15_stream_lake_sink": (
         "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
     ),
+    # DEEP CLONE: byte-copy of a pinned snapshot; the nudge proves the
+    # gate constrains that the clone is the PRE-merge version, not the
+    # mutated head (and that the copied bytes decode to the same rows)
+    "x67_deep_clone": (
+        "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
+    ),
 }
 
 
