@@ -179,6 +179,39 @@ def test_complete_mode_replaces_per_batch(spark, tmp_path):
         q.stop()
 
 
+def test_stream_source_over_datasource_written_table(spark, tmp_path):
+    """Composition: batch writes through df.write.format('manifest')
+    produce 'append' commits a downstream manifest_stream subscriber
+    drains incrementally — the write path and the stream path agree on
+    the log's semantics."""
+    root = str(tmp_path / "t")
+    _df(spark, [(1, "a", "d1")]).write.format("manifest").mode(
+        "overwrite"
+    ).option("path", root).option("partitionBy", "day").save()
+    q = (
+        spark.readStream.format("manifest_stream")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("dsv2_src")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _df(spark, [(2, "b", "d2")]).write.format("manifest").mode(
+            "append"
+        ).option("path", root).save()
+        q.processAllAvailable()
+        rows = sorted(
+            (r.id, r.v, r.day)
+            for r in spark.sql("SELECT * FROM dsv2_src").collect()
+        )
+        assert rows == [(1, "a", "d1"), (2, "b", "d2")]
+    finally:
+        q.stop()
+
+
 def test_sink_enforces_check_constraints_per_batch(spark, tmp_path):
     src_root, sink_root = str(tmp_path / "src"), str(tmp_path / "sink")
     src = ManifestTable(src_root)
