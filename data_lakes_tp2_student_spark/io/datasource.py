@@ -231,19 +231,30 @@ class ManifestBatchReader(DataSourceReader):
                 # surprise (null literal, mixed-type bounds) simply
                 # skips the prune — never fails the scan.
                 try:
+                    import math
+
+                    def _nan(x):
+                        # a NaN literal cannot prune: Spark orders NaN
+                        # GREATER than every double (`col < NaN` matches
+                        # every row) while NaN poisons min/max folding —
+                        # skipping the bound keeps pruning sound
+                        return isinstance(x, float) and math.isnan(x)
+
                     bounds = self._range_prune.setdefault(col, [None, None])
                     if isinstance(f, In) and f.value:
                         # col ∈ S ⇒ min(S) ≤ col ≤ max(S): zone-map fold
                         vals = [_json_safe(v) for v in f.value]
-                        lo, hi = min(vals), max(vals)
-                        bounds[0] = lo if bounds[0] is None else max(bounds[0], lo)
-                        bounds[1] = hi if bounds[1] is None else min(bounds[1], hi)
+                        if not any(_nan(v) for v in vals):
+                            lo, hi = min(vals), max(vals)
+                            bounds[0] = lo if bounds[0] is None else max(bounds[0], lo)
+                            bounds[1] = hi if bounds[1] is None else min(bounds[1], hi)
                     else:
                         v = _json_safe(f.value)
-                        if eq or isinstance(f, (GreaterThan, GreaterThanOrEqual)):
-                            bounds[0] = v if bounds[0] is None else max(bounds[0], v)
-                        if eq or isinstance(f, (LessThan, LessThanOrEqual)):
-                            bounds[1] = v if bounds[1] is None else min(bounds[1], v)
+                        if not _nan(v):
+                            if eq or isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                                bounds[0] = v if bounds[0] is None else max(bounds[0], v)
+                            if eq or isinstance(f, (LessThan, LessThanOrEqual)):
+                                bounds[1] = v if bounds[1] is None else min(bounds[1], v)
                 except (AttributeError, TypeError):
                     pass
             yield f
