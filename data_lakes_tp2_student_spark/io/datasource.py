@@ -331,6 +331,24 @@ class _CommitEntries(WriterCommitMessage):
         self.entries = entries
 
 
+# exactly the characters Spark's ExternalCatalogUtils.escapePathName
+# escapes (verified empirically: '=' -> %3D, 'café' stays RAW). Using
+# urllib.quote here instead would percent-encode non-ASCII as UTF-8
+# bytes, which Spark's partition discovery decodes char-by-char into
+# mojibake ('café' read back as 'cafÃ©' — round-8 review find).
+_PATH_ESCAPE = (
+    set('"#%\'*/:=?\\{[]^')
+    | {chr(i) for i in range(0x20)}
+    | {chr(0x7F)}
+)
+
+
+def _escape_path_value(v: str) -> str:
+    return "".join(
+        f"%{ord(c):02X}" if c in _PATH_ESCAPE else c for c in v
+    )
+
+
 class _StagedWriterBase:
     """Shared machinery of the batch and STREAMING manifest writers:
     option parsing, the executor-side Arrow→parquet staging write, and
@@ -399,20 +417,19 @@ class _StagedWriterBase:
         writers: dict[tuple, pq.ParquetWriter] = {}
         paths: dict[tuple, str] = {}
 
-        from urllib.parse import quote
-
         def file_for(key: tuple) -> pq.ParquetWriter:
             if key not in writers:
-                # percent-escape the value (Hive convention, what
-                # _parse_partition's unquote and Spark's partition
-                # discovery both decode): a raw '/' would nest an extra
-                # dir and corrupt the layout; '=' / '%' would mis-parse
+                # escape exactly what Spark escapes (a raw '/' would
+                # nest a bogus dir, '='/'%' mis-parse, but non-ASCII
+                # must stay raw); EMPTY STRING takes the Hive default
+                # partition like None — Spark's own write does the same
+                # (both read back as NULL)
                 segs = [
                     "{}={}".format(
                         c,
                         HIVE_NULL
-                        if v is None
-                        else quote(_path_value(v), safe=""),
+                        if v is None or _path_value(v) == ""
+                        else _escape_path_value(_path_value(v)),
                     )
                     for c, v in zip(self._partition_by, key)
                 ]
@@ -460,7 +477,13 @@ class _StagedWriterBase:
             entry = {
                 "path": os.path.relpath(p, self._root),
                 "partition": {
-                    c: (None if v is None else _path_value(v))
+                    # "" folds into the Hive default partition (null),
+                    # matching the entry _parse_partition would record
+                    c: (
+                        None
+                        if v is None or _path_value(v) == ""
+                        else _path_value(v)
+                    )
                     for c, v in zip(self._partition_by, key)
                 },
                 "bytes": os.path.getsize(p),

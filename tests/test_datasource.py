@@ -343,7 +343,8 @@ def test_partition_values_with_path_metacharacters_roundtrip(spark, tmp_path):
     unquote and Spark's partition discovery decode."""
     root = str(tmp_path / "t")
     df = spark.createDataFrame(
-        [(1, "a", "d1/x"), (2, "b", "k=v"), (3, "c", "p%33 q")],
+        [(1, "a", "d1/x"), (2, "b", "k=v"), (3, "c", "p%33 q"),
+         (4, "d", "café"), (5, "e", "a\nb")],
         "id int, v string, day string",
     )
     (
@@ -353,10 +354,31 @@ def test_partition_values_with_path_metacharacters_roundtrip(spark, tmp_path):
     tab = ManifestTable(root)
     assert sorted(
         e["partition"]["day"] for e in tab.manifest(0)["files"]
-    ) == ["d1/x", "k=v", "p%33 q"]
-    # BOTH read paths decode the same values
+    ) == ["a\nb", "café", "d1/x", "k=v", "p%33 q"]
+    # BOTH read paths decode the same values (non-ASCII stays RAW in the
+    # path — percent-encoding it would read back as mojibake through
+    # Spark's char-by-char unescape)
     assert _multiset(tab.read(spark)) == _multiset(df)
     assert _multiset(_read(spark, root)) == _multiset(df)
+
+
+def test_empty_string_partition_value_takes_hive_default(spark, tmp_path):
+    """Spark's own partitioned write folds '' into
+    __HIVE_DEFAULT_PARTITION__ (reads back as NULL, same as None) — the
+    DataSource writer must match, or the native read path errors on the
+    bare 'day=' directory it would otherwise produce."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, ""), (2, "d1"), (3, None)], "id int, day string"
+    )
+    (
+        df.write.format("manifest").mode("overwrite")
+        .option("path", root).option("partitionBy", "day").save()
+    )
+    expected = {(1, None), (2, "d1"), (3, None)}
+    tab = ManifestTable(root)
+    assert {(r.id, r.day) for r in tab.read(spark).collect()} == expected
+    assert {(r.id, r.day) for r in _read(spark, root).collect()} == expected
 
 
 def test_nan_float_stats_never_prune_qualifying_rows(spark, tmp_path):
