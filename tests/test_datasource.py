@@ -362,6 +362,28 @@ def test_partition_values_with_path_metacharacters_roundtrip(spark, tmp_path):
     assert _multiset(_read(spark, root)) == _multiset(df)
 
 
+def test_partition_value_escape_battery(spark, tmp_path):
+    """Every character the writer escapes (Spark's exact set), embedded
+    one per partition value, plus unicode samples — one write, both
+    read paths, exact multiset equality."""
+    from data_lakes_tp2_student_spark.io.datasource import _PATH_ESCAPE
+
+    vals = [f"a{c}b" for c in sorted(_PATH_ESCAPE)] + [
+        "café", "日本語", "emoji🙂x", "mixé=%/ü", "..", ".", "%C3%A9"
+    ]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id int, day string").coalesce(4)
+    (
+        df.write.format("manifest").mode("overwrite")
+        .option("path", str(tmp_path / "t")).option("partitionBy", "day")
+        .save()
+    )
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root)
+    assert _multiset(tab.read(spark)) == _multiset(df)
+    assert _multiset(_read(spark, root)) == _multiset(df)
+
+
 def test_empty_string_partition_value_takes_hive_default(spark, tmp_path):
     """Spark's own partitioned write folds '' into
     __HIVE_DEFAULT_PARTITION__ (reads back as NULL, same as None) — the
