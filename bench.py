@@ -315,6 +315,13 @@ def main() -> None:
                 "round_walls": round_walls,
                 "warmup_pass": warmup,
                 "extra_short_reps": extra_n,
+                # ids whose best-of-N pools more samples than the rest
+                # (ADVICE r8: unequal sample counts favor these rows vs
+                # baselines recorded under the old protocol — flagged so
+                # cross-round readers can account for it; their
+                # go-forward baselines are re-recorded under THIS
+                # protocol, see BASELINE.md r9 footnote)
+                "extra_sampled": sorted(short) if extra_n else [],
                 "vs_baseline": vs_baseline,
                 "vs_baseline_total": vs_baseline_total,
                 "sf": sf,
@@ -334,6 +341,7 @@ def main() -> None:
                 "total_best": total_best,
                 "vs_baseline": vs_baseline,
                 "vs_baseline_total": vs_baseline_total,
+                "extra_sampled": sorted(short) if extra_n else [],
                 "sf": sf,
             }
         )

@@ -343,6 +343,28 @@ _PATH_ESCAPE = (
 )
 
 
+def _duckdb_type(dt) -> str:
+    """DuckDB spelling of a Spark partition-column type, for the typed
+    literal injection in _validate_with_duckdb. Partition columns are
+    primitives (Spark rejects complex partition types), so the table
+    below is exhaustive for reachable layouts; anything unmapped falls
+    back to the type's own SQL spelling (DECIMAL(p,s) passes through)."""
+    s = dt.simpleString()
+    return {
+        "tinyint": "TINYINT",
+        "smallint": "SMALLINT",
+        "int": "INTEGER",
+        "bigint": "BIGINT",
+        "float": "REAL",
+        "double": "DOUBLE",
+        "boolean": "BOOLEAN",
+        "date": "DATE",
+        "timestamp": "TIMESTAMP",
+        "timestamp_ntz": "TIMESTAMP",
+        "string": "VARCHAR",
+    }.get(s, s.upper())
+
+
 def _escape_path_value(v: str) -> str:
     return "".join(
         f"%{ord(c):02X}" if c in _PATH_ESCAPE else c for c in v
@@ -493,28 +515,33 @@ class _StagedWriterBase:
             entries.append(entry)
         return _CommitEntries(entries)
 
-    @staticmethod
-    def _validate_with_duckdb(table: ManifestTable, entries: list[dict], cons: dict):
+    def _validate_with_duckdb(self, table: ManifestTable, entries: list[dict], cons: dict):
         """CHECK constraints on the staged files. The commit callback
         runs in a sessionless Python worker (no JVM, no SparkSession),
         so the Spark validation pass _commit_files normally runs is
         unreachable — DuckDB evaluates the same `coalesce(expr, TRUE) =
         FALSE` predicate (NULL passes, SQL CHECK) over each staged
         parquet, with the entry's partition values injected as literals
-        (Hive layout keeps them out of the file). FAIL CLOSED: an
-        expression DuckDB cannot evaluate aborts the commit rather than
-        skipping the check — commit such tables via
+        (Hive layout keeps them out of the file), CAST to the written
+        column's type — a raw varchar would make e.g. a numeric
+        comparison lexicographic in DuckDB while Spark's path compares
+        numerically, letting a violating row through (ADVICE r8). FAIL
+        CLOSED: an expression DuckDB cannot evaluate aborts the commit
+        rather than skipping the check — commit such tables via
         ManifestTable.commit_append."""
         import duckdb
 
         from .manifest import CheckConstraintViolation
 
+        duck_of = {c: _duckdb_type(self._schema[c].dataType) for c in self._partition_by}
         _b, paths = table.store.resolve_read([e["path"] for e in entries])
         for e, p in zip(entries, paths):
             extra = "".join(
-                f", NULL AS {c}"
+                f", CAST(NULL AS {duck_of[c]}) AS {c}"
                 if v is None
-                else ", '{}' AS {}".format(v.replace("'", "''"), c)
+                else ", CAST('{}' AS {}) AS {}".format(
+                    v.replace("'", "''"), duck_of[c], c
+                )
                 for c, v in e["partition"].items()
             )
             rel = "(SELECT *{} FROM read_parquet('{}'))".format(

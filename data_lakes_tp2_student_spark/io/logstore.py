@@ -321,11 +321,29 @@ class S3LogStore(LogStore):
             # 412: the key exists (a writer already won this version).
             # 409 ConditionalRequestConflict: S3's response when TWO
             # conditional writers collide mid-flight — neither can know
-            # it won, so treat it as a loss and let the commit loop
-            # re-list and retry (the winner's entry will be visible).
-            if code in ("PreconditionFailed", "ConditionalRequestConflict"):
+            # it won, so re-list and resolve the same way.
+            if code not in ("PreconditionFailed", "ConditionalRequestConflict"):
+                raise
+            # Self-conflict guard (ADVICE r8): boto3 transparently
+            # retries PUTs on network errors. If the FIRST attempt
+            # landed but its 200 response was lost, the retry gets 412
+            # against our OWN just-created entry — reporting that as a
+            # loss would make the commit loop republish the same files
+            # at the next version (silent duplicate rows on append).
+            # The entry bytes are unique per commit attempt (txn uuid
+            # data paths, committed_at), so read-back == data proves
+            # the existing object is ours and the put WON.
+            try:
+                existing = self.read_log(name)
+            except FileNotFoundError:
+                # key vanished between the 412 and the read-back (a
+                # racing vacuum of a LOSING old version is impossible —
+                # vacuum only truncates below checkpoints — so this is
+                # effectively unreachable; report loss and let the
+                # commit loop re-list: worst case a spurious conflict
+                # retry, never a duplicate)
                 return False
-            raise
+            return existing == data
 
     def put_log_atomic(self, name: str, data: bytes) -> None:
         # a plain S3 PUT is atomic: the new object version appears fully

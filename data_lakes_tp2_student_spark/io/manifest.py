@@ -751,13 +751,17 @@ class ManifestTable:
                 ):
                     try:
                         self._write_checkpoint(v)
-                    except OSError:
+                    except Exception:
                         # the COMMIT already succeeded and the log alone
                         # reconstructs every snapshot — a failed
                         # checkpoint (disk pressure, races with vacuum's
-                        # log truncation) must not turn a durable commit
-                        # into an apparent failure; the next interval
-                        # commit or vacuum writes the next checkpoint
+                        # log truncation, a transient S3 error from
+                        # put_log_atomic: botocore raises ClientError,
+                        # NOT OSError — ADVICE r8) must not turn a
+                        # durable commit into an apparent failure that
+                        # invites a duplicating caller retry; the next
+                        # interval commit or vacuum writes the next
+                        # checkpoint
                         pass
                 return v
         raise RuntimeError(

@@ -139,7 +139,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # are idempotent per session, so pay them once — part of the
         # fixed per-query overhead shave on the sub-second event queries
         # (VERDICT r7 item 2).
-        ck = ("conf_pinned", id(spark))
+        # keyed on applicationId, not id(spark): a stopped session's id()
+        # can be reused by a later session after GC, which would silently
+        # skip the pinning for the new session (ADVICE r8)
+        ck = ("conf_pinned", spark.sparkContext.applicationId)
         if ck not in _SCHEMA_CACHE:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             # timestamps are rendered in the SESSION tz at collect time;

@@ -243,6 +243,36 @@ def test_write_passes_check_constraints_with_partition_columns(spark, tmp_path):
         ).option("path", root).save()
 
 
+def test_write_constraint_on_numeric_partition_column_is_typed(spark, tmp_path):
+    """ADVICE r8: partition values are injected into the DuckDB
+    validation as literals; untyped VARCHAR injection made numeric
+    comparisons lexicographic ('9' >= '10' is TRUE), letting a
+    violating row through the DataSource write path. The literal must
+    be CAST to the committed column type.
+
+    The divergent case is varchar-vs-varchar (DuckDB implicitly casts
+    varchar-vs-int numerically): a string literal in the constraint —
+    Spark coerces `int_col >= '10'` numerically, DuckDB compares two
+    varchars lexicographically when the column arrives as varchar."""
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root)
+    df0 = spark.createDataFrame([(1, "a", 12)], "id int, v string, n int")
+    tab.commit_overwrite(df0, partition_by=["n"])
+    tab.add_check_constraint(spark, "n_big", "n >= '10'")
+    # numeric 9 >= 10 is FALSE (violation); lexicographic '9' >= '10'
+    # is TRUE — the old path accepted this row
+    with pytest.raises(Exception, match="n_big"):
+        spark.createDataFrame(
+            [(2, "b", 9)], "id int, v string, n int"
+        ).write.format("manifest").mode("append").option("path", root).save()
+    assert tab.read(spark).count() == 1
+    # and a genuinely passing numeric value still lands
+    spark.createDataFrame(
+        [(3, "c", 11)], "id int, v string, n int"
+    ).write.format("manifest").mode("append").option("path", root).save()
+    assert tab.read(spark).count() == 2
+
+
 def test_write_fails_closed_on_unvalidatable_constraint(spark, tmp_path):
     root = str(tmp_path / "t")
     tab = ManifestTable(root)

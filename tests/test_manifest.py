@@ -1819,3 +1819,110 @@ def test_deep_clone_is_storage_independent(spark, tmp_path):
     dest.commit_overwrite(_df(spark, [(9, "z", "d9")]))
     dest.vacuum(keep_versions=1, min_age_seconds=0)
     assert src.read(spark).count() == 1
+
+
+# ---------- ADVICE r8 regressions ----------
+
+
+def _s3_store(moto_endpoint, tmp_path, name):
+    import uuid as _uuid
+
+    from data_lakes_tp2_student_spark.io.logstore import S3LogStore
+
+    prefix = f"{name}-{_uuid.uuid4().hex[:10]}"
+    store = S3LogStore(
+        "lake", prefix, endpoint=moto_endpoint,
+        cache_dir=str(tmp_path / f"cache-{name}"),
+    )
+    try:
+        store.client.create_bucket(Bucket="lake")
+    except store.client.exceptions.ClientError:
+        pass
+    return store
+
+
+class _RetryLostResponseClient:
+    """Simulates boto3's transparent PUT retry after a lost response:
+    the put lands server-side, then the caller sees a 412 ClientError
+    (the retry hit If-None-Match against the writer's OWN object)."""
+
+    def __init__(self, real, arm_key_suffix):
+        self._real = real
+        self._arm = arm_key_suffix
+        self.fired = False
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+    def put_object(self, **kw):
+        if (
+            not self.fired
+            and kw.get("IfNoneMatch") == "*"
+            and kw["Key"].endswith(self._arm)
+        ):
+            self.fired = True
+            self._real.put_object(
+                Bucket=kw["Bucket"], Key=kw["Key"], Body=kw["Body"]
+            )
+            from botocore.exceptions import ClientError
+
+            raise ClientError(
+                {"Error": {"Code": "PreconditionFailed", "Message": "412"}},
+                "PutObject",
+            )
+        return self._real.put_object(**kw)
+
+
+def test_s3_put_retry_self_conflict_counts_as_win(tmp_path, moto_endpoint):
+    """ADVICE r8 (logstore): a 412 whose existing object carries OUR
+    bytes means our first attempt landed and the response was lost —
+    put_log_if_absent must report a WIN, or the commit loop republishes
+    the same files at the next version (duplicate rows on append)."""
+    store = _s3_store(moto_endpoint, tmp_path, "selfwin")
+    store.client = _RetryLostResponseClient(store.client, "v0.json")
+    assert store.put_log_if_absent("v0.json", b'{"version": 0}') is True
+    assert store.client.fired
+    assert store.read_log("v0.json") == b'{"version": 0}'
+    # genuine loss: the key exists with ANOTHER writer's bytes
+    assert store.put_log_if_absent("v0.json", b'{"version": 0, "o": 1}') is False
+
+
+def test_s3_commit_survives_lost_put_response_no_duplicate(
+    spark, tmp_path, moto_endpoint
+):
+    """End-to-end: an append whose publish response is lost commits
+    EXACTLY ONCE (no duplicate rows, no extra version)."""
+    store = _s3_store(moto_endpoint, tmp_path, "e2ewin")
+    tab = ManifestTable(f"s3://lake/{store.prefix}", log_store=store)
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    store.client = _RetryLostResponseClient(store.client, "00001.json")
+    v = tab.commit_append(_df(spark, [(2, "b", "d2")]))
+    assert v == 1 and store.client.fired
+    assert tab.latest_version() == 1
+    assert rows(tab.read(spark)) == [(1, "a", "d1"), (2, "b", "d2")]
+
+
+def test_s3_checkpoint_client_error_does_not_fail_commit(
+    spark, tmp_path, moto_endpoint, monkeypatch
+):
+    """ADVICE r8 (manifest): put_log_atomic raises botocore ClientError,
+    not OSError — a transient checkpoint failure on an S3 table must not
+    turn the already-durable commit into an apparent failure."""
+    from botocore.exceptions import ClientError
+
+    store = _s3_store(moto_endpoint, tmp_path, "ckptfail")
+    tab = ManifestTable(
+        f"s3://lake/{store.prefix}", log_store=store, checkpoint_interval=1
+    )
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+
+    def boom(name, data):
+        raise ClientError(
+            {"Error": {"Code": "SlowDown", "Message": "503"}}, "PutObject"
+        )
+
+    monkeypatch.setattr(store, "put_log_atomic", boom)
+    v = tab.commit_append(_df(spark, [(2, "b", "d2")]))  # no raise
+    assert v == 1
+    monkeypatch.undo()
+    assert rows(tab.read(spark)) == [(1, "a", "d1"), (2, "b", "d2")]
