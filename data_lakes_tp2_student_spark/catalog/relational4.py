@@ -1,8 +1,9 @@
 """TPC-H query-shape completion: q7/q8/q13/q15/q22 directly; q9/q11/q16
 REAL as of round 8 (VERDICT r7 item 4) against the derived deterministic
 ``partsupp`` (catalog/partsupp.py — identical integer derivation in Spark
-and the DuckDB oracle); q21 remains a shape-preserving adaptation (its
-gap is ``o_comment`` and receipt dates, which no derivation can supply).
+and the DuckDB oracle); q21 REAL as of round 9 (VERDICT r8 item 3)
+against derived receipt/commit dates (see its docstring) — all 22 TPC-H
+shapes now run their real semantics.
 
 Extension surface (SURVEY.md §2 x6): the reference
 (sarafa19/Data-Lakes-tp2-student) contains zero joins (SURVEY §2.C,
@@ -410,43 +411,79 @@ def x6_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x6_tpch_q21",
     oracle="""
+    WITH l AS (
+        SELECT l_orderkey, l_suppkey,
+               CAST(l_shipdate AS DATE)
+                   + CAST((l_orderkey*31 + l_linenumber*7) % 30 AS INT)
+                   AS l_commitdate,
+               CAST(l_shipdate AS DATE)
+                   + CAST((l_orderkey*17 + l_linenumber*13) % 45 AS INT)
+                   AS l_receiptdate
+        FROM lineitem
+    )
     SELECT s.s_name, count(*) AS numwait
     FROM supplier s
-    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN l l1 ON s.s_suppkey = l1.l_suppkey
     JOIN orders o ON o.o_orderkey = l1.l_orderkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
-    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_receiptdate > l1.l_commitdate
       AND r.r_name = 'EUROPE'
-      AND EXISTS (SELECT 1 FROM lineitem l2
+      AND EXISTS (SELECT 1 FROM l l2
                   WHERE l2.l_orderkey = l1.l_orderkey
                     AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      AND NOT EXISTS (SELECT 1 FROM l l3
                       WHERE l3.l_orderkey = l1.l_orderkey
                         AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.l_returnflag = 'R')
+                        AND l3.l_receiptdate > l3.l_commitdate)
     GROUP BY s.s_name
     ORDER BY numwait DESC, s.s_name
     LIMIT 100
     """,
 )
 def x6_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x6 — TPC-H Q21 shape (suppliers who kept orders waiting): the sole
-    at-fault supplier on multi-supplier finalized orders. 'At fault' is
-    ``l_returnflag = 'R'`` (no receipt/commit dates in the driver schema);
-    the correlated EXISTS / NOT EXISTS pair — the hard part of q21 — is
-    preserved verbatim and planned as left-semi + left-anti joins against
-    per-order supplier profiles, not per-row subquery probes."""
+    """x6 — TPC-H Q21, REAL as of round 9 (VERDICT r8 item 3): suppliers
+    who kept finalized orders waiting — the sole LATE supplier
+    (``l_receiptdate > l_commitdate``) on multi-supplier 'F' orders.
+
+    The driver schema ships no receipt/commit dates, so both are DERIVED
+    deterministically from columns that do exist, with the identical
+    integer-day expression in Spark and the oracle CTE (the
+    ``catalog/partsupp.py`` technique):
+
+    - ``l_commitdate  = date(l_shipdate) + (l_orderkey*31 + l_linenumber*7)  % 30 days``
+    - ``l_receiptdate = date(l_shipdate) + (l_orderkey*17 + l_linenumber*13) % 45 days``
+
+    Both engines add integer days to the same DATE, so the late predicate
+    is bit-identical (~65% of rows late; the NOT EXISTS then keeps only
+    orders where exactly one supplier was late). The correlated
+    EXISTS / NOT EXISTS pair — the hard part of q21 — is planned as
+    left-semi + left-anti joins against per-order supplier profiles, not
+    per-row subquery probes; at 100 TB all three lineitem legs shuffle on
+    ``l_orderkey`` once and the dims broadcast."""
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    li = load(spark, sf_dir, "lineitem")
-    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr(
+            "date_add(CAST(l_shipdate AS DATE), "
+            "CAST((l_orderkey*31 + l_linenumber*7) % 30 AS INT))"
+        ).alias("l_commitdate"),
+        F.expr(
+            "date_add(CAST(l_shipdate AS DATE), "
+            "CAST((l_orderkey*17 + l_linenumber*13) % 45 AS INT))"
+        ).alias("l_receiptdate"),
+    )
+    late = F.col("l_receiptdate") > F.col("l_commitdate")
+    l1 = li.filter(late).select("l_orderkey", "l_suppkey")
     l2 = li.select(
         F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
     )
-    l3 = li.filter(F.col("l_returnflag") == "R").select(
+    l3 = li.filter(late).select(
         F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
     )
     return (
