@@ -877,3 +877,55 @@ def x67_deep_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(dest_root, ignore_errors=True)
     clone = table.clone_to(dest_root, version=0)  # ...we clone version 0
     return clone.read(spark)
+
+
+@register(
+    "x68_column_rename",
+    oracle="""
+    SELECT 'v2' AS snap, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    UNION ALL
+    SELECT 'v2', o_orderkey + 1000000,
+           CAST(o_totalprice * 2 AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'v0' AS snap, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    """,
+)
+def x68_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x68 — ALTER TABLE RENAME COLUMN without rewrite (round 9,
+    VERDICT r8 item 2 — Delta column-mapping name mode): version 0 =
+    orders(o_orderkey, o_totalprice); version 1 = metadata-only
+    `rename_column("o_totalprice", "price")` (ZERO data files move — at
+    100 TB this is the difference between an instant commit and a full
+    table rewrite); version 2 = an append under the NEW logical name.
+    The output unions the latest snapshot (served under `price` across
+    files written under BOTH names) with the v0 time travel (served
+    under the ORIGINAL `o_totalprice` — each version reads its
+    contemporaneous names). The hash match proves the logical→physical
+    indirection relabels without touching, losing, or duplicating a
+    byte. Mapping mechanics: io/manifest.py rename_column/_load_snapshot
+    (physical names immutable; new columns after enablement get fresh
+    `col_<hex>` physicals so re-used names can never collide)."""
+    table = _fresh_orders_table(
+        spark, sf_dir, "x68", select=["o_orderkey", "o_totalprice"]
+    )
+    table.rename_column("o_totalprice", "price")
+    table.commit_append(
+        load(spark, sf_dir, "orders").select(
+            (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+            (F.col("o_totalprice") * 2).cast("double").alias("price"),
+        )
+    )
+    latest = table.read(spark).select(
+        F.lit("v2").alias("snap"), "o_orderkey", F.col("price").cast("double").alias("price")
+    )
+    v0 = table.read(spark, version=0).select(
+        F.lit("v0").alias("snap"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    return latest.unionByName(v0)

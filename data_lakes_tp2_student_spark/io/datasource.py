@@ -141,19 +141,23 @@ def _nullable(schema: StructType) -> StructType:
     )
 
 
-def _project(arrow_table, want, partition: dict | None = None):
+def _project(arrow_table, want, partition: dict | None = None, mapping: dict | None = None):
     """Project an Arrow table to the `want` schema: cast shared columns,
     fill PARTITION columns from the manifest entry's values (Hive-layout
     data files don't store them — a plain file read would return them
     null), and null-pad columns the (older, pre-evolution) file predates
-    — the same contract as ManifestTable.read()'s mergeSchema scan."""
+    — the same contract as ManifestTable.read()'s mergeSchema scan.
+    `mapping` (logical→physical, round-9 column mapping) resolves each
+    logical field to the physical column name the file stores; identity
+    when absent. Partition columns are always identity-mapped."""
     import pyarrow as pa
 
     n = len(arrow_table)
     cols = []
     for field in want:
-        if field.name in arrow_table.column_names:
-            cols.append(arrow_table[field.name].cast(field.type))
+        phys = (mapping or {}).get(field.name, field.name)
+        if phys in arrow_table.column_names:
+            cols.append(arrow_table[phys].cast(field.type))
         elif partition and field.name in partition:
             v = partition[field.name]
             if v is None:
@@ -188,6 +192,9 @@ class ManifestBatchReader(DataSourceReader):
         m = table.manifest(version)
         self._files = m["files"]
         self._partition_by = set(m["partition_by"])
+        # logical→physical resolution for projection and stats skipping
+        # (round 9 column mapping); {} = identity
+        self._mapping = m.get("column_mapping") or {}
         # pushed-filter pruning state: {col: set of partition strings}
         # and {col: [lo, hi]} range bounds (None = unbounded side)
         self._part_prune: dict[str, set] = {}
@@ -277,7 +284,9 @@ class ManifestBatchReader(DataSourceReader):
         for col, (lo, hi) in self._range_prune.items():
             if lo is None and hi is None:
                 continue
-            files = [e for e in files if self._stats_overlap(e, col, lo, hi)]
+            # stats are keyed by PHYSICAL name; filters arrive logical
+            sc = self._mapping.get(col, col)
+            files = [e for e in files if self._stats_overlap(e, sc, lo, hi)]
         if not files:
             # Spark requires at least one partition; an empty one yields
             # nothing (read() returns immediately on a None path)
@@ -320,7 +329,8 @@ class ManifestBatchReader(DataSourceReader):
             keep[dead.astype(int)] = False
             table = table.filter(pa.array(keep))
         out = _project(
-            table, to_arrow_schema(self._schema), partition.partition
+            table, to_arrow_schema(self._schema), partition.partition,
+            self._mapping,
         )
         for batch in out.to_batches():
             yield batch
@@ -410,6 +420,18 @@ class _StagedWriterBase:
             # segment is spelled txn=<id> and would collide on read
             raise ValueError(
                 "column name 'txn' is reserved by the manifest layout"
+            )
+        if base is not None and table._mapping_of(table._raw(base)) is not None:
+            # column-mapped tables store PHYSICAL column names; this
+            # writer stages the DataFrame's logical names verbatim, so
+            # a write here would detach renamed columns from their
+            # bytes. Fail loud (Delta gates column mapping behind a
+            # writer protocol version the same way); the native path
+            # resolves the mapping. A rename landing AFTER this check
+            # is caught by the commit loop's mapping-change gate.
+            raise ValueError(
+                "table has column mapping enabled (rename/drop history) "
+                "— write via ManifestTable.commit_append/commit_overwrite"
             )
         self._stats_cols = table.stats_cols
         self._options = dict(options)

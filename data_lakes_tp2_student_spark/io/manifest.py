@@ -77,7 +77,7 @@ from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -393,11 +393,20 @@ class ManifestTable:
     # ---------- data write ----------
 
     def _write_txn(
-        self, df: DataFrame, partition_by: list[str] | None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None,
+        mapping: dict | None = None,
     ) -> tuple[str, list[dict]]:
         """Write `df`'s parquet files into a fresh txn dir; return
         (txn id, file entries with table-relative paths + partition
-        values). Immutable: a crash after this leaves only an orphan."""
+        values). Immutable: a crash after this leaves only an orphan.
+
+        With column `mapping` (logical→physical, mapping-enabled
+        tables), the parquet files are written under PHYSICAL names and
+        per-file stats are keyed by physical name — the invariant every
+        read path resolves through (partition columns are always
+        identity-mapped, so the Hive path layout is unaffected)."""
         if "txn" in df.columns:
             # reserved: the commit-id path segment is spelled txn=<id> so
             # partition discovery parses the layout; a data column of the
@@ -405,6 +414,16 @@ class ManifestTable:
             raise ValueError(
                 "column name 'txn' is reserved by the manifest layout"
             )
+        if mapping:
+            for logical in df.columns:
+                phys = mapping.get(logical, logical)
+                if phys != logical:
+                    df = df.withColumnRenamed(logical, phys)
+        stats_cols = (
+            [mapping.get(c, c) for c in self.stats_cols]
+            if mapping
+            else self.stats_cols
+        )
         txn = uuid.uuid4().hex
         w = df.write
         if partition_by:
@@ -419,8 +438,8 @@ class ManifestTable:
                 # round-trip against the backend (Delta records size too)
                 "bytes": os.path.getsize(local),
             }
-            if self.stats_cols:
-                entry["stats"] = _file_stats(local, self.stats_cols)
+            if stats_cols:
+                entry["stats"] = _file_stats(local, stats_cols)
             entries.append(entry)
         return txn, entries
 
@@ -563,10 +582,37 @@ class ManifestTable:
         schema_json = df.schema.json()
         if base is ManifestTable._BASE_UNSET:
             base = self.latest_version()
+        base_entry = self._raw(base) if base is not None else None
         base_cons = (
-            self._constraints_of(self._raw(base)) if base is not None else {}
+            self._constraints_of(base_entry) if base_entry is not None else {}
         )
-        _txn, new_files = self._write_txn(df, partition_by)
+        base_map = (
+            self._mapping_of(base_entry) if base_entry is not None else None
+        )
+        mapping = None
+        if base_map is not None:
+            # mapping-enabled table: NEW logical columns get fresh
+            # physical names (never reuse a physical — a re-added
+            # logical name after rename/drop must not collide with the
+            # old physical column still in retained files). Partition
+            # columns stay identity (their names are the path layout).
+            mapping = dict(base_map)
+            taken = set(mapping.values())
+            for f in df.schema.fields:
+                if f.name not in mapping:
+                    if f.name in (partition_by or []):
+                        if f.name in taken:
+                            raise ValueError(
+                                f"partition column {f.name!r} collides "
+                                f"with a retained physical column of the "
+                                f"same name (renamed/dropped earlier) — "
+                                f"pick a different name"
+                            )
+                        mapping[f.name] = f.name
+                    else:
+                        mapping[f.name] = f"col_{uuid.uuid4().hex[:12]}"
+                    taken.add(mapping[f.name])
+        _txn, new_files = self._write_txn(df, partition_by, mapping=mapping)
         return self._commit_files(
             df.sparkSession,
             _txn,
@@ -580,6 +626,8 @@ class ManifestTable:
             remove_paths,
             max_attempts,
             entry_extra=entry_extra,
+            column_mapping=mapping,
+            base_mapping=base_map,
         )
 
     def _commit_files(
@@ -598,6 +646,8 @@ class ManifestTable:
         validate: bool = True,
         entry_extra: dict | None = None,
         txn_guard: tuple | None = None,
+        column_mapping: dict | None = None,
+        base_mapping: dict | None = None,
     ) -> int:
         """Publish ALREADY-WRITTEN txn files as one atomic commit — the
         back half of _commit, factored out so writers that stage files
@@ -623,11 +673,15 @@ class ManifestTable:
             _b, paths = self.store.resolve_read(
                 [e["path"] for e in new_files]
             )
+            vdf = spark.read.option("basePath", _b).parquet(*paths)
+            if column_mapping:
+                # files carry PHYSICAL names; constraint SQL binds to
+                # LOGICAL names — relabel before validating
+                for logical, phys in column_mapping.items():
+                    if phys != logical and phys in vdf.columns:
+                        vdf = vdf.withColumnRenamed(phys, logical)
             try:
-                self._validate_constraints(
-                    spark.read.option("basePath", _b).parquet(*paths),
-                    base_cons,
-                )
+                self._validate_constraints(vdf, base_cons)
             except CheckConstraintViolation:
                 self.store.delete_txn_dir(f"txn={txn}")
                 raise
@@ -725,6 +779,18 @@ class ManifestTable:
                     f"{action} based on version {base} conflicts with a "
                     f"concurrent constraint change at v{parent} — re-run"
                 )
+            if (
+                p_entry is not None
+                and self._mapping_of(p_entry) != base_mapping
+            ):
+                # a rename/drop landed after this commit's files were
+                # written under base's physical layout: rebasing would
+                # publish a stale mapping (or none), silently detaching
+                # logical names from the bytes just staged
+                raise ConcurrentWriteConflict(
+                    f"{action} based on version {base} conflicts with a "
+                    f"concurrent column rename/drop at v{parent} — re-run"
+                )
             entry = {
                 "version": (parent if parent is not None else -1) + 1,
                 "parent": parent,
@@ -738,6 +804,8 @@ class ManifestTable:
             }
             if base_cons:
                 entry["constraints"] = base_cons
+            if column_mapping is not None:
+                entry["column_mapping"] = column_mapping
             if entry_extra:
                 # e.g. {"txn": {"app":…, "version":…}} — the Delta txn
                 # action the streaming sink uses for idempotent restarts
@@ -871,14 +939,148 @@ class ManifestTable:
         del cons[name]
         return self._commit_metadata(latest, p_entry, "drop_constraint", cons)
 
+    # ---------- column mapping (round 9, Delta name-mode) ----------
+
+    @staticmethod
+    def _mapping_of(entry: dict) -> dict | None:
+        """The {logical: physical} column-name mapping carried by a log
+        entry. None = mapping never enabled on this table (physical
+        names ARE the logical names — every pre-round-9 table). Once
+        enabled (first rename/drop), EVERY later entry carries the full
+        mapping, and physical names are immutable: rename only relabels
+        the logical side, so retained data files never rewrite."""
+        return entry.get("column_mapping")
+
+    def column_mapping(self) -> dict | None:
+        """The mapping active at the current latest version (None =
+        identity / never enabled)."""
+        latest = self.latest_version()
+        return self._mapping_of(self._raw(latest)) if latest is not None else None
+
+    def _alter_column_guards(self, entry: dict, col: str, op: str) -> None:
+        """Shared rename/drop preconditions. Partition columns are
+        frozen: their LOGICAL names are baked into every retained file's
+        Hive path (day=...), so a metadata-only relabel would desync the
+        path layout from the schema — Delta requires a rewrite there
+        too. Constraint-referenced columns are frozen until the
+        constraint is dropped (its SQL text would silently stop binding
+        — checked with a word-boundary scan, conservative by design:
+        a false positive costs an explicit constraint drop/re-add)."""
+        import re
+
+        if col in (entry.get("partition_by") or []):
+            raise ValueError(
+                f"cannot {op} partition column {col!r}: its name is part "
+                f"of every retained file's path layout — rewrite via "
+                f"commit_overwrite to change partition columns"
+            )
+        for name, expr in self._constraints_of(entry).items():
+            if re.search(rf"\b{re.escape(col)}\b", expr):
+                raise ValueError(
+                    f"cannot {op} column {col!r}: CHECK constraint "
+                    f"{name!r} ({expr}) references it — drop the "
+                    f"constraint first"
+                )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — METADATA-ONLY (VERDICT r8 item 2;
+        Delta's column-mapping name mode): no data file rewrites, at any
+        table size. The first rename/drop enables the mapping with
+        identity physical names for every existing column (matching the
+        bytes already on disk); the renamed column keeps its physical
+        name and gets the new LOGICAL name. Columns added after
+        enablement get fresh `col_<hex>` physical names, so re-using a
+        renamed-away logical name can never collide with the old
+        physical column still present in retained files. Time travel
+        reads every version under its contemporaneous names."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        p_entry = self._raw(latest)
+        schema = StructType.fromJson(json.loads(self._table_schema_of(p_entry)))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have: {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        self._alter_column_guards(p_entry, old, "rename")
+        mapping = dict(
+            self._mapping_of(p_entry) or {f.name: f.name for f in schema.fields}
+        )
+        mapping[new] = mapping.pop(old)
+        new_schema = StructType(
+            [
+                StructField(new, f.dataType, f.nullable) if f.name == old else f
+                for f in schema.fields
+            ]
+        )
+        return self._commit_metadata(
+            latest,
+            p_entry,
+            "rename_column",
+            dict(self._constraints_of(p_entry)),
+            table_schema=new_schema.json(),
+            mapping=mapping,
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — METADATA-ONLY (the rename_column
+        twin): the column leaves the logical schema and the mapping;
+        its physical bytes stay in retained files (still served to time
+        travel at pre-drop versions, reclaimed only when those files
+        are rewritten or vacuumed away). A later column of the same
+        logical name is a NEW column (fresh physical) reading NULL for
+        pre-add rows — Delta's documented re-add semantics."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        p_entry = self._raw(latest)
+        schema = StructType.fromJson(json.loads(self._table_schema_of(p_entry)))
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no column {name!r} (have: {names})")
+        if len(names) == 1:
+            raise ValueError("cannot drop the table's only column")
+        self._alter_column_guards(p_entry, name, "drop")
+        mapping = dict(
+            self._mapping_of(p_entry) or {f.name: f.name for f in schema.fields}
+        )
+        del mapping[name]
+        new_schema = StructType([f for f in schema.fields if f.name != name])
+        return self._commit_metadata(
+            latest,
+            p_entry,
+            "drop_column",
+            dict(self._constraints_of(p_entry)),
+            table_schema=new_schema.json(),
+            mapping=mapping,
+        )
+
+    _MAPPING_CARRY = object()
+
     def _commit_metadata(
-        self, base: int, base_entry: dict, action: str, cons: dict
+        self,
+        base: int,
+        base_entry: dict,
+        action: str,
+        cons: dict,
+        table_schema: str | None = None,
+        mapping=_MAPPING_CARRY,
     ) -> int:
         """Publish a files-unchanged metadata commit (constraint add/
-        drop). Conservative with respect to races: ADD was validated
-        against snapshot `base`, so ANY intervening commit aborts it
-        (its rows were never checked); DROP shares the path for
-        simplicity — both are instant retries."""
+        drop, column rename/drop). Conservative with respect to races:
+        ADD was validated against snapshot `base`, so ANY intervening
+        commit aborts it (its rows were never checked); the others share
+        the path for simplicity — all are instant retries. The parent's
+        column mapping carries forward unless the caller overrides it
+        (rename/drop pass the altered mapping + logical schema)."""
+        if mapping is ManifestTable._MAPPING_CARRY:
+            mapping = self._mapping_of(base_entry)
+        ts = (
+            table_schema
+            if table_schema is not None
+            else self._table_schema_of(base_entry)
+        )
         for _ in range(20):
             parent = self.latest_version()
             if parent != base:
@@ -891,14 +1093,19 @@ class ManifestTable:
                 "parent": parent,
                 "action": action,
                 "partition_by": base_entry.get("partition_by") or [],
-                "schema": base_entry["schema"],
-                "table_schema": self._table_schema_of(base_entry),
+                # a schema-altering metadata commit DECLARES the whole
+                # logical schema (there is no narrower "commit schema"
+                # for a commit that writes no files)
+                "schema": table_schema if table_schema is not None else base_entry["schema"],
+                "table_schema": ts,
                 "add": [],
                 "remove": {"kind": "none"},
                 "committed_at": time.time(),
             }
             if cons:
                 entry["constraints"] = cons
+            if mapping is not None:
+                entry["column_mapping"] = mapping
             if self._publish(entry):
                 return entry["version"]
         raise RuntimeError(f"{action} lost the version race 20 times")
@@ -932,7 +1139,11 @@ class ManifestTable:
         m = self.manifest(version)
         files = m["files"]
         if range_filter:
+            # stats are keyed by PHYSICAL column name (stable across
+            # renames); callers filter on logical names
+            cmap = m.get("column_mapping") or {}
             for c, (lo, hi) in range_filter.items():
+                sc = cmap.get(c, c)
                 # canonicalize to the stats' stored domain (review r6:
                 # a date bound against ISO-string stats raised TypeError)
                 lo, hi = _json_safe(lo), _json_safe(hi)
@@ -940,8 +1151,8 @@ class ManifestTable:
                     e
                     for e in files
                     if "stats" not in e
-                    or c not in e["stats"]
-                    or (e["stats"][c][0] <= hi and e["stats"][c][1] >= lo)
+                    or sc not in e["stats"]
+                    or (e["stats"][sc][0] <= hi and e["stats"][sc][1] >= lo)
                 ]
         if partition_filter:
             unknown = set(partition_filter) - set(m["partition_by"])
@@ -1194,6 +1405,11 @@ class ManifestTable:
         the fact scan never shuffles to apply its deletes, matching the
         Delta/Iceberg merge-on-read read path."""
         schema = StructType.fromJson(json.loads(self._table_schema_of(m)))
+        # logical→physical resolution (round 9 column mapping): files
+        # store physical names; the projection relabels to the
+        # snapshot's contemporaneous logical names — identity on tables
+        # that never renamed/dropped
+        mapping = m.get("column_mapping") or {}
         prov_fields = (
             [("_rel", "string"), ("_pos", "bigint")] if provenance else []
         )
@@ -1217,7 +1433,9 @@ class ManifestTable:
             avail = set(df.columns)
             cols = [
                 (
-                    F.col(f.name) if f.name in avail else F.lit(None)
+                    F.col(mapping.get(f.name, f.name))
+                    if mapping.get(f.name, f.name) in avail
+                    else F.lit(None)
                 ).cast(f.dataType).alias(f.name)
                 for f in schema.fields
             ]
@@ -1421,6 +1639,8 @@ class ManifestTable:
         }
         if self._constraints_of(p_entry):
             entry_core["constraints"] = self._constraints_of(p_entry)
+        if self._mapping_of(p_entry) is not None:
+            entry_core["column_mapping"] = self._mapping_of(p_entry)
         for _ in range(20):
             parent = self.latest_version()
             if parent != base:
@@ -1509,7 +1729,9 @@ class ManifestTable:
         self._validate_constraints(
             updated, self._constraints_of(self._raw(latest))
         )
-        _txn2, new_files = self._write_txn(updated, part_by)
+        _txn2, new_files = self._write_txn(
+            updated, part_by, mapping=self._mapping_of(self._raw(latest))
+        )
         hitset = set(hit)
         add = [
             dict(e, dv=list(e.get("dv", [])) + [dv_rel])
@@ -1669,6 +1891,7 @@ class ManifestTable:
             "size_bytes": sum(f.get("bytes", 0) for f in files),
             "partition_columns": e.get("partition_by") or [],
             "constraints": dict(self._constraints_of(e)),
+            "column_mapping": self._mapping_of(e),
             "num_files_with_dv": sum(1 for f in files if f.get("dv")),
             "last_commit_action": e.get("action"),
             "last_commit_at": float(e["committed_at"]),
@@ -1741,7 +1964,10 @@ class ManifestTable:
                 pq.write_table(table.filter(pa.array(keep)), out)
                 entry_meta = {"bytes": os.path.getsize(out)}
                 if self.stats_cols:
-                    entry_meta["stats"] = _file_stats(out, self.stats_cols)
+                    cmap = self._mapping_of(src_entry) or {}
+                    entry_meta["stats"] = _file_stats(
+                        out, [cmap.get(c, c) for c in self.stats_cols]
+                    )
             else:
                 shutil.copyfile(src, out)
                 entry_meta = {"bytes": e.get("bytes", os.path.getsize(out))}
@@ -1770,6 +1996,10 @@ class ManifestTable:
             dest.latest_version(),
             cons,
             validate=False,
+            # files copied byte-identical keep their PHYSICAL names —
+            # the source's mapping must travel or a renamed column
+            # would read as all-null in the clone
+            column_mapping=self._mapping_of(src_entry),
         )
         return dest
 
@@ -1846,9 +2076,13 @@ class ManifestTable:
             # RESTORE republishes the target version's METADATA too
             # (Delta restores schema and properties together): its
             # constraint set comes back with its data — consistent, and
-            # never resurrects data violating a newer constraint.
+            # never resurrects data violating a newer constraint. The
+            # contemporaneous column mapping travels with it (the
+            # restored files' physical names resolve under IT).
             if self._constraints_of(src):
                 entry["constraints"] = self._constraints_of(src)
+            if self._mapping_of(src) is not None:
+                entry["column_mapping"] = self._mapping_of(src)
             if self._publish(entry):
                 return entry["version"]
         raise RuntimeError("restore lost the version race 20 times")

@@ -43,17 +43,33 @@ from pyspark.sql.types import StructType
 # actions whose entries only ADD data relative to their parent — safe for
 # an append-only stream. Everything else rewrites (or rolls back) rows.
 _APPEND_ACTIONS = {"append"}
-# metadata-only actions: no data motion either way; skipped silently
-_METADATA_ACTIONS = {"add_constraint", "drop_constraint"}
+# metadata-only actions: no data motion either way; skipped silently.
+# rename/drop_column qualify because the stream projects through the
+# logical schema + mapping CAPTURED AT STREAM START: physical names are
+# immutable, so files appended after a mid-stream rename still carry the
+# same physical columns the captured mapping resolves (the relabel only
+# becomes visible to a NEW stream, which captures the new schema —
+# Delta's restart-on-rename semantics without the hard failure).
+_METADATA_ACTIONS = {
+    "add_constraint",
+    "drop_constraint",
+    "rename_column",
+    "drop_column",
+}
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, partition: dict):
+    def __init__(self, path: str, partition: dict, mapping: dict):
         self.path = path
         # the entry's partition values: Hive-layout data files don't
         # store partition columns — a plain file read would stream them
         # as nulls on partitioned tables (round-8 review find)
         self.partition = partition
+        # logical→physical column mapping rides the PARTITION, not the
+        # reader: the reader object may be pickled to executors before
+        # the driver resolves the mapping, but partitions are pickled
+        # fresh each micro-batch
+        self.mapping = mapping
 
 
 def _open_table(options: dict):
@@ -90,6 +106,10 @@ class ManifestStreamReader(DataSourceStreamReader):
         self._max_versions = int(options.get("maxversionspertrigger", 0))
         self._position: int | None = None
         self._table_obj = None
+        # logical→physical mapping captured at first planning call,
+        # alongside the (already captured) stream schema; None = not
+        # yet resolved, {} = identity
+        self._mapping: dict | None = None
 
     @property
     def _table(self):
@@ -128,6 +148,13 @@ class ManifestStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         self._position = end["version"]
+        if self._mapping is None:
+            latest = self._table.latest_version()
+            self._mapping = (
+                (self._table._mapping_of(self._table._raw(latest)) or {})
+                if latest is not None
+                else {}
+            )
         parts: list[_FilePartition] = []
         rels: list[str] = []
         for v in range(start["version"] + 1, end["version"] + 1):
@@ -154,7 +181,7 @@ class ManifestStreamReader(DataSourceStreamReader):
                 [r for r, _p in rels]
             )
             parts = [
-                _FilePartition(p, part)
+                _FilePartition(p, part, self._mapping)
                 for p, (_r, part) in zip(paths, rels)
             ]
         return parts
@@ -175,6 +202,7 @@ class ManifestStreamReader(DataSourceStreamReader):
             pq.read_table(partition.path),
             to_arrow_schema(self._schema),
             partition.partition,
+            partition.mapping,
         )
         for batch in out.to_batches():
             yield batch

@@ -668,3 +668,60 @@ def test_stream_source_fills_partition_columns(spark, tmp_path):
         assert rows == [(1, "a", "d1"), (2, "b", "d2"), (3, "c", "d1")]
     finally:
         q.stop()
+
+
+# ---------- column mapping through the registered format (round 9) ----------
+
+
+def test_read_format_resolves_column_mapping(spark, tmp_path):
+    """spark.read.format('manifest') on a renamed table serves the NEW
+    logical schema over files written under BOTH physical layouts."""
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root, stats_cols=["id"])
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d2")]))
+    tab.rename_column("v", "val")
+    tab.commit_append(
+        spark.createDataFrame([(3, "c", "d3")], "id int, val string, day string")
+    )
+    got = _read(spark, root)
+    assert sorted(got.columns) == ["day", "id", "val"]
+    assert sorted((r.id, r.val) for r in got.collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    # version pin still reads the OLD logical name
+    old = _read(spark, root, versionAsOf="0")
+    assert sorted(old.columns) == ["day", "id", "v"]
+    assert sorted((r.id, r.v) for r in old.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_read_format_stats_skipping_after_rename(spark, tmp_path):
+    """Pushed range filters arrive under the NEW logical name; stats are
+    keyed physical — the reader must translate, and pruning must stay
+    sound (value-correct result)."""
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root, stats_cols=["id"])
+    tab.commit_overwrite(_df(spark, [(i, "a", "d1") for i in range(5)]))
+    tab.rename_column("id", "ident")
+    tab.commit_append(
+        spark.createDataFrame(
+            [(i, "b", "d2") for i in range(100, 105)],
+            "ident int, v string, day string",
+        )
+    )
+    got = _read(spark, root).filter("ident >= 100")
+    assert sorted(r.ident for r in got.collect()) == list(range(100, 105))
+
+
+def test_write_format_rejects_column_mapped_table(spark, tmp_path):
+    """The writer stages logical names verbatim, so column-mapped tables
+    refuse it loudly (Delta's writer-protocol gate) — the native
+    commit_append path is the supported write."""
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    tab.rename_column("v", "val")
+    with pytest.raises(Exception, match="column mapping"):
+        spark.createDataFrame(
+            [(2, "b", "d2")], "id int, val string, day string"
+        ).write.format("manifest").mode("append").option("path", root).save()
+    assert tab.read(spark).count() == 1

@@ -272,3 +272,41 @@ def test_starting_version_options(spark, tmp_path):
         assert _rows(spark, "src_svl") == [(3, "c", "d2")]  # ...future only
     finally:
         q.stop()
+
+
+def test_column_mapped_table_streams_logical_names(spark, tmp_path):
+    """Round 9: a stream over a RENAMED table serves the new logical
+    name across files written under both physical layouts, and a
+    rename landing MID-STREAM is skipped silently (metadata-only; the
+    captured mapping keeps resolving — physical names are immutable)."""
+    root = str(tmp_path / "tab")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    tab.rename_column("v", "val")
+    tab.commit_append(
+        spark.createDataFrame([(2, "b", "d2")], "id int, val string, day string")
+    )
+    q = _start(spark, root, "src_mapped")
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.id, r.val, r.day)
+            for r in spark.sql("SELECT * FROM src_mapped").collect()
+        )
+        assert got == [(1, "a", "d1"), (2, "b", "d2")]
+        # mid-stream rename: skipped silently; later appends keep
+        # streaming under the CAPTURED logical name (physical stable)
+        tab.rename_column("val", "value")
+        tab.commit_append(
+            spark.createDataFrame(
+                [(3, "c", "d3")], "id int, value string, day string"
+            )
+        )
+        q.processAllAvailable()
+        got = sorted(
+            (r.id, r.val, r.day)
+            for r in spark.sql("SELECT * FROM src_mapped").collect()
+        )
+        assert got == [(1, "a", "d1"), (2, "b", "d2"), (3, "c", "d3")]
+    finally:
+        q.stop()
