@@ -263,6 +263,9 @@ class ManifestTable:
         self.data_dir = getattr(log_store, "data_dir", None)
         self.stats_cols = list(stats_cols or [])
         self.checkpoint_interval = max(0, int(checkpoint_interval))
+        # highest version this handle has observed — the O(Δ) probe
+        # anchor for latest_version (never trusted blindly: see there)
+        self._version_hint: int | None = None
 
     def clone(self) -> "ManifestTable":
         """An independent handle on the same table — what a second writer
@@ -309,8 +312,43 @@ class ManifestTable:
         return sorted(out)
 
     def latest_version(self) -> int | None:
-        vs = self.versions()
-        return vs[-1] if vs else None
+        """The newest committed version. O(Δ) warm (round 9, soak
+        finding): the first call per handle lists the retained log; later
+        calls probe FORWARD from the highest version this handle has seen
+        (versions are contiguous by construction — parent+1 under
+        put-if-absent), so a busy writer pays per-commit cost
+        proportional to what landed since its last sync, not to log
+        length (the full-list form made 10^4-commit ingest O(n²) —
+        scripts/soak_manifest.py). Safety: on probe-miss the hint itself
+        is re-verified to still exist — a hint older than vacuum's
+        retention window falls back to the full list instead of
+        reporting a stale latest. The residual vacuum-vs-stale-writer
+        window (retention must exceed writer staleness) is the layer's
+        standing retention contract, same as last_txn_version's."""
+        hint = self._version_hint
+        if hint is None:
+            vs = self.versions()
+            latest = vs[-1] if vs else None
+        else:
+            latest = hint
+            while True:
+                try:
+                    self.store.read_log(self._version_name(latest + 1))
+                    latest += 1
+                except FileNotFoundError:
+                    if latest == hint:
+                        # zero progress: distinguish "hint IS latest"
+                        # from "hint vacuumed away" (retained versions
+                        # are a contiguous suffix, so a live hint with
+                        # a missing successor is the true head)
+                        try:
+                            self.store.read_log(self._version_name(hint))
+                        except FileNotFoundError:
+                            vs = self.versions()
+                            latest = vs[-1] if vs else None
+                    break
+        self._version_hint = latest
+        return latest
 
     def _raw(self, version: int) -> dict:
         """The raw log entry for `version` — a DELTA (add + remove spec),
@@ -375,10 +413,16 @@ class ManifestTable:
     def _publish(self, entry: dict) -> bool:
         """Atomic put-if-absent of `entry` as its version file. Returns
         False if another writer already published that version number."""
-        return self.store.put_log_if_absent(
+        ok = self.store.put_log_if_absent(
             self._version_name(entry["version"]),
             json.dumps(entry).encode(),
         )
+        if ok:
+            hint = self._version_hint
+            self._version_hint = (
+                entry["version"] if hint is None else max(hint, entry["version"])
+            )
+        return ok
 
     def _write_checkpoint(self, version: int) -> None:
         """Materialize version N's full snapshot as a checkpoint file.
@@ -2014,9 +2058,19 @@ class ManifestTable:
         Scans NEWEST-first and stops at the first hit: the skip check
         itself makes per-app versions monotone with commit order, so the
         first match from the end IS the max — a long-lived txn stream
-        pays O(distance to its last commit), not O(log) per batch."""
-        for v in reversed(self.versions()):
-            t = self._raw(v).get("txn")
+        pays O(distance to its last commit), not O(log) per batch.
+        Probes downward from latest_version and stops at the vacuum
+        truncation boundary (first missing entry) instead of listing the
+        whole log first (round 9 — the list itself was O(log) per
+        micro-batch)."""
+        latest = self.latest_version()
+        if latest is None:
+            return None
+        for v in range(latest, -1, -1):
+            try:
+                t = self._raw(v).get("txn")
+            except FileNotFoundError:
+                return None  # vacuumed below here — retained log exhausted
             if t and t.get("app") == app:
                 return t["version"]
         return None

@@ -99,11 +99,30 @@ class ManifestStreamReader(DataSourceStreamReader):
         # how many COMMITS one micro-batch may span, pacing steady-state
         # ingestion of a hot table. 0/absent = unbounded. The position is
         # learned from partitions()/commit() callbacks, so the FIRST
-        # micro-batch of each run is uncapped (the API's latestOffset
-        # carries no start; a checkpointed restart's catch-up batch is
-        # therefore one read — bounded pacing resumes from the second
-        # trigger). Documented, honest limitation.
+        # micro-batch of each run is uncapped BY DEFAULT — and that is
+        # forced by the API, not a shortcut (round 9, measured with a
+        # call-order probe): Spark calls the no-arg latestOffset BEFORE
+        # initialOffset on a fresh query and never tells the reader the
+        # restored checkpoint on restart, so any first-trigger cap
+        # anchored at a guessed start can fall BELOW an unknown restart
+        # checkpoint — Spark then runs a batch whose end offset regresses
+        # the checkpoint and the re-climb REPLAYS committed versions
+        # (duplicate rows in append sinks). `pacedInitialBackfill=true`
+        # opts in for the one case the caller can assert — a FRESH
+        # checkpoint (new pipeline over a deep log): the first trigger
+        # then anchors at the initial offset and a 10^4-commit backfill
+        # drains in bounded batches instead of one blob. Setting it on a
+        # RESTART is caller error with the duplicate hazard above.
+        # Trigger.AvailableNow caveat (round 9, measured): AvailableNow
+        # pins its drain target from the FIRST latestOffset answer (the
+        # Python API exposes no SupportsTriggerAvailableNow), so a
+        # version cap truncates the drain at pos+cap — run AvailableNow
+        # UNPACED (full drain, one batch per trigger semantics intact)
+        # and use processing-time triggers when pacing matters.
         self._max_versions = int(options.get("maxversionspertrigger", 0))
+        self._paced_backfill = str(
+            options.get("pacedinitialbackfill", "false")
+        ).lower() in ("true", "1")
         self._position: int | None = None
         self._table_obj = None
         # logical→physical mapping captured at first planning call,
@@ -130,20 +149,33 @@ class ManifestStreamReader(DataSourceStreamReader):
         `startingVersion=N` starts at commit N instead (the escape hatch
         for tables whose early log was vacuumed); `startingVersion=latest`
         subscribes to FUTURE commits only (Delta's same-named option)."""
+        off = self._initial_version()
+        self._position = off if self._position is None else self._position
+        return {"version": off}
+
+    def _initial_version(self) -> int:
         sv = self._options.get("startingversion")
         if sv is None:
-            return {"version": -1}
+            return -1
         if str(sv).lower() == "latest":
             latest = self._table.latest_version()
-            return {"version": -1 if latest is None else latest}
-        return {"version": int(sv) - 1}
+            return -1 if latest is None else latest
+        return int(sv) - 1
 
     def latestOffset(self) -> dict:
         latest = self._table.latest_version()
         if latest is None:
             return {"version": -1}
-        if self._max_versions > 0 and self._position is not None:
-            latest = min(latest, self._position + self._max_versions)
+        if self._max_versions > 0:
+            pos = self._position
+            if pos is None and self._paced_backfill:
+                # caller asserted a fresh checkpoint: anchor the first
+                # trigger at the initial offset (see ctor comment for
+                # why this cannot be the default)
+                pos = self._initial_version()
+                self._position = pos
+            if pos is not None:
+                latest = min(latest, pos + self._max_versions)
         return {"version": latest}
 
     def partitions(self, start: dict, end: dict):

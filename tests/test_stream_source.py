@@ -310,3 +310,66 @@ def test_column_mapped_table_streams_logical_names(spark, tmp_path):
         assert got == [(1, "a", "d1"), (2, "b", "d2"), (3, "c", "d3")]
     finally:
         q.stop()
+
+
+def test_cold_start_backfill_drains_in_bounded_batches(spark, tmp_path):
+    """Round 9 (VERDICT r8 item 6): a FRESH checkpoint on a deep log
+    must not read everything in one uncapped first trigger —
+    `pacedInitialBackfill=true` (the caller's fresh-checkpoint
+    assertion; see the reader ctor for why it cannot be the default)
+    anchors the first trigger at the initial offset, so the backfill
+    drains in ≥ ceil(versions/cap) bounded batches, each spanning ≤ cap
+    versions, with every row delivered exactly once."""
+    root = str(tmp_path / "tab")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(0, "a", "d0")]))        # v0
+    for i in range(1, 12):                                     # v1..v11
+        tab.commit_append(_df(spark, [(i, "x", "d1")]))
+    batches: list[list[int]] = []
+    q = (
+        spark.readStream.format("manifest_stream")
+        .option("path", root)
+        .option("maxVersionsPerTrigger", "3")
+        .option("pacedInitialBackfill", "true")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, i: batches.append(sorted(r.id for r in b.collect())))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    flat = sorted(x for b in batches for x in b)
+    assert flat == list(range(12))                 # exactly once, all rows
+    nonempty = [b for b in batches if b]
+    assert len(nonempty) >= 4                      # 12 versions / cap 3
+    assert all(len(b) <= 3 for b in nonempty)      # 1 row per version here
+
+
+def test_available_now_trigger_drains_and_terminates(spark, tmp_path):
+    """Trigger.AvailableNow: catch up on the whole backlog, then STOP —
+    the batch semantics users reach for on lake tables. Run UNPACED:
+    AvailableNow pins its drain target from the FIRST latestOffset
+    answer, so a version cap would silently truncate the drain (the API
+    exposes no SupportsTriggerAvailableNow to Python sources) — the
+    source docstring steers paced streams to processing-time triggers."""
+    root = str(tmp_path / "tab")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(0, "a", "d0")]))
+    for i in range(1, 8):
+        tab.commit_append(_df(spark, [(i, "x", "d1")]))
+    batches: list[list[int]] = []
+    q = (
+        spark.readStream.format("manifest_stream")
+        .option("path", root)
+        .load()
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .foreachBatch(lambda b, i: batches.append(sorted(r.id for r in b.collect())))
+        .start()
+    )
+    assert q.awaitTermination(120)                 # AvailableNow terminates
+    flat = sorted(x for b in batches for x in b)
+    assert flat == list(range(8))                  # full drain, exactly once
+    assert q.status["isTriggerActive"] is False
