@@ -55,6 +55,17 @@ actionable messages, verified): save modes are append/overwrite only
 `.option("partitionBy", "col1,col2")` instead. `txnAppId`+`txnVersion`
 (batch) / `txnAppId` (streaming, version = batchId) give Delta-style
 idempotent writes via the log's txn action.
+
+PERFORMANCE BOUNDARY (PERF.md #42, pinned #45): this format is the
+INTEROP surface — every batch crosses Python→JVM through Arrow, which
+measures ~3× the native scan on this host. For hot-path reads, use
+`ManifestTable(root).read(spark, ...)`: it resolves the same snapshot
+(time travel, DV application, mapping, skipping) into a NATIVE parquet
+scan that stays inside whole-stage codegen. Reach for
+`spark.read.format("manifest")` when you need the registered-format
+ergonomics (SQL `USING`, option-driven tooling, writers), not raw scan
+speed; `tests/test_datasource.py::test_native_read_path_stays_native`
+pins that the fast path never silently routes through here.
 """
 
 from __future__ import annotations
@@ -172,15 +183,21 @@ def _project(arrow_table, want, partition: dict | None = None, mapping: dict | N
 
 
 class _ScanPartition(InputPartition):
-    """One data file: absolute path, manifest-relative path (the DV
-    join key), the entry's partition values (Hive layout keeps them out
-    of the file), and its deletion-vector parquet paths."""
+    """One or more data files read by a single task: absolute path,
+    manifest-relative path (the DV join key), the entry's partition
+    values (Hive layout keeps them out of the file), and the file's
+    deletion-vector parquet paths. `more` carries additional
+    (path, rel, partition, dv_paths) tuples when `filesPerPartition`
+    coalesces small files into one task (PERF.md #45 experiment: the
+    per-partition Python-worker round-trip dominates many-small-file
+    tables; batching amortizes it without touching the 1-file default)."""
 
-    def __init__(self, path: str, rel: str, partition: dict, dv_paths: tuple):
+    def __init__(self, path: str, rel: str, partition: dict, dv_paths: tuple, more: tuple = ()):
         self.path = path
         self.rel = rel
         self.partition = partition
         self.dv_paths = dv_paths
+        self.more = more
 
 
 class ManifestBatchReader(DataSourceReader):
@@ -195,6 +212,11 @@ class ManifestBatchReader(DataSourceReader):
         # logical→physical resolution for projection and stats skipping
         # (round 9 column mapping); {} = identity
         self._mapping = m.get("column_mapping") or {}
+        # small-file coalescing knob (round 9): N files per input
+        # partition; default 1 keeps file-per-task granularity
+        self._files_per_partition = max(
+            1, int(options.get("filesperpartition", 1))
+        )
         # pushed-filter pruning state: {col: set of partition strings}
         # and {col: [lo, hi]} range bounds (None = unbounded side)
         self._part_prune: dict[str, set] = {}
@@ -294,7 +316,7 @@ class ManifestBatchReader(DataSourceReader):
         _base, paths = self._table.store.resolve_read(
             [e["path"] for e in files]
         )
-        parts = []
+        structs = []
         for e, p in zip(files, paths):
             dv = e.get("dv") or []
             dv_paths = (
@@ -302,11 +324,15 @@ class ManifestBatchReader(DataSourceReader):
                 if dv
                 else ()
             )
-            parts.append(_ScanPartition(p, e["path"], e["partition"], dv_paths))
-        return parts
+            structs.append((p, e["path"], e["partition"], dv_paths))
+        k = self._files_per_partition
+        return [
+            _ScanPartition(*chunk[0], more=tuple(chunk[1:]))
+            for chunk in (structs[i : i + k] for i in range(0, len(structs), k))
+        ]
 
     def read(self, partition: _ScanPartition):
-        """Executor-side: the file's Arrow batches, DV positions masked
+        """Executor-side: each file's Arrow batches, DV positions masked
         out, projected to the snapshot's cumulative table schema."""
         if not partition.path:
             return
@@ -317,23 +343,28 @@ class ManifestBatchReader(DataSourceReader):
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        table = pq.read_table(partition.path)
-        if partition.dv_paths:
-            masks = []
-            for dvp in partition.dv_paths:
-                dv = pq.read_table(dvp, columns=["file", "pos"])
-                dv = dv.filter(pc.equal(dv["file"], partition.rel))
-                masks.append(dv["pos"].to_numpy(zero_copy_only=False))
-            dead = np.concatenate(masks) if masks else np.array([], dtype=int)
-            keep = np.ones(len(table), dtype=bool)
-            keep[dead.astype(int)] = False
-            table = table.filter(pa.array(keep))
-        out = _project(
-            table, to_arrow_schema(self._schema), partition.partition,
-            self._mapping,
+        want = to_arrow_schema(self._schema)
+        first = (
+            partition.path, partition.rel, partition.partition,
+            partition.dv_paths,
         )
-        for batch in out.to_batches():
-            yield batch
+        for path, rel, part, dv_paths in (first, *partition.more):
+            table = pq.read_table(path)
+            if dv_paths:
+                masks = []
+                for dvp in dv_paths:
+                    dv = pq.read_table(dvp, columns=["file", "pos"])
+                    dv = dv.filter(pc.equal(dv["file"], rel))
+                    masks.append(dv["pos"].to_numpy(zero_copy_only=False))
+                dead = (
+                    np.concatenate(masks) if masks else np.array([], dtype=int)
+                )
+                keep = np.ones(len(table), dtype=bool)
+                keep[dead.astype(int)] = False
+                table = table.filter(pa.array(keep))
+            out = _project(table, want, part, self._mapping)
+            for batch in out.to_batches():
+                yield batch
 
 
 class _CommitEntries(WriterCommitMessage):

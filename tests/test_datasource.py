@@ -725,3 +725,49 @@ def test_write_format_rejects_column_mapped_table(spark, tmp_path):
             [(2, "b", "d2")], "id int, val string, day string"
         ).write.format("manifest").mode("append").option("path", root).save()
     assert tab.read(spark).count() == 1
+
+
+def test_native_read_path_stays_native(spark, tmp_path):
+    """PERF boundary pin (VERDICT r8 item 5 / PERF.md #42): the Python
+    DataSource hop costs ~3× the native scan, so ManifestTable.read —
+    the hot path every registry query uses — must plan as a NATIVE
+    parquet FileScan (whole-stage codegen eligible), never silently
+    route through the registered format's PythonScan."""
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root, stats_cols=["id"])
+    tab.commit_overwrite(
+        _df(spark, [(i, f"v{i}", f"d{i % 3}") for i in range(30)]),
+        partition_by=["day"],
+    )
+    tab.delete_where(spark, "id % 9 = 0", mode="dv")  # DV path included
+    native = tab.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in native
+    assert "BatchScan manifest" not in native
+    # the registered format, by contrast, IS the Python batch scan —
+    # the pin fails meaningfully if either plan shape drifts
+    fmt = (
+        spark.read.format("manifest").option("path", root).load()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchScan manifest" in fmt and "(Python)" in fmt
+
+
+def test_files_per_partition_coalescing_exact(spark, tmp_path):
+    """filesPerPartition (PERF.md #45): batching small files into one
+    task amortizes the per-partition Python round-trip (measured 20.4 s
+    → 1.75 s on a 960-small-file table at fpp=15). Correctness: the
+    coalesced read returns the identical multiset — including DV'd
+    files and partition-column injection — and partitions() really
+    shrinks."""
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root)
+    rows = [(i, f"v{i}", f"d{i % 3}") for i in range(60)]
+    tab.commit_overwrite(_df(spark, rows), partition_by=["day"])
+    tab._delete_where_dv(spark, F.col("id") % 7 == 0)
+    exact = _multiset(tab.read(spark))
+    got = _read(spark, root, filesPerPartition="8")
+    assert _multiset(got) == exact
+    one = ManifestBatchReader(got.schema, {"path": root})
+    eight = ManifestBatchReader(got.schema, {"path": root, "filesperpartition": "8"})
+    n1, n8 = len(one.partitions()), len(eight.partitions())
+    assert n8 < n1 and n8 >= (n1 + 7) // 8

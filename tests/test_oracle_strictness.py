@@ -219,6 +219,14 @@ _VALUE_MUTATIONS = {
     "x67_deep_clone": (
         "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
     ),
+    # round-9 COLUMN MAPPING: the nudge proves the gate constrains the
+    # values served through the logical→physical indirection (latest
+    # read across both physical layouts AND the v0 time travel) — a
+    # mapping bug that relabeled to the wrong physical column or
+    # null-filled a renamed column could not hide behind row counts
+    "x68_column_rename": (
+        "SELECT * REPLACE (price + 1 AS price) FROM ({o}) t"
+    ),
 }
 
 
