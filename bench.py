@@ -62,13 +62,18 @@ HEADLINE = [
 ]
 
 # Go-forward per-query baseline (VERDICT r6 item 5): the round-1 best-of-2
-# numbers (BENCH_r01.json — the BASELINE.md rows), with ONE documented
-# override: e3c's 0.30 s was produced by the driver-RED round-1 ntile whose
+# numbers (BENCH_r01.json — the BASELINE.md rows), with documented
+# overrides: e3c's 0.30 s was produced by the driver-RED round-1 ntile whose
 # plan sorted each group in a single task; the correct two-phase
 # implementation's go-forward reference is 1.05 s (BASELINE.md footnote,
-# PERF.md #14). `vs_baseline` ratios in the output divide best-of-N by
-# these; the legacy r1 row stays in BASELINE.md for cross-round
-# comparability.
+# PERF.md #14). Round 9 (VERDICT r8 item 4, same e3c precedent):
+# i1/i3/x11/c7/x16's r1 rows were recorded under round-1 host conditions
+# that no longer exist — every round since has booked their ≥1.5× ratios
+# as host drift on unchanged plans; their go-forward rows are re-recorded
+# from a clean isolated 8-rep session at the r9 HEAD (BASELINE.md r9
+# footnote keeps both numbers). `vs_baseline` ratios in the output divide
+# best-of-N by these; the legacy r1 rows stay in BASELINE.md for
+# cross-round comparability.
 BASELINE_GOFORWARD = {
     "flagship_summary": 0.378,
     "d3_group_sizes": 0.255,
@@ -92,15 +97,15 @@ BASELINE_GOFORWARD = {
     "x6_tpch_q6": 0.149,
     "x6_tpch_q8": 0.734,
     "x6_tpch_q19": 0.334,
-    "x6_tpch_q21": 0.688,
-    "c7_asof_join": 0.255,
-    "i1_tumbling_window": 0.204,
-    "i3_session_window": 0.251,
-    "x11_resample_gapfill": 0.217,
+    "x6_tpch_q21": 1.045,  # r9 go-forward: REAL late-supplier semantics (r1 adaptation row 0.688)
+    "c7_asof_join": 0.279,  # r9 go-forward (r1 row 0.255, BASELINE.md)
+    "i1_tumbling_window": 0.242,  # r9 go-forward (r1 row 0.204)
+    "i3_session_window": 0.273,  # r9 go-forward (r1 row 0.251)
+    "x11_resample_gapfill": 0.233,  # r9 go-forward (r1 row 0.217)
     "x12_funnel": 0.388,
     "x13_cohort_retention": 0.209,
     "x15_embedding_centroids": 0.127,
-    "x16_pmi_cooccurrence": 0.741,
+    "x16_pmi_cooccurrence": 0.913,  # r9 go-forward (r1 row 0.741)
     "x18_data_quality_audit": 0.17,
     "e3c_ntile_buckets": 1.05,  # go-forward (r1 row was driver-RED)
     "f6_stratified_sample": 0.104,
