@@ -72,6 +72,13 @@ class LogStore(ABC):
     def delete_log(self, name: str) -> None:
         """Remove a log object (vacuum's log truncation)."""
 
+    def delete_logs(self, names: list[str]) -> None:
+        """Bulk log removal — default loops delete_log; S3 batches
+        (vacuum truncating 10^4 entries is otherwise 10^4 DELETE
+        round-trips, round 9 soak)."""
+        for name in names:
+            self.delete_log(name)
+
     # ---- data files ----
 
     @abstractmethod
@@ -97,6 +104,26 @@ class LogStore(ABC):
     @abstractmethod
     def delete_txn_dir(self, name: str) -> None:
         """Remove one txn dir and everything under it."""
+
+    def sweep_dead_txn_dirs(self, live: set, min_age_seconds: float) -> list[str]:
+        """Vacuum's orphan sweep: delete every txn dir NOT in `live`
+        whose newest write is at least `min_age_seconds` old (the
+        commit-in-progress guard); return the removed dir names. This
+        default composes the per-dir primitives; backends where each
+        primitive is a network round-trip override it with a
+        single-pass scan (S3: 3 LISTs per dead dir otherwise — round 9
+        soak, PERF.md #46)."""
+        removed = []
+        for name in self.list_txn_dirs():
+            if name not in live:
+                age = self.txn_dir_age_seconds(name)
+                if age is None:
+                    continue  # concurrently removed
+                if age < min_age_seconds:
+                    continue  # possible commit-in-progress
+                self.delete_txn_dir(name)
+                removed.append(name)
+        return removed
 
     @abstractmethod
     def file_size(self, rel: str) -> int:
@@ -355,6 +382,9 @@ class S3LogStore(LogStore):
     def delete_log(self, name: str) -> None:
         self.client.delete_object(Bucket=self.bucket, Key=self._log_key(name))
 
+    def delete_logs(self, names: list[str]) -> None:
+        self._delete_keys([self._log_key(n) for n in names])
+
     # ---- data files ----
 
     def txn_stage_dir(self, txn: str) -> str:
@@ -391,14 +421,51 @@ class S3LogStore(LogStore):
 
     def delete_txn_dir(self, name: str) -> None:
         keys = [o["Key"] for o in self._list_keys(f"{self.prefix}/data/{name}/")]
+        self._delete_keys(keys)
+        shutil.rmtree(
+            os.path.join(self.cache_root, "data", name), ignore_errors=True
+        )
+
+    def _delete_keys(self, keys: list[str]) -> None:
         for i in range(0, len(keys), 1000):  # DeleteObjects caps at 1000
             self.client.delete_objects(
                 Bucket=self.bucket,
                 Delete={"Objects": [{"Key": k} for k in keys[i : i + 1000]]},
             )
-        shutil.rmtree(
-            os.path.join(self.cache_root, "data", name), ignore_errors=True
-        )
+
+    def sweep_dead_txn_dirs(self, live: set, min_age_seconds: float) -> list[str]:
+        """Single-pass vacuum sweep (round 9 soak): ONE paginated LIST
+        over the data area yields every dir's key set and newest
+        LastModified, then dead keys delete in cross-dir batches of
+        1000 — O(objects/1000) round-trips instead of 3 LISTs + 1
+        delete PER dead dir (at 10^5 orphan dirs the per-dir form is
+        hours of round-trips)."""
+        pre = f"{self.prefix}/data/"
+        dirs: dict[str, list] = {}
+        newest: dict[str, object] = {}
+        for o in self._list_keys(pre):
+            first = o["Key"][len(pre):].split("/", 1)[0]
+            if not first.startswith("txn="):
+                continue
+            dirs.setdefault(first, []).append(o["Key"])
+            lm = o["LastModified"]
+            if first not in newest or lm > newest[first]:
+                newest[first] = lm
+        now = time.time()
+        removed, doomed_keys = [], []
+        for name in sorted(dirs):
+            if name in live:
+                continue
+            if now - newest[name].timestamp() < min_age_seconds:
+                continue  # possible commit-in-progress
+            removed.append(name)
+            doomed_keys += dirs[name]
+        self._delete_keys(doomed_keys)
+        for name in removed:
+            shutil.rmtree(
+                os.path.join(self.cache_root, "data", name), ignore_errors=True
+            )
+        return removed
 
     def file_size(self, rel: str) -> int:
         return self.client.head_object(

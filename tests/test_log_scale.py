@@ -147,3 +147,73 @@ def test_stale_hint_falls_back_to_full_list_after_vacuum(tmp_path, spark):
         tab.commit_overwrite(_df(spark, [(i, "b", "d2")]))
     tab.vacuum(keep_versions=2, min_age_seconds=0)  # v0..v3 gone
     assert stale.latest_version() == 5  # NOT the stale hint
+
+
+def _synth_txn_commit(tab, app, ver):
+    import os
+
+    txn = uuid.uuid4().hex
+    stage = tab.store.txn_stage_dir(txn)
+    os.makedirs(stage, exist_ok=True)
+    local = os.path.join(stage, "part-0.parquet")
+    with open(local, "wb") as f:
+        f.write(b"PAR1x")
+    schema = (
+        '{"type":"struct","fields":[{"name":"id","type":"integer",'
+        '"nullable":true,"metadata":{}}]}'
+    )
+    return tab._commit_files(
+        None, txn, [{"path": f"data/txn={txn}/part-0.parquet", "partition": {}, "bytes": 5}],
+        schema, None, "append", "none", tab.latest_version(), {},
+        validate=False, entry_extra={"txn": {"app": app, "version": ver}},
+    )
+
+
+def test_checkpoint_txn_map_bounds_miss_cost(tmp_path):
+    """Round 9: a last_txn_version MISS answers from the nearest
+    checkpoint's cumulative txns map — O(Δ since checkpoint) entry
+    reads, never a walk across the whole retained log."""
+    tab = ManifestTable(str(tmp_path / "t"), checkpoint_interval=10)
+    for i in range(25):
+        _synth_txn_commit(tab, "appA", i)
+    # the latest checkpoint carries the cumulative map
+    import json as _json
+
+    cp = _json.loads(tab.store.read_log(tab._checkpoint_name(20)))
+    assert cp["txns"] == {"appA": 20}
+    counting = _Counting(tab.store)
+    tab.store = counting
+    tab.latest_version()
+    counting.reads = 0
+    assert tab.last_txn_version("appA") == 24
+    # hit: 1 entry read + latest_version's probe/verify pair
+    assert counting.reads <= 4
+    counting.reads = 0
+    assert tab.last_txn_version("no-such-app") is None
+    # miss: bounded by the no-list probe window (2×interval) + the
+    # checkpoint + the latest_version probe pair — O(interval), never
+    # O(retained log); the window buys the HIT path zero listings
+    assert counting.reads <= 2 * 10 + 4
+
+
+def test_txn_memory_survives_vacuum(tmp_path):
+    """Round 9 semantic upgrade: vacuum writes a txns-carrying
+    checkpoint BEFORE truncating the log, so a restarted idempotent
+    sink still skips batches whose entries were vacuumed away (the
+    pre-r9 caveat was that truncation FORGOT them — a redelivered old
+    batch would duplicate)."""
+    tab = ManifestTable(str(tmp_path / "t"), checkpoint_interval=0)
+    for i in range(8):
+        _synth_txn_commit(tab, "sink", i)
+    tab.vacuum(keep_versions=2, min_age_seconds=0)
+    assert tab.versions() == [6, 7]                 # entries 0..5 gone
+    fresh = ManifestTable(tab.root)                 # restarted handle
+    assert fresh.last_txn_version("sink") == 7
+    # and an app whose ONLY commits were vacuumed is still remembered
+    tab2 = ManifestTable(str(tmp_path / "t2"), checkpoint_interval=0)
+    _synth_txn_commit(tab2, "early", 41)
+    for i in range(6):
+        _synth_txn_commit(tab2, "late", i)
+    tab2.vacuum(keep_versions=2, min_age_seconds=0)
+    fresh2 = ManifestTable(tab2.root)
+    assert fresh2.last_txn_version("early") == 41   # pre-r9: None (forgot)

@@ -2058,3 +2058,31 @@ def test_concurrent_rename_aborts_inflight_append(spark, tmp_path):
             None, "append", "none", base,
             tab._constraints_of(base_entry),
         )
+
+
+def test_overwrite_on_mapped_table_keeps_physical_stability(spark, tab):
+    """commit_overwrite on a mapping-enabled table: the new snapshot's
+    logical schema may reuse names (even with new types — overwrite owns
+    the whole table), the carried mapping keeps resolving, and time
+    travel still reads every earlier version under its own names."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    tab.rename_column("v", "val")                       # v1: enable mapping
+    tab.commit_overwrite(
+        spark.createDataFrame([(2, 99, "d2")], "id int, val int, day string")
+    )                                                   # v2: val now INT
+    got = tab.read(spark)
+    assert [(r.id, r.val, r.day) for r in got.collect()] == [(2, 99, "d2")]
+    assert dict(got.dtypes)["val"] == "int"
+    # v1 (post-rename, pre-overwrite): string val, original row
+    v1 = tab.read(spark, version=1)
+    assert [(r.id, r.val) for r in v1.collect()] == [(1, "a")]
+    assert dict(v1.dtypes)["val"] == "string"
+    # v0: the original logical name
+    assert rows(tab.read(spark, version=0)) == [(1, "a", "d1")]
+    # appends after the overwrite keep working under the mapping
+    tab.commit_append(
+        spark.createDataFrame([(3, 100, "d3")], "id int, val int, day string")
+    )
+    assert sorted((r.id, r.val) for r in tab.read(spark).collect()) == [
+        (2, 99), (3, 100),
+    ]
