@@ -929,3 +929,46 @@ def x68_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("price"),
     )
     return latest.unionByName(v0)
+
+
+@register(
+    "x69_column_drop",
+    oracle="""
+    SELECT 'v2' AS snap, o_orderkey,
+           CAST(NULL AS VARCHAR) AS o_orderstatus
+    FROM orders
+    UNION ALL
+    SELECT 'v2', o_orderkey + 1000000, 'Z' FROM orders
+    UNION ALL
+    SELECT 'v0' AS snap, o_orderkey, o_orderstatus FROM orders
+    """,
+)
+def x69_column_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x69 — ALTER TABLE DROP COLUMN without rewrite + re-add (round 9,
+    the x68 twin): version 0 = orders(o_orderkey, o_orderstatus);
+    version 1 = metadata-only `drop_column("o_orderstatus")` (bytes stay
+    in retained files, reclaimed only by rewrite/vacuum); version 2 =
+    an append RE-ADDING the logical name — a NEW column under a fresh
+    physical name, so the v0 rows read NULL (never the dropped bytes —
+    Delta's documented re-add semantics) while the new rows carry 'Z'.
+    The union with the v0 time travel proves the dropped column is
+    still served at its own version. A resurrection bug (relabeling the
+    old physical column into the re-added logical) would flip every v2
+    NULL to the original status values — caught by hash."""
+    table = _fresh_orders_table(
+        spark, sf_dir, "x69", select=["o_orderkey", "o_orderstatus"]
+    )
+    table.drop_column("o_orderstatus")
+    table.commit_append(
+        load(spark, sf_dir, "orders").select(
+            (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+            F.lit("Z").alias("o_orderstatus"),
+        )
+    )
+    latest = table.read(spark).select(
+        F.lit("v2").alias("snap"), "o_orderkey", "o_orderstatus"
+    )
+    v0 = table.read(spark, version=0).select(
+        F.lit("v0").alias("snap"), "o_orderkey", "o_orderstatus"
+    )
+    return latest.unionByName(v0)

@@ -227,6 +227,13 @@ _VALUE_MUTATIONS = {
     "x68_column_rename": (
         "SELECT * REPLACE (price + 1 AS price) FROM ({o}) t"
     ),
+    # drop + re-add: the nudge proves the gate constrains the NULL/new
+    # split — a resurrection bug (old physical bytes served under the
+    # re-added logical name) could not hide behind row counts
+    "x69_column_drop": (
+        "SELECT snap, o_orderkey, concat(o_orderstatus, '!') AS o_orderstatus "
+        "FROM ({o}) t"
+    ),
 }
 
 
