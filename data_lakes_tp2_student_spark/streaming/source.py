@@ -155,6 +155,30 @@ class ManifestStreamReader(DataSourceStreamReader):
 
     def _initial_version(self) -> int:
         sv = self._options.get("startingversion")
+        st = self._options.get("startingtimestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "set startingVersion OR startingTimestamp, not both "
+                "(Delta's same rule)"
+            )
+        if st is not None:
+            # Delta's startingTimestamp: stream commits AT or AFTER the
+            # timestamp — the initial offset is the newest version
+            # committed STRICTLY BEFORE it (version_at's ≤ would exclude
+            # an exactly-at-ts commit). Epoch seconds or ISO string,
+            # same forms the batch reader's timestampAsOf takes; a ts
+            # predating the retained log streams everything.
+            try:
+                ts = float(st)
+            except ValueError:
+                from datetime import datetime
+
+                ts = datetime.fromisoformat(str(st)).timestamp()
+            best = -1
+            for v in self._table.versions():
+                if self._table._raw(v)["committed_at"] < ts:
+                    best = v
+            return best
         if sv is None:
             return -1
         if str(sv).lower() == "latest":

@@ -373,3 +373,43 @@ def test_available_now_trigger_drains_and_terminates(spark, tmp_path):
     flat = sorted(x for b in batches for x in b)
     assert flat == list(range(8))                  # full drain, exactly once
     assert q.status["isTriggerActive"] is False
+
+
+def test_starting_timestamp_option(spark, tmp_path):
+    """startingTimestamp (Delta parity): stream only commits AT or
+    AFTER the timestamp — including one committed exactly at it;
+    a timestamp predating the retained log streams everything; mutual
+    exclusion with startingVersion is enforced."""
+    root = str(tmp_path / "tab")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))       # v0
+    ts_v1 = None
+    tab.commit_append(_df(spark, [(2, "b", "d1")]))          # v1
+    ts_v1 = tab._raw(1)["committed_at"]
+    tab.commit_append(_df(spark, [(3, "c", "d2")]))          # v2
+    # exactly at v1's commit time: v1 and v2 stream, v0 does not
+    q = _start(spark, root, "src_st", startingTimestamp=str(ts_v1))
+    try:
+        q.processAllAvailable()
+        assert _rows(spark, "src_st") == [(2, "b", "d1"), (3, "c", "d2")]
+    finally:
+        q.stop()
+    # predates everything: full stream
+    q = _start(spark, root, "src_st0", startingTimestamp="0")
+    try:
+        q.processAllAvailable()
+        assert len(_rows(spark, "src_st0")) == 3
+    finally:
+        q.stop()
+    # both options is an error (Delta's rule)
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="not both"):
+        q = _start(
+            spark, root, "src_both",
+            startingVersion="1", startingTimestamp=str(ts_v1),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
