@@ -99,7 +99,30 @@ def _open_table(options: dict) -> ManifestTable:
     """Table handle from (case-lowered) DataSource options. Local paths
     need only `path`; an `s3://bucket/prefix` path builds an S3LogStore
     from `endpoint`/`access_key`/`secret_key`/`region`/`cache_dir`."""
+    if "path" not in options:
+        # Measured Spark 4.1 behavior (round 9): a catalog table
+        # (`CREATE TABLE ... USING manifest OPTIONS (path ...)`) passes
+        # its OPTIONS to the first DataSource instantiation (schema
+        # inference) but re-instantiates with EMPTY options for the
+        # scan — the Python Data Source API does not forward
+        # catalog-table storage properties to reads. Fail with the
+        # working recipe instead of a bare KeyError.
+        raise ValueError(
+            "no `path` option reached the manifest data source. If this "
+            "is a catalog table (CREATE TABLE ... USING manifest), Spark "
+            "4.1's Python Data Source API does not forward its OPTIONS "
+            "to scans — read via spark.read.format('manifest')"
+            ".option('path', <root>).load() and expose SQL with "
+            "df.createOrReplaceTempView(...)"
+        )
     root = options["path"]
+    # paths that pass through the catalog arrive in the resolved
+    # `file:` URI form, not the raw path — strip the local scheme in
+    # both spellings
+    if root.startswith("file://"):
+        root = root[len("file://"):]
+    elif root.startswith("file:"):
+        root = root[len("file:"):]
     kw = {}
     if "statscols" in options:
         kw["stats_cols"] = [

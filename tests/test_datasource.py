@@ -771,3 +771,29 @@ def test_files_per_partition_coalescing_exact(spark, tmp_path):
     eight = ManifestBatchReader(got.schema, {"path": root, "filesperpartition": "8"})
     n1, n8 = len(one.partitions()), len(eight.partitions())
     assert n8 < n1 and n8 >= (n1 + 7) // 8
+
+
+def test_sql_surface_temp_view_and_catalog_table_limitation(spark, tmp_path):
+    """SQL ergonomics (round 9): the supported route is format-read +
+    temp view — full SQL over the snapshot, filters pushed like any
+    scan. The catalog-table route (CREATE TABLE USING manifest) hits a
+    MEASURED Spark 4.1 limitation — the Python DS API re-instantiates
+    the source with EMPTY options for scans — which must surface as an
+    actionable error naming the working recipe, not a KeyError."""
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d2")]))
+    _read(spark, root).createOrReplaceTempView("lake_view")
+    got = spark.sql(
+        "SELECT id, v FROM lake_view WHERE day = 'd1' ORDER BY id"
+    ).collect()
+    assert [(r.id, r.v) for r in got] == [(1, "a")]
+    # `file:` URI spelling of path resolves too (catalog-normalized form)
+    assert _read(spark, f"file:{root}").count() == 2
+    spark.sql(f"CREATE TABLE lake_limit USING manifest OPTIONS (path '{root}')")
+    try:
+        with pytest.raises(Exception, match="createOrReplaceTempView"):
+            spark.sql("SELECT * FROM lake_limit").collect()
+    finally:
+        spark.sql("DROP TABLE lake_limit")
+        spark.catalog.dropTempView("lake_view")
