@@ -972,3 +972,43 @@ def x69_column_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("v0").alias("snap"), "o_orderkey", "o_orderstatus"
     )
     return latest.unionByName(v0)
+
+
+@register(
+    "x70_metadata_row_count",
+    oracle="""
+    SELECT 'full' AS phase,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS meta_rows,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS scan_rows
+    UNION ALL
+    SELECT 'after_dv_delete',
+           CAST((SELECT count(*) FROM orders
+                 WHERE NOT (o_orderkey % 7 = 0)) AS BIGINT),
+           CAST((SELECT count(*) FROM orders
+                 WHERE NOT (o_orderkey % 7 = 0)) AS BIGINT)
+    """,
+)
+def x70_metadata_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x70 — metadata-only COUNT (round 9; Delta's numRecords answer):
+    commit entries record each parquet footer's num_rows, so
+    `row_count()` answers ``SELECT count(*)`` with ZERO data pages read
+    — and stays exact under merge-on-read DELETEs by subtracting each
+    file's recorded deletion-vector positions (sound: a later delete
+    evaluates over live rows, so positions never repeat). The query
+    emits (metadata count, actual scan count) before and after a DV
+    delete; the oracle pins both to the true counts — a metadata
+    counter that drifted from the data would hash-mismatch. At 100 TB
+    this is a free answer vs a full-table scan."""
+    table = _fresh_orders_table(spark, sf_dir, "x70")
+    meta_full = table.row_count()
+    scan_full = table.read(spark).count()
+    table.delete_where(spark, "o_orderkey % 7 = 0", mode="dv")
+    meta_after = table.row_count()
+    scan_after = table.read(spark).count()
+    return spark.createDataFrame(
+        [
+            ("full", meta_full, scan_full),
+            ("after_dv_delete", meta_after, scan_after),
+        ],
+        "phase string, meta_rows bigint, scan_rows bigint",
+    )

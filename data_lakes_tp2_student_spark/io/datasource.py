@@ -568,6 +568,8 @@ class _StagedWriterBase:
                 file_for(key).write_table(
                     gt.select([f.name for f in data_fields])
                 )
+        import pyarrow.parquet as _pq
+
         entries = []
         for key, w in writers.items():
             w.close()
@@ -585,6 +587,9 @@ class _StagedWriterBase:
                     for c, v in zip(self._partition_by, key)
                 },
                 "bytes": os.path.getsize(p),
+                # footer-only row count — keeps row_count() metadata-only
+                # for DataSource-written tables too (round 9)
+                "rows": _pq.ParquetFile(p).metadata.num_rows,
             }
             if self._stats_cols:
                 entry["stats"] = _file_stats(p, self._stats_cols)

@@ -524,6 +524,8 @@ class ManifestTable:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.store.txn_stage_dir(txn))
+        import pyarrow.parquet as pq
+
         entries = []
         for rel, local in self.store.finalize_txn(txn):
             entry = {
@@ -532,6 +534,9 @@ class ManifestTable:
                 # recorded so compact() never needs a per-file stat/HEAD
                 # round-trip against the backend (Delta records size too)
                 "bytes": os.path.getsize(local),
+                # footer-only row count (round 9): makes count(*) a
+                # metadata answer — row_count() — like Delta's numRecords
+                "rows": pq.ParquetFile(local).metadata.num_rows,
             }
             if stats_cols:
                 entry["stats"] = _file_stats(local, stats_cols)
@@ -1969,6 +1974,47 @@ class ManifestTable:
         # rewrite was derived from (ADVICE r7 — see compact).
         return self._commit(df, part_by, "optimize", "all", base=latest)
 
+    def row_count(self, version: int | None = None) -> int:
+        """``SELECT count(*)`` answered from METADATA — no data-page
+        scan (round 9; Delta answers counts from `numRecords` the same
+        way). Entries record the parquet footer's num_rows at commit
+        since r9; legacy entries pay one footer read each (never data
+        pages). Files carrying deletion vectors subtract their recorded
+        positions — sound because a later DELETE evaluates over the
+        DV-applied live rows, so a position can never appear in two of
+        a file's DVs. At 100 TB this is the difference between a free
+        answer and a full-table scan."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        import pyarrow.parquet as pq
+
+        m = self.manifest(version)
+        files = m["files"]
+        total = 0
+        legacy = [e for e in files if "rows" not in e]
+        footer = {}
+        if legacy:
+            _b, paths = self.store.resolve_read([e["path"] for e in legacy])
+            for e, p in zip(legacy, paths):
+                footer[e["path"]] = pq.ParquetFile(p).metadata.num_rows
+        for e in files:
+            total += e["rows"] if "rows" in e else footer[e["path"]]
+        dv_rels = sorted({d for e in files for d in e.get("dv", ())})
+        if dv_rels:
+            import pyarrow.compute as pc
+
+            _b, dv_paths = self.store.resolve_read(dv_rels)
+            dv_of = dict(zip(dv_rels, dv_paths))
+            for e in files:
+                for d in e.get("dv", ()):
+                    t = pq.read_table(dv_of[d], columns=["file"])
+                    total -= int(
+                        pc.sum(pc.equal(t["file"], e["path"])).as_py() or 0
+                    )
+        return total
+
     def describe_detail(self) -> dict:
         """Delta `DESCRIBE DETAIL`: one dict of table-level facts derived
         from the manifest alone (no data scan) — current version, file
@@ -1984,6 +2030,14 @@ class ManifestTable:
             "version": latest,
             "num_files": len(files),
             "size_bytes": sum(f.get("bytes", 0) for f in files),
+            # None when any entry predates r9's footer row counts (use
+            # row_count(), which falls back to footer reads)
+            "num_rows": (
+                sum(f["rows"] for f in files)
+                if files and all("rows" in f for f in files)
+                and not any(f.get("dv") for f in files)
+                else None
+            ),
             "partition_columns": e.get("partition_by") or [],
             "constraints": dict(self._constraints_of(e)),
             "column_mapping": self._mapping_of(e),
@@ -2056,8 +2110,12 @@ class ManifestTable:
                     dv = dv.filter(pc.equal(dv["file"], e["path"]))
                     for p in dv["pos"].to_pylist():
                         keep[p] = False
-                pq.write_table(table.filter(pa.array(keep)), out)
-                entry_meta = {"bytes": os.path.getsize(out)}
+                materialized = table.filter(pa.array(keep))
+                pq.write_table(materialized, out)
+                entry_meta = {
+                    "bytes": os.path.getsize(out),
+                    "rows": len(materialized),
+                }
                 if self.stats_cols:
                     cmap = self._mapping_of(src_entry) or {}
                     entry_meta["stats"] = _file_stats(
@@ -2066,6 +2124,8 @@ class ManifestTable:
             else:
                 shutil.copyfile(src, out)
                 entry_meta = {"bytes": e.get("bytes", os.path.getsize(out))}
+                if "rows" in e:
+                    entry_meta["rows"] = e["rows"]
                 if "stats" in e:
                     entry_meta["stats"] = e["stats"]
             carried[os.path.abspath(out)] = entry_meta
@@ -2077,6 +2137,8 @@ class ManifestTable:
                 "partition": _parse_partition(rel),
                 "bytes": meta["bytes"],
             }
+            if "rows" in meta:
+                entry["rows"] = meta["rows"]
             if "stats" in meta:
                 entry["stats"] = meta["stats"]
             entries.append(entry)

@@ -2086,3 +2086,44 @@ def test_overwrite_on_mapped_table_keeps_physical_stability(spark, tab):
     assert sorted((r.id, r.val) for r in tab.read(spark).collect()) == [
         (2, 99), (3, 100),
     ]
+
+
+def test_row_count_metadata_only(spark, tab):
+    """row_count() answers count(*) from manifest metadata: exact on
+    plain snapshots, under DV deletes (positions subtracted), across
+    time travel, and on legacy entries without recorded rows (footer
+    fallback)."""
+    tab.commit_overwrite(_df(spark, [(i, f"v{i}", f"d{i % 3}") for i in range(30)]))
+    assert tab.row_count() == 30
+    tab.commit_append(_df(spark, [(100 + i, "x", "d1") for i in range(5)]))
+    assert tab.row_count() == 35
+    tab.delete_where(spark, "id % 5 = 0", mode="dv")
+    expect = 35 - len([i for i in list(range(30)) + list(range(100, 105)) if i % 5 == 0])
+    assert tab.row_count() == expect
+    assert tab.read(spark).count() == expect
+    # time travel counts the PINNED snapshot
+    assert tab.row_count(version=0) == 30
+    # legacy entries (no `rows` recorded) fall back to footer reads
+    m = tab.manifest(tab.latest_version())
+    import json as _json
+
+    raw = tab._raw(0)
+    for e in raw["add"]:
+        e.pop("rows", None)
+    tab.store.put_log_atomic(tab._version_name(0), _json.dumps(raw).encode())
+    tab2 = tab.clone()
+    assert tab2.row_count(version=0) == 30
+
+
+def test_row_count_survives_clone_and_describe(spark, tmp_path):
+    tab = ManifestTable(str(tmp_path / "t"))
+    tab.commit_overwrite(_df(spark, [(i, "a", "d1") for i in range(12)]))
+    tab.delete_where(spark, "id >= 10", mode="dv")
+    clone = tab.clone_to(str(tmp_path / "c"))
+    # the clone materialized the DV: metadata count without DV math
+    assert clone.row_count() == 10
+    assert clone.describe_detail()["num_rows"] == 10
+    # the source's detail reports None under DV debt (row_count() is
+    # the exact path there)
+    assert tab.describe_detail()["num_rows"] is None
+    assert tab.row_count() == 10

@@ -234,6 +234,12 @@ _VALUE_MUTATIONS = {
         "SELECT snap, o_orderkey, concat(o_orderstatus, '!') AS o_orderstatus "
         "FROM ({o}) t"
     ),
+    # metadata row count: the nudge proves the gate constrains the
+    # metadata-vs-scan agreement (a drifting numRecords counter is the
+    # classic silent lakehouse bug)
+    "x70_metadata_row_count": (
+        "SELECT phase, meta_rows + 1 AS meta_rows, scan_rows FROM ({o}) t"
+    ),
 }
 
 
