@@ -2304,7 +2304,10 @@ class ManifestTable:
     # ---------- maintenance ----------
 
     def vacuum(
-        self, keep_versions: int = 1, min_age_seconds: float = 3600.0
+        self,
+        keep_versions: int = 1,
+        min_age_seconds: float = 3600.0,
+        dry_run: bool = False,
     ) -> list[str]:
         """Remove txn dirs referenced by NO retained snapshot — orphans
         from crashed/aborted commits and files superseded past the
@@ -2330,7 +2333,11 @@ class ManifestTable:
         with ANY concurrent reader/writer, is the documented unsafe
         combination: the reader's files can be deleted under it and its
         next action fails with a missing-file error (fail-loud, never
-        wrong-answer)."""
+        wrong-answer).
+
+        `dry_run=True` (Delta's VACUUM DRY RUN): report the txn dirs
+        that WOULD be removed under these parameters — no deletion, no
+        checkpoint write, no log truncation."""
         vs = self.versions()
         keep = vs[-max(1, keep_versions):] if vs else []
         live: set[str] = set()
@@ -2348,6 +2355,15 @@ class ManifestTable:
                 # retained snapshot needs them to read correctly
                 for dv in e.get("dv", ()):
                     live.add(dv.split("/")[1] if "/" in dv else "")
+        if dry_run:
+            would = []
+            for name in self.store.list_txn_dirs():
+                if name in live:
+                    continue
+                age = self.store.txn_dir_age_seconds(name)
+                if age is not None and age >= min_age_seconds:
+                    would.append(name)
+            return would
         removed = self.store.sweep_dead_txn_dirs(live, min_age_seconds)
         if keep and vs[0] < keep[0]:
             # retained snapshots must survive losing the older entries

@@ -2127,3 +2127,19 @@ def test_row_count_survives_clone_and_describe(spark, tmp_path):
     # the exact path there)
     assert tab.describe_detail()["num_rows"] is None
     assert tab.row_count() == 10
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tab):
+    """Delta's VACUUM DRY RUN: list what would go, touch nothing —
+    same liveness computation as the real sweep (the reported set
+    equals what a subsequent real vacuum removes)."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    tab.commit_overwrite(_df(spark, [(2, "b", "d2")]))
+    n_logs = len(tab.store.list_log())
+    would = tab.vacuum(keep_versions=1, min_age_seconds=0, dry_run=True)
+    assert len(would) == 1                       # v0's txn dir is dead
+    assert tab.store.list_txn_dirs() != []       # nothing deleted
+    assert len(tab.store.list_log()) == n_logs   # no truncation/checkpoint
+    assert tab.read(spark, version=0).count() == 1  # v0 still reads
+    removed = tab.vacuum(keep_versions=1, min_age_seconds=0)
+    assert sorted(removed) == sorted(would)      # the report was exact
