@@ -329,6 +329,27 @@ class ManifestBatchReader(DataSourceReader):
         for col, (lo, hi) in self._range_prune.items():
             if lo is None and hi is None:
                 continue
+            if col in self._partition_by:
+                # PARTITION column range (round 9): no footer stats —
+                # the exact value is the path string; compare TYPED
+                # ('9' < '10' numerically). NULL/unparsable kept; the
+                # row-level predicate stays with Spark either way.
+                from .manifest import _typed_part_value
+
+                st = self._schema[col].dataType.simpleString()
+                tlo = _typed_part_value(str(lo), st) if lo is not None else None
+                thi = _typed_part_value(str(hi), st) if hi is not None else None
+                files = [
+                    e
+                    for e in files
+                    if (pv := _typed_part_value(e["partition"].get(col), st))
+                    is None
+                    or (
+                        (tlo is None or pv >= tlo)
+                        and (thi is None or pv <= thi)
+                    )
+                ]
+                continue
             # stats are keyed by PHYSICAL name; filters arrive logical
             sc = self._mapping.get(col, col)
             files = [e for e in files if self._stats_overlap(e, sc, lo, hi)]

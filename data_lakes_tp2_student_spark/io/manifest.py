@@ -213,6 +213,27 @@ def _parse_partition(rel_path: str) -> dict[str, str | None]:
     return out
 
 
+def _typed_part_value(v: str | None, simple_type: str):
+    """A partition value's PATH STRING parsed into the committed column
+    type's comparison domain (round 9 partition-range pruning): numeric
+    types compare numerically ('9' < '10' must hold — lexicographic
+    says otherwise), ISO dates/timestamps compare correctly as strings,
+    booleans normalize. None (the NULL partition) and unparsable values
+    return None — callers must treat that as 'cannot prune'."""
+    if v is None:
+        return None
+    try:
+        if simple_type in ("tinyint", "smallint", "int", "bigint"):
+            return int(v)
+        if simple_type in ("float", "double") or simple_type.startswith("decimal"):
+            return float(v)
+        if simple_type == "boolean":
+            return v.lower() == "true"
+        return v  # string / date / timestamp: ISO order == value order
+    except ValueError:
+        return None
+
+
 def _part_key(partition: dict) -> tuple:
     """Canonical hashable form of a partition-values dict. Sort by KEY
     only: values may mix str and None, which Python refuses to order."""
@@ -1242,11 +1263,36 @@ class ManifestTable:
             # stats are keyed by PHYSICAL column name (stable across
             # renames); callers filter on logical names
             cmap = m.get("column_mapping") or {}
+            part_types = {
+                f.name: f.dataType.simpleString()
+                for f in StructType.fromJson(
+                    json.loads(self._table_schema_of(m))
+                ).fields
+                if f.name in (m["partition_by"] or [])
+            }
             for c, (lo, hi) in range_filter.items():
                 sc = cmap.get(c, c)
                 # canonicalize to the stats' stored domain (review r6:
                 # a date bound against ISO-string stats raised TypeError)
                 lo, hi = _json_safe(lo), _json_safe(hi)
+                if c in part_types:
+                    # PARTITION column (round 9): files carry no footer
+                    # stats for it — the exact value lives in the path;
+                    # compare TYPED ('9' < '10' numerically). NULL /
+                    # unparsable values are kept (cannot prune — sound).
+                    st = part_types[c]
+                    tlo = _typed_part_value(str(lo), st)
+                    thi = _typed_part_value(str(hi), st)
+                    if tlo is None or thi is None:
+                        continue
+                    files = [
+                        e
+                        for e in files
+                        if (pv := _typed_part_value(e["partition"].get(c), st))
+                        is None
+                        or (tlo <= pv <= thi)
+                    ]
+                    continue
                 files = [
                     e
                     for e in files

