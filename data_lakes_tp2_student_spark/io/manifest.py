@@ -217,9 +217,13 @@ def _typed_part_value(v: str | None, simple_type: str):
     """A partition value's PATH STRING parsed into the committed column
     type's comparison domain (round 9 partition-range pruning): numeric
     types compare numerically ('9' < '10' must hold — lexicographic
-    says otherwise), ISO dates/timestamps compare correctly as strings,
-    booleans normalize. None (the NULL partition) and unparsable values
-    return None — callers must treat that as 'cannot prune'."""
+    says otherwise), date/timestamp values parse to datetimes (Spark
+    spells path timestamps '2021-01-04 10:30:00' with a SPACE while
+    isoformat bounds carry 'T' — a raw string compare would order the
+    space before 'T' and silently mis-prune same-day values; review
+    r9 wave 2), booleans normalize. None (the NULL partition) and
+    unparsable values return None — callers must treat that as
+    'cannot prune'."""
     if v is None:
         return None
     try:
@@ -229,7 +233,14 @@ def _typed_part_value(v: str | None, simple_type: str):
             return float(v)
         if simple_type == "boolean":
             return v.lower() == "true"
-        return v  # string / date / timestamp: ISO order == value order
+        if simple_type in ("date", "timestamp", "timestamp_ntz"):
+            import datetime as _dt
+
+            s = v.replace(" ", "T")
+            if simple_type == "date" and "T" not in s:
+                return _dt.datetime.fromisoformat(s + "T00:00:00")
+            return _dt.datetime.fromisoformat(s)
+        return v  # string: value order IS lexicographic order
     except ValueError:
         return None
 

@@ -2143,3 +2143,30 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tab):
     assert tab.read(spark, version=0).count() == 1  # v0 still reads
     removed = tab.vacuum(keep_versions=1, min_age_seconds=0)
     assert sorted(removed) == sorted(would)      # the report was exact
+
+
+def test_partition_range_pruning_timestamp_separator_sound(spark, tmp_path):
+    """r9 review wave 2: Spark spells path timestamps with a SPACE
+    ('ts=2021-01-04 23%3A00%3A00') while isoformat bounds carry 'T' —
+    a raw string compare orders ' ' before 'T' and would prune a
+    same-day 23:00 file against a 10:00 lower bound (silent row loss).
+    Typed parsing must keep it."""
+    import datetime as dt
+
+    tab = ManifestTable(str(tmp_path / "t"))
+    rows = [
+        (1, dt.datetime(2021, 1, 4, 2, 0)),
+        (2, dt.datetime(2021, 1, 4, 23, 0)),
+        (3, dt.datetime(2021, 1, 5, 12, 0)),
+    ]
+    df = spark.createDataFrame(rows, "id int, ts timestamp")
+    tab.commit_overwrite(df, partition_by=["ts"])
+    got = tab.read(
+        spark,
+        range_filter={
+            "ts": (dt.datetime(2021, 1, 4, 10, 0), dt.datetime(2021, 1, 5, 23, 59))
+        },
+    )
+    assert sorted(r.id for r in got.collect()) == [2, 3]  # 23:00 survives
+    # and the out-of-range early file IS pruned (typed compare active)
+    assert got.where("id = 1").count() == 0
