@@ -542,10 +542,16 @@ class ManifestTable:
                 "column name 'txn' is reserved by the manifest layout"
             )
         if mapping:
-            for logical in df.columns:
-                phys = mapping.get(logical, logical)
-                if phys != logical:
-                    df = df.withColumnRenamed(logical, phys)
+            # ONE-SHOT relabel (r9 review wave 2): sequential
+            # withColumnRenamed fails with COLUMN_ALREADY_EXISTS when a
+            # logical name equals another column's physical target
+            # (rename a→c then b→a: mapping {c: a, a: b} — renaming
+            # either column first collides with the other's old name);
+            # a single select swaps all labels atomically. df[c] indexes
+            # the exact column, no name parsing.
+            df = df.select(
+                *[df[c].alias(mapping.get(c, c)) for c in df.columns]
+            )
         stats_cols = (
             [mapping.get(c, c) for c in self.stats_cols]
             if mapping
@@ -808,10 +814,15 @@ class ManifestTable:
             vdf = spark.read.option("basePath", _b).parquet(*paths)
             if column_mapping:
                 # files carry PHYSICAL names; constraint SQL binds to
-                # LOGICAL names — relabel before validating
-                for logical, phys in column_mapping.items():
-                    if phys != logical and phys in vdf.columns:
-                        vdf = vdf.withColumnRenamed(phys, logical)
+                # LOGICAL names — relabel in ONE select (sequential
+                # renames collide when a logical name equals another
+                # column's physical, the swap case; these files hold
+                # only this commit's physicals, so the inverse map is
+                # collision-free)
+                inv = {p: l for l, p in column_mapping.items()}
+                vdf = vdf.select(
+                    *[vdf[c].alias(inv.get(c, c)) for c in vdf.columns]
+                )
             try:
                 self._validate_constraints(vdf, base_cons)
             except CheckConstraintViolation:

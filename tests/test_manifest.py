@@ -2170,3 +2170,46 @@ def test_partition_range_pruning_timestamp_separator_sound(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == [2, 3]  # 23:00 survives
     # and the out-of-range early file IS pruned (typed compare active)
     assert got.where("id = 1").count() == 0
+
+
+def test_rename_swapping_logical_and_physical_names(spark, tab):
+    """r9 review wave 2: rename a→c then b→a leaves mapping
+    {c: a, a: b} — a logical name now EQUALS another column's physical
+    target. The write-side relabel must swap atomically (sequential
+    column renames threw COLUMN_ALREADY_EXISTS on a legal append)."""
+    df = spark.createDataFrame([(1, "A1", "B1")], "id int, a string, b string")
+    tab.commit_overwrite(df)
+    tab.rename_column("a", "c")
+    tab.rename_column("b", "a")
+    tab.commit_append(
+        spark.createDataFrame([(2, "C2", "A2")], "id int, c string, a string")
+    )
+    got = sorted((r.id, r.c, r.a) for r in tab.read(spark).collect())
+    assert got == [(1, "A1", "B1"), (2, "C2", "A2")]
+    # DV update binds to the swapped logical names too
+    tab.update_where(spark, "id = 1", {"a": "'B1x'"}, mode="dv")
+    got = {r.id: r.a for r in tab.read(spark).collect()}
+    assert got == {1: "B1x", 2: "A2"}
+
+
+def test_constraints_validate_through_swapped_mapping(spark, tmp_path):
+    """Constraint validation reads the just-written PHYSICAL files and
+    relabels to logical names — must survive the swap-case mapping
+    ({c: a, a: b}) and still reject violating rows under it."""
+    tab = ManifestTable(str(tmp_path / "t"))
+    tab.commit_overwrite(
+        spark.createDataFrame([(1, "A1", "B1")], "id int, a string, b string")
+    )
+    tab.rename_column("a", "c")
+    tab.rename_column("b", "a")
+    tab.add_check_constraint(spark, "a_short", "length(a) <= 3")
+    tab.commit_append(
+        spark.createDataFrame([(2, "x", "ok")], "id int, c string, a string")
+    )
+    with pytest.raises(CheckConstraintViolation):
+        tab.commit_append(
+            spark.createDataFrame(
+                [(3, "y", "too-long")], "id int, c string, a string"
+            )
+        )
+    assert tab.read(spark).count() == 2
