@@ -52,7 +52,18 @@ def d2_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.count_distinct(load(spark, sf_dir, "documents"), "source")
 
 
-@register("d2x_approx_count_distinct")  # HLL sketch: no exact oracle, rows-only
+@register(
+    "d2x_approx_count_distinct",
+    # HLL sketch: exact hash match impossible, but the bound IS checkable
+    # (VERDICT r9 item 5) — approx_count_distinct's default rsd is 0.05,
+    # so +/-3 sigma = +/-15% around the exact distinct count. The local
+    # gate fails if the sketch ever leaves that interval.
+    tol_oracle="""
+    SELECT CAST(floor(count(DISTINCT source) * 0.85) AS BIGINT) AS n_distinct_lo,
+           CAST(ceil(count(DISTINCT source) * 1.15) AS BIGINT) AS n_distinct_hi
+    FROM documents
+    """,
+)
 def d2x_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d2 scale variant — approx_count_distinct (HyperLogLog++)."""
     return S.count_distinct(load(spark, sf_dir, "documents"), "source", approx=True)
@@ -118,7 +129,21 @@ def d7_d8_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.length_stats(load(spark, sf_dir, "documents"), "text")
 
 
-@register("d8x_percentiles_approx")  # sketch-based: rows-only check
+@register(
+    "d8x_percentiles_approx",
+    # percentile_approx (Greenwald-Khanna) guarantees rank error
+    # <= N/accuracy with the default accuracy 10000; the returned value is
+    # an actual dataset element, so the exact discrete quantiles at
+    # p -/+ 2/10000 (2x the guarantee for slack) bound it (VERDICT r9
+    # item 5). DuckDB quantile_disc is the exact discrete quantile.
+    tol_oracle="""
+    WITH lens AS (SELECT length(text) AS ln FROM documents)
+    SELECT quantile_disc(ln, 0.4998) AS p50_lo, quantile_disc(ln, 0.5002) AS p50_hi,
+           quantile_disc(ln, 0.8998) AS p90_lo, quantile_disc(ln, 0.9002) AS p90_hi,
+           quantile_disc(ln, 0.9898) AS p99_lo, quantile_disc(ln, 0.9902) AS p99_hi
+    FROM lens
+    """,
+)
 def d8x_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d8 scale variant — percentile_approx sketch."""
     return S.length_percentiles_approx(load(spark, sf_dir, "documents"), "text")

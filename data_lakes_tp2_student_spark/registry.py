@@ -42,18 +42,35 @@ class Query:
     fn: QueryFn
     oracle: Optional[str]
     doc: str = ""
+    # Tolerance oracle (VERDICT r9 item 5) for sketch queries where exact
+    # hash match is impossible but a BOUND is checkable: DuckDB SQL that
+    # returns, for every column `c` in the Spark result, exact columns
+    # `c_lo` and `c_hi` (inclusive), one oracle row per Spark row. The
+    # local gate asserts lo <= value <= hi. Only meaningful when
+    # ``oracle`` is None (the driver still records rows-only; the LOCAL
+    # gate enforces the bound).
+    tol_oracle: Optional[str] = None
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register ``fn`` under ``name`` with optional oracle SQL."""
+def register(
+    name: str, oracle: str | None = None, tol_oracle: str | None = None
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn`` under ``name`` with optional oracle SQL
+    (exact hash compare) or ``tol_oracle`` SQL (sketch bound check)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query id: {name}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        REGISTRY[name] = Query(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=fn.__doc__ or "",
+            tol_oracle=tol_oracle,
+        )
         return fn
 
     return deco

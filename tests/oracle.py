@@ -93,6 +93,29 @@ def spark_nonportable_fields(sdf) -> list[str]:
     ]
 
 
+def check_tolerance(name: str, spd: pd.DataFrame, opd: pd.DataFrame) -> None:
+    """Sketch-bound gate (VERDICT r9 item 5): for a rows-only sketch query
+    with a ``tol_oracle``, assert every Spark value sits inside the exact
+    [``<col>_lo``, ``<col>_hi``] interval the oracle computed. Single-row
+    contract (both registered sketches are 1-row aggregates): a sketch
+    whose output is per-group would need a keyed variant — fail loudly
+    rather than guess an alignment."""
+    assert len(spd) == 1 and len(opd) == 1, (
+        f"{name}: tolerance oracle requires exactly one row on both sides "
+        f"(spark={len(spd)}, oracle={len(opd)})"
+    )
+    want = sorted([f"{c}_lo" for c in spd.columns] + [f"{c}_hi" for c in spd.columns])
+    assert sorted(opd.columns) == want, (
+        f"{name}: tol_oracle columns {sorted(opd.columns)} != expected {want}"
+    )
+    srow, orow = spd.iloc[0], opd.iloc[0]
+    for c in spd.columns:
+        v, lo, hi = float(srow[c]), float(orow[f"{c}_lo"]), float(orow[f"{c}_hi"])
+        assert lo <= v <= hi, (
+            f"{name}: sketch value {c}={v} outside exact bound [{lo}, {hi}]"
+        )
+
+
 def compare_query(spark, name: str, sf_dir: str) -> None:
     try:
         _compare_query(spark, name, sf_dir)
@@ -114,6 +137,9 @@ def _compare_query(spark, name: str, sf_dir: str) -> None:
     )
     spd = sdf.toPandas()
     if q.oracle is None:
+        if q.tol_oracle is not None:
+            check_tolerance(name, spd, run_duckdb_df(q.tol_oracle, sf_dir))
+            return
         assert len(spd) >= 0  # rows-only smoke
         return
     opd = run_duckdb_df(q.oracle, sf_dir)

@@ -79,6 +79,42 @@ def test_default_lsh_config_recall(corpus, truth):
 
 
 def test_ivf_recall(corpus, truth):
+    """x3c's registry config (n_cells=16, nprobe=2 — the knn_ivf defaults)
+    must retrieve: recall@10 >= 0.5 (measured ~0.73 at sf0.01; floor leaves
+    noise margin). VERDICT r9 item 6's pinned IVF floor."""
     q = corpus.filter(F.col("vec_id") < N_QUERIES)
     r = _mean_recall(truth, _top_sets(knn_ivf(corpus, q, k=K, nprobe=2)))
     assert r >= 0.5, r
+
+
+def test_semdedup_neighbor_recall(corpus):
+    """x38 SemDeDup retrieval-quality gate (VERDICT r9 item 6): against the
+    EXACT all-pairs ground truth (every vec_id with cosine >= threshold to
+    some lower-id vector), the cell-bucketed path must (a) keep recall
+    above a pinned floor — measured 0.303 at sf0.01/16 cells; recall < 1 is
+    inherent to SemDeDup's within-cell-only comparisons (Abbas et al. 2023),
+    but a cell-assignment bug that splits near-dup pairs across cells would
+    tank it below 0.2 — and (b) have EXACT precision 1.0: in-cell cosine is
+    exact, so a flagged dup that is not a true dup is always a bug."""
+    import numpy as np
+
+    from data_lakes_tp2_student_spark.catalog.llm_ops5 import _SEM_THRESHOLD
+    from data_lakes_tp2_student_spark.operators.similarity import semdedup
+
+    pdf = corpus.toPandas().sort_values("vec_id")
+    V = np.vstack(pdf["embedding"].to_numpy())
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    ids = pdf["vec_id"].to_numpy()
+    iu, ju = np.triu_indices(len(ids), k=1)
+    hit = S[iu, ju] >= _SEM_THRESHOLD
+    true_dups = set(int(x) for x in np.unique(ids[ju[hit]]))
+
+    res = semdedup(corpus, n_cells=16, threshold=_SEM_THRESHOLD).toPandas()
+    detected = set(res.loc[~res["is_kept"], "vec_id"].astype(int))
+    assert true_dups, "degenerate fixture: no true near-dup pairs"
+    assert detected <= true_dups, (
+        f"false positives: {sorted(detected - true_dups)[:5]}"
+    )
+    recall = len(detected & true_dups) / len(true_dups)
+    assert recall >= 0.2, recall

@@ -291,6 +291,81 @@ def test_extra_column_fails_gate(spark):
     )
 
 
+@_pytest.mark.parametrize(
+    "name",
+    [
+        "i14_stream_lake_source",
+        "i15_stream_lake_sink",
+        "x53_time_travel",
+        "x57_restore_rollback",
+    ],
+)
+def test_lifecycle_mutation_fails_gate(spark, name):
+    """VERDICT r9 item 7 — canaries for the two lifecycle families whose
+    failure modes are ROW-SUBSET shaped, not value-nudge shaped. Each
+    mutated oracle is the exact table state a specific lifecycle bug
+    would produce; the gate must tell it apart from the correct output:
+
+    - i14: a wrong starting-offset resolution that skips the initial
+      snapshot (v0) delivers only the two append commits;
+    - i15: a redelivered final epoch committed TWICE (txn idempotence
+      broken) appends the last batch's rows a second time;
+    - x53: a time-travel read that ignores the version pin and serves
+      the v1 merge head instead of pinned v0;
+    - x57: a restore that fails to move the head back, leaving the
+      "bad deploy" merge in place.
+    """
+    from data_lakes_tp2_student_spark.catalog.llm_ops6 import _X8_ORACLE
+
+    template = {
+        "i14_stream_lake_source": (
+            "SELECT * FROM orders WHERE o_orderkey % 3 <> 0"
+        ),
+        "i15_stream_lake_sink": (
+            "SELECT * FROM orders UNION ALL "
+            "SELECT * FROM orders WHERE o_orderkey % 3 = 2"
+        ),
+        "x53_time_travel": _X8_ORACLE,
+        "x57_restore_rollback": _X8_ORACLE,
+    }[name]
+    _expect_gate_failure(spark, name, template)
+
+
+@_pytest.mark.parametrize(
+    "name", ["d2x_approx_count_distinct", "d8x_percentiles_approx"]
+)
+def test_sketch_bound_canaries(spark, name):
+    """VERDICT r9 item 5: the sketches' tolerance gate must FAIL on a
+    nudged value (proving the bound constrains the output, not just the
+    row count) and pass unmutated."""
+    from pyspark.sql import functions as F
+
+    import data_lakes_tp2_student_spark.catalog  # noqa: F401
+    from data_lakes_tp2_student_spark.registry import REGISTRY, Query
+
+    from .oracle import compare_query
+
+    q = REGISTRY[name]
+    assert q.oracle is None and q.tol_oracle is not None
+    # unmutated: the sketch sits inside the exact bound
+    compare_query(spark, name, "/root/testdata/sf0.001")
+
+    def nudged(spark_, sf_, _fn=q.fn):
+        df = _fn(spark_, sf_)
+        return df.select(
+            *[(F.col(c) * 10).cast("bigint").alias(c) for c in df.columns]
+        )
+
+    REGISTRY[name] = Query(
+        name=q.name, fn=nudged, oracle=None, doc=q.doc, tol_oracle=q.tol_oracle
+    )
+    try:
+        with _pytest.raises(AssertionError, match="outside exact bound"):
+            compare_query(spark, name, "/root/testdata/sf0.001")
+    finally:
+        REGISTRY[name] = q
+
+
 def test_unmutated_canary_queries_pass_gate(spark):
     """The canaries above prove the gate can fail; this proves the failure
     is CAUSED by the mutation (not pre-existing breakage in the sampled
@@ -299,5 +374,10 @@ def test_unmutated_canary_queries_pass_gate(spark):
 
     from .oracle import compare_query
 
-    for name in sorted(_VALUE_MUTATIONS) + ["x13_cohort_retention"]:
+    for name in sorted(_VALUE_MUTATIONS) + [
+        "x13_cohort_retention",
+        "i14_stream_lake_source",
+        "x53_time_travel",
+        "x57_restore_rollback",
+    ]:
         compare_query(spark, name, "/root/testdata/sf0.001")
