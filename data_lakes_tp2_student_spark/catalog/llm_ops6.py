@@ -454,6 +454,61 @@ def x58_s3_lake_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         server.stop()
 
 
+@register("x71_dsv2_s3_write", oracle="SELECT * FROM orders")
+def x71_dsv2_s3_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x71 — the registered batch WRITER against an OBJECT-STORE root
+    (round 10, VERDICT r9 item 3 closes x66's local-only gap):
+    `df.write.format("manifest")` to `s3://lake/x71_orders` on an
+    in-process moto server. Each executor task stages its Arrow batches
+    in a task-local temp dir and PUTs the parquet itself to the table's
+    `data/txn=<id>/` prefix — data never moves through the driver — and
+    the driver publishes the same conditional-put commit x58 proved.
+    Answer = the committed table read back through the registered
+    reader; the hash match vs plain orders proves the executor-upload
+    staging loses and invents nothing. This is the write half of the
+    reference's bucket-zone contract (ref: build/unpack_to_raw.py:17-22)
+    at the public-format surface."""
+    from moto.server import ThreadedMotoServer
+
+    from ..io.datasource import ManifestDataSource
+    from ..io.logstore import S3LogStore
+
+    server = ThreadedMotoServer(port=0)
+    server.start()
+    try:
+        _host, port = server.get_host_and_port()
+        endpoint = f"http://127.0.0.1:{port}"
+        cache = os.path.join(_TMP, "x71_cache")
+        shutil.rmtree(cache, ignore_errors=True)
+        store = S3LogStore(
+            "lake", "x71_orders", endpoint=endpoint, cache_dir=cache
+        )
+        store.client.create_bucket(Bucket="lake")
+        spark.dataSource.register(ManifestDataSource)
+        (
+            load(spark, sf_dir, "orders")
+            .write.format("manifest")
+            .mode("overwrite")
+            .option("path", "s3://lake/x71_orders")
+            .option("endpoint", endpoint)
+            .option("cache_dir", cache)
+            .save()
+        )
+        out = (
+            spark.read.format("manifest")
+            .option("path", "s3://lake/x71_orders")
+            .option("endpoint", endpoint)
+            .option("cache_dir", cache)
+            .load()
+        )
+        # materialize NOW: the moto server dies with this function, so
+        # the lazy plan must not reach back to it afterwards
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        server.stop()
+
+
 @register(
     "x5o_avi_frame_sample",
     oracle="""

@@ -316,21 +316,153 @@ def test_writer_rejects_reserved_and_missing_columns(spark, tmp_path):
         ).option("partitionBy", "nope").save()
 
 
-def test_writer_rejects_object_store_roots(spark):
-    from pyspark.sql.types import StructType
+def _committed_txn_dirs(tab) -> set:
+    """Every txn= dir referenced by any committed version's file list."""
+    out = set()
+    for v in tab.versions():
+        for e in tab._snapshot_files(v):
+            out.add(e["path"].split("/")[1])
+    return out
 
-    schema = StructType.fromDDL("id int, v string, day string")
-    with pytest.raises(ValueError, match="local-filesystem"):
-        ManifestBatchWriter(
-            schema,
-            {
-                "path": "s3://bucket/prefix",
-                "endpoint": "http://127.0.0.1:1",
-                "access_key": "x",
-                "secret_key": "y",
-            },
-            overwrite=False,
+
+@pytest.fixture()
+def s3_env(tmp_path):
+    """An in-process moto S3 server + a fresh table prefix: yields
+    (options dict for the registered format, the cooperating S3LogStore,
+    the s3:// root)."""
+    import uuid as _uuid
+
+    pytest.importorskip("moto", reason="moto not installed")
+    from moto.server import ThreadedMotoServer
+
+    from data_lakes_tp2_student_spark.io.logstore import S3LogStore
+
+    server = ThreadedMotoServer(port=0)
+    server.start()
+    try:
+        _host, port = server.get_host_and_port()
+        endpoint = f"http://127.0.0.1:{port}"
+        prefix = f"w-{_uuid.uuid4().hex[:10]}"
+        store = S3LogStore(
+            "lake", prefix, endpoint=endpoint,
+            cache_dir=str(tmp_path / "cache"),
         )
+        try:
+            store.client.create_bucket(Bucket="lake")
+        except store.client.exceptions.ClientError:
+            pass
+        root = f"s3://lake/{prefix}"
+        opts = {"path": root, "endpoint": endpoint}
+        yield opts, store, root
+    finally:
+        server.stop()
+
+
+def test_batch_write_over_s3(spark, s3_env):
+    """Round 10 (VERDICT r9 item 3): `df.write.format("manifest")` against
+    an s3:// root — executor tasks PUT their own staged parquet to the
+    txn prefix, the driver publishes the conditional-put commit. Read
+    back through BOTH the registered reader and the native path, with a
+    Hive partition layout, plus an append on top."""
+    opts, store, root = s3_env
+    df = _df(spark, [(1, "a", "d1"), (2, "b", "d2"), (3, "c", "d1")])
+    (
+        df.write.format("manifest").mode("overwrite")
+        .options(**opts).option("partitionBy", "day").save()
+    )
+    _df(spark, [(4, "d", "d3")]).write.format("manifest").mode(
+        "append"
+    ).options(**opts).save()
+    want = df.union(_df(spark, [(4, "d", "d3")]))
+    got_ds = spark.read.format("manifest").options(**opts).load()
+    assert _multiset(got_ds) == _multiset(want)
+    tab = ManifestTable(root, log_store=store)
+    assert _multiset(tab.read(spark)) == _multiset(want)
+    assert tab.versions() == [0, 1]
+    # no task-staging leftovers in the bucket beyond the committed txns
+    assert set(store.list_txn_dirs()) == _committed_txn_dirs(tab)
+
+
+def test_idempotent_batch_write_via_txn_s3(spark, s3_env):
+    """The txnAppId/txnVersion idempotence contract holds on the S3
+    backend: a redelivered job version publishes nothing and leaves no
+    staged objects behind (VERDICT r9 item 3's contract test)."""
+    opts, store, root = s3_env
+    df = _df(spark, [(1, "a", "d1")])
+
+    def write(ver):
+        (
+            df.write.format("manifest").mode("append")
+            .options(**opts)
+            .option("txnAppId", "job").option("txnVersion", str(ver))
+            .save()
+        )
+
+    write(1)
+    write(1)  # redelivered: skipped
+    tab = ManifestTable(root, log_store=store)
+    assert tab.versions() == [0]
+    assert tab.read(spark).count() == 1
+    write(2)
+    assert tab.versions() == [0, 1]
+    assert tab.read(spark).count() == 2
+    # the duplicate's staged objects were dropped: every object under
+    # data/ belongs to a committed txn
+    assert set(store.list_txn_dirs()) == _committed_txn_dirs(tab)
+
+
+def test_batch_commit_removes_unreferenced_s3_objects(spark, s3_env):
+    """S3 analogue of the loser-cleanup pass: a completed-but-losing
+    attempt's uploaded object under the txn prefix must be swept by the
+    pre-publish LIST, while the winner's files commit."""
+    opts, store, root = s3_env
+    df = _df(spark, [(1, "a", "d1")])
+    w = ManifestBatchWriter(df.schema, dict(opts), overwrite=True)
+    msg = w.write(iter(df.toArrow().to_batches()))
+    stray_key = f"{store.prefix}/data/txn={w._txn}/part-99999-dead.parquet"
+    store.client.put_object(Bucket="lake", Key=stray_key, Body=b"loser bytes")
+    w.commit([msg])
+    keys = [o["Key"] for o in store._list_keys(f"{store.prefix}/data/")]
+    assert stray_key not in keys
+    assert len(keys) == 1  # exactly the winner's committed file
+    assert ManifestTable(root, log_store=store).read(spark).count() == 1
+
+
+def test_stream_sink_over_s3(spark, s3_env, tmp_path):
+    """i15 over the object store (VERDICT r9 item 3): a local manifest
+    table streams through `manifest_stream` into an S3-backed
+    `writeStream.format("manifest")` sink — per-epoch atomic commits,
+    txn idempotence recorded, final table equal to the source rows."""
+    from data_lakes_tp2_student_spark.streaming.source import (
+        ManifestStreamDataSource,
+    )
+
+    opts, store, root = s3_env
+    src_root = str(tmp_path / "src")
+    src = ManifestTable(src_root)
+    src.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d2")]))
+    src.commit_append(_df(spark, [(3, "c", "d3")]))
+    spark.dataSource.register(ManifestStreamDataSource)
+    q = (
+        spark.readStream.format("manifest_stream")
+        .option("path", src_root)
+        .load()
+        .writeStream.format("manifest")
+        .options(**opts)
+        .option("txnAppId", "i15s3")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        src.commit_append(_df(spark, [(4, "d", "d4")]))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = ManifestTable(root, log_store=store)
+    assert _multiset(sink.read(spark)) == _multiset(src.read(spark))
+    assert sink.last_txn_version("i15s3") is not None
 
 
 def test_idempotent_batch_write_via_txn(spark, tmp_path):
@@ -773,13 +905,17 @@ def test_files_per_partition_coalescing_exact(spark, tmp_path):
     assert n8 < n1 and n8 >= (n1 + 7) // 8
 
 
-def test_sql_surface_temp_view_and_catalog_table_limitation(spark, tmp_path):
-    """SQL ergonomics (round 9): the supported route is format-read +
-    temp view — full SQL over the snapshot, filters pushed like any
-    scan. The catalog-table route (CREATE TABLE USING manifest) hits a
-    MEASURED Spark 4.1 limitation — the Python DS API re-instantiates
-    the source with EMPTY options for scans — which must surface as an
-    actionable error naming the working recipe, not a KeyError."""
+def test_sql_surface_temp_view_and_catalog_tables(spark, tmp_path):
+    """SQL ergonomics: format-read + temp view works like any scan, and
+    (round 10, VERDICT r9 item 4) CREATE TABLE ... USING manifest works
+    END TO END despite the measured Spark 4.1 limitation (the Python DS
+    API re-instantiates the source with EMPTY options for scans): the
+    CREATE-time schema() stashes the options in field metadata, which
+    the catalog persists and every SCAN recovers. Pinned here: SELECT,
+    following the table head across later commits, a versionAsOf-pinned
+    catalog table, and INSERT INTO failing ACTIONABLY (writers must not
+    trust the stash — an INSERT's schema comes from the source query,
+    which could carry a different table's stash)."""
     root = str(tmp_path / "t")
     tab = ManifestTable(root)
     tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d2")]))
@@ -790,13 +926,43 @@ def test_sql_surface_temp_view_and_catalog_table_limitation(spark, tmp_path):
     assert [(r.id, r.v) for r in got] == [(1, "a")]
     # `file:` URI spelling of path resolves too (catalog-normalized form)
     assert _read(spark, f"file:{root}").count() == 2
-    spark.sql(f"CREATE TABLE lake_limit USING manifest OPTIONS (path '{root}')")
+    spark.sql(f"CREATE TABLE lake_cat USING manifest OPTIONS (path '{root}')")
+    spark.sql(
+        "CREATE TABLE lake_cat_v0 USING manifest "
+        f"OPTIONS (path '{root}', versionAsOf '0')"
+    )
     try:
-        with pytest.raises(Exception, match="createOrReplaceTempView"):
-            spark.sql("SELECT * FROM lake_limit").collect()
+        got = spark.sql(
+            "SELECT id, v FROM lake_cat WHERE day = 'd1' ORDER BY id"
+        ).collect()
+        assert [(r.id, r.v) for r in got] == [(1, "a")]
+        # the catalog table follows the head: a later commit is visible
+        tab.commit_append(_df(spark, [(3, "c", "d3")]))
+        spark.sql("REFRESH TABLE lake_cat")
+        assert spark.sql("SELECT count(*) AS n FROM lake_cat").collect()[0].n == 3
+        # ...while the versionAsOf table stays pinned at v0
+        assert (
+            spark.sql("SELECT count(*) AS n FROM lake_cat_v0").collect()[0].n == 2
+        )
+        # INSERT INTO fails with the write recipe, not a KeyError: the
+        # writer's schema is the SOURCE QUERY's schema (metadata wiped on
+        # coercion, measured), and trusting a surviving stash would let
+        # `INSERT INTO a SELECT * FROM b` write into b's path
+        with pytest.raises(Exception, match="df.write"):
+            spark.sql(
+                "INSERT INTO lake_cat SELECT 4 AS id, 'd' AS v, 'd4' AS day"
+            )
     finally:
-        spark.sql("DROP TABLE lake_limit")
+        spark.sql("DROP TABLE lake_cat")
+        spark.sql("DROP TABLE lake_cat_v0")
         spark.catalog.dropTempView("lake_view")
+    # the stash-less path (a table created before the stash existed, or
+    # an s3:// root whose credentials must not ride schema metadata)
+    # still fails with the actionable recipe, not a KeyError
+    from data_lakes_tp2_student_spark.io.datasource import _open_table
+
+    with pytest.raises(ValueError, match="createOrReplaceTempView"):
+        _open_table({})
 
 
 def test_partition_range_pruning_is_typed(spark, tmp_path):

@@ -117,7 +117,7 @@ def test_txn_idempotence_skips_redelivered_batch(spark, tmp_path):
         import os
         import uuid
 
-        stage = w._next_stage()
+        stage, _rel = w._task_stage()
         os.makedirs(stage, exist_ok=True)
         p = os.path.join(stage, f"part-{uuid.uuid4().hex}.parquet")
         df.toPandas().to_parquet(p)
