@@ -85,7 +85,7 @@ BASELINE_GOFORWARD = {
     "x2_minhash_pairs": 1.338,
     "x2b_jaccard_verify": 3.282,
     "x2e_dup_clusters": 4.42,
-    "x2f_simhash_pairs": 1.141,
+    "x2f_simhash_pairs": 1.388,  # r10 go-forward: 64-bit two-level SimHash (r1 32-bit row 1.141, BASELINE.md r10 footnote, PERF.md #50)
     "x3_knn_bruteforce": 0.912,
     "x3b_knn_lsh": 1.827,
     "x3c_knn_ivf": 0.909,

@@ -165,10 +165,13 @@ def x2b_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared by x2c (fingerprints) and llm_ops2's x2f (hamming-banded pairs).
+# 64 bits as of round 10 (the published SimHash width): bit b is the b-th
+# MSB of md5's first 16 hex digits — hex digit b//4, bit b%4 within it —
+# the exact definition operators/dedup.py:simhash computes Spark-side.
 _SIMHASH_CTE = """
     WITH sh AS (
     SELECT doc_id,
-           array_to_string(list_transform(range(0, 32), b ->
+           array_to_string(list_transform(range(0, 64), b ->
              CASE WHEN list_sum(list_transform(string_split(text, ' '), w ->
                CASE WHEN ((strpos('0123456789abcdef',
                                   substr(md5(w), CAST(b // 4 AS INT) + 1, 1)) - 1)
@@ -185,7 +188,7 @@ _SIMHASH_CTE = """
     oracle=_SIMHASH_CTE + "SELECT doc_id, simhash FROM sh",
 )
 def x2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x2 — 32-bit SimHash fingerprint per document (near-dup via small
+    """x2 — 64-bit SimHash fingerprint per document (near-dup via small
     hamming distance; banding reuses the x2 LSH shape)."""
     docs = load(spark, sf_dir, "documents")
     return simhash(docs, "text").select("doc_id", "simhash")

@@ -110,7 +110,7 @@ def x2g_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_SIMHASH_CTE
     + """
     , banded AS (
-        SELECT doc_id, simhash, t.b AS band, substr(simhash, t.b * 8 + 1, 8) AS bits
+        SELECT doc_id, simhash, t.b AS band, substr(simhash, t.b * 16 + 1, 16) AS bits
         FROM sh, range(0, 4) t(b)
     ),
     cand AS (
@@ -127,12 +127,18 @@ def x2g_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x2f_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x2 — SimHash near-dup candidate pairs: band the 32-bit fingerprint
-    into 4 byte-slices, equi-join collisions, keep pairs within hamming ≤ 3
-    (pigeonhole: exact recall at that radius). The hamming filter is
-    bit_count(xor) on bigint forms — all codegen'd; the SimHash complement
-    to x2's MinHash banding, catching word-frequency-preserving edits that
-    shingle sets miss."""
+    """x2 — SimHash near-dup candidate pairs within hamming ≤ 3 of the
+    64-bit fingerprint. The Spark path generates candidates with
+    TWO-LEVEL banding (16-bit band + 12-bit sub-band of the
+    complementary bits — see operators/dedup.py:simhash_pairs for the
+    pigeonhole proof and the round-10 quadratic-candidates finding that
+    forced the redesign); the oracle's single-level 16-bit banding is an
+    independent exact-recall candidate generator (pigeonhole needs only
+    ≤3 diffs over 4 disjoint slices), so both sides compute the same
+    final pair set. The hamming filter is bit_count(xor) over 32-bit
+    halves — all codegen'd; the SimHash complement to x2's MinHash
+    banding, catching word-frequency-preserving edits that shingle sets
+    miss."""
     docs = load(spark, sf_dir, "documents")
     sh = simhash(docs, "text").select("doc_id", "simhash")
     return simhash_pairs(sh, "doc_id", bands=4, max_hamming=3)

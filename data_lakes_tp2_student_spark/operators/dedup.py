@@ -417,33 +417,55 @@ def simhash_pairs(
     sim_col: str = "simhash",
     bands: int = 4,
     max_hamming: int = 3,
+    sub_bands: int = 4,
 ) -> DataFrame:
-    """x2 — SimHash near-dup candidate pairs: band the 32-bit fingerprint
-    into `bands` slices and emit pairs (id_a < id_b) colliding on at least
-    one slice, then keep pairs within `max_hamming` exact bit flips.
+    """x2 — SimHash near-dup candidate pairs: TWO-LEVEL banding of the
+    64-bit fingerprint (round 10 — the scaling bench caught the 32-bit /
+    8-bit-band form going quadratic: candidates ~ n²/2^width, measured
+    x105.9 wall at 10x docs, 363M candidates at 50k). Emit pairs
+    (id_a < id_b) colliding on (band, sub-band), then keep pairs within
+    `max_hamming` exact bit flips.
 
-    Pigeonhole guarantee: two fingerprints differing in ≤ bands-1 bits MUST
-    agree on at least one band, so recall is exact for max_hamming ≤
-    bands-1 (the default 4 bands / ≤3 flips); the banded equi-join keeps
-    candidate generation O(collisions), never O(n²) — the same LSH shape
-    as MinHash banding, but on hamming space. The exact distance is
-    bit_count(xor) over the bigint forms — codegen'd integer ops, no
-    per-bit loops. The banded side is persisted+materialized: it feeds
-    both sides of the self-join (see `eager`)."""
-    nbits = 32
+    Pigeonhole guarantee, both levels: ≤3 diffs over 4 disjoint 16-bit
+    bands → some band is clean; GIVEN that band is clean, the
+    complementary 48 bits still hold all ≤3 diffs → some 12-bit sub-band
+    of them is clean too — so every true pair collides on at least one
+    of the 16 (band, sub) combos and recall is exact for max_hamming ≤
+    min(bands, sub_bands) - 1. The effective join key is 16+12 = 28
+    bits: candidate volume ~ n²/2^28 instead of n²/2^8 (Manku et al.
+    2007 use the same fingerprint width and radius; their
+    permuted-table probing is this scheme's generalization — at larger
+    n, raise bands/sub_bands to widen the effective key further). The
+    exact distance is bit_count(xor) over the two 32-bit halves —
+    codegen'd integer ops, no per-bit loops. The banded side is
+    persisted+materialized: it feeds both sides of the self-join (see
+    `eager`)."""
+    nbits = 64
     width = nbits // bands
-    band_arr = F.array(
-        *[
-            F.substring(F.col(sim_col), b * width + 1, width)
-            for b in range(bands)
-        ]
-    )
+    swidth = (nbits - width) // sub_bands
+    combos = []
+    for b in range(bands):
+        comp = F.concat(
+            *[
+                F.substring(F.col(sim_col), x * width + 1, width)
+                for x in range(bands)
+                if x != b
+            ]
+        )
+        for s in range(sub_bands):
+            combos.append(
+                F.struct(
+                    F.lit(b * sub_bands + s).alias("band"),
+                    F.concat(
+                        F.substring(F.col(sim_col), b * width + 1, width),
+                        F.substring(comp, s * swidth + 1, swidth),
+                    ).alias("bits"),
+                )
+            )
     banded = eager(
         sh_df.select(
-            F.col(id_col),
-            F.col(sim_col),
-            F.posexplode(band_arr).alias("band", "bits"),
-        )
+            F.col(id_col), F.col(sim_col), F.explode(F.array(*combos)).alias("k")
+        ).select(F.col(id_col), F.col(sim_col), "k.band", "k.bits")
     )
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col(sim_col).alias("_sa"), "band", "bits"
@@ -457,11 +479,16 @@ def simhash_pairs(
         .select("id_a", "id_b", "_sa", "_sb")
         .distinct()
     )
-    ham = F.bit_count(
-        F.conv("_sa", 2, 10)
-        .cast("bigint")
-        .bitwiseXOR(F.conv("_sb", 2, 10).cast("bigint"))
-    ).cast("bigint")
+
+    def _half(col: str, i: int):
+        return (
+            F.conv(F.substring(col, i * 32 + 1, 32), 2, 10).cast("bigint")
+        )
+
+    ham = sum(
+        F.bit_count(_half("_sa", i).bitwiseXOR(_half("_sb", i))).cast("bigint")
+        for i in range(2)
+    )
     return (
         cand.select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
@@ -469,35 +496,40 @@ def simhash_pairs(
 
 
 def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    """x2 — 32-bit SimHash over words as a bit string: bit b is 1 when the
+    """x2 — 64-bit SimHash over words as a bit string: bit b is 1 when the
     word-population's b-th md5 bit majority is positive (bit b = the b-th
-    MSB of the first 8 hex digits of md5(word)).
+    MSB of the first 16 hex digits of md5(word)). 64 bits as of round 10
+    (was 32): the scaling bench showed a 32-bit fingerprint's band
+    buckets densifying quadratically at 50k docs — 64-bit is the
+    published SimHash width (Manku et al. 2007) and what simhash_pairs'
+    two-level banding needs for 28-bit effective keys.
 
-    One md5 PER WORD (review r6): the word array is hashed once into a
-    materialized 32-bit-int column, and the 32 per-bit majority folds run
-    over the precomputed ints with pure bit arithmetic — the old form
-    re-evaluated md5 inside every per-bit aggregate (32x the hash work,
-    the exact k-fold shape this module's docstring rejects for MinHash).
-    Catalyst keeps the hash array materialized (CollapseProject does not
-    inline a non-cheap alias referenced 32 times — verified: ONE md5 in
-    the optimized plan), and the emitted bits are bit-identical to the
-    old hex-digit extraction (b-th MSB either way; equality checked over
-    random docs), so the DuckDB oracle is unchanged.
+    Two md5 PER WORD — one per 32-bit half (review r6 guarded against
+    the k-fold shape where md5 re-evaluates inside every per-bit
+    aggregate, 64x the hash work): the halves land in two materialized
+    bigint-array columns and the 64 majority folds run over the
+    precomputed ints with pure bit arithmetic. (Catalyst inlines the
+    shared _wmd5 prefix into both half-columns — two md5 calls per word
+    in the optimized plan, verified; collapsing to one would need an
+    engine-specific hash DuckDB can't mirror.) The bit definition
+    matches the DuckDB oracle's hex-digit extraction exactly (b-th MSB
+    either way).
     """
-    wh = (
-        f"transform(split({text_col}, ' '), "
-        "w -> CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT))"
-    )
+    wmd5 = f"transform(split({text_col}, ' '), w -> substr(md5(w), 1, 16))"
+    wh = "transform(_wmd5, m -> CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT))"
+    wl = "transform(_wmd5, m -> CAST(conv(substr(m, 9, 8), 16, 10) AS BIGINT))"
     expr = """
-    array_join(transform(sequence(0, 31), b ->
-      CASE WHEN aggregate(_wh, 0, (acc, h) ->
-        acc + (CASE WHEN (h div shiftleft(CAST(1 AS BIGINT), 31 - b)) % 2 = 1
+    array_join(transform(sequence(0, 63), b ->
+      CASE WHEN aggregate(IF(b < 32, _wh, _wl), 0, (acc, h) ->
+        acc + (CASE WHEN (h div shiftleft(CAST(1 AS BIGINT), 31 - b % 32)) % 2 = 1
                THEN 1 ELSE -1 END)
       ) > 0 THEN '1' ELSE '0' END), '')
     """
     return (
         spread(df)
+        .withColumn("_wmd5", F.expr(wmd5))
         .withColumn("_wh", F.expr(wh))
+        .withColumn("_wl", F.expr(wl))
         .withColumn(out_col, F.expr(expr))
-        .drop("_wh")
+        .drop("_wmd5", "_wh", "_wl")
     )
