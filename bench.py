@@ -82,9 +82,9 @@ BASELINE_GOFORWARD = {
     "e3_window_functions": 0.49,
     "j1_tokenize": 0.312,
     "x1_exact_dedup": 0.221,
-    "x2_minhash_pairs": 1.338,
-    "x2b_jaccard_verify": 3.282,
-    "x2e_dup_clusters": 4.42,
+    "x2_minhash_pairs": 1.167,  # r10 go-forward: LSH 4x4 / t=0.71 (r1 8x2 row 1.338, BASELINE.md r10b, PERF.md #52)
+    "x2b_jaccard_verify": 2.361,  # r10 go-forward (r1 row 3.282)
+    "x2e_dup_clusters": 2.022,  # r10 go-forward (r1 row 4.42)
     "x2f_simhash_pairs": 1.388,  # r10 go-forward: 64-bit two-level SimHash (r1 32-bit row 1.141, BASELINE.md r10 footnote, PERF.md #50)
     "x3_knn_bruteforce": 0.912,
     "x3b_knn_lsh": 1.827,

@@ -59,12 +59,24 @@ def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- x2 near-dup: MinHash + LSH
 
 # DuckDB CTE chain mirroring dedup.with_shingles/minhash_signatures/
-# lsh_candidate_pairs (16 rotated hashes, 8 bands × 2 rows). The signature
+# lsh_candidate_pairs (16 rotated hashes, 4 bands × 4 rows). The signature
 # definition (one md5 per shingle, k left-rotations as the hash family) must
-# stay in lockstep with operators/dedup.py.
+# stay in lockstep with operators/dedup.py — the oracle SQL below is BUILT
+# from these constants, so a parameter change updates both sides at once.
+#
+# Round 10 re-tune (PERF.md #52): the original 8 bands × 2 rows sat at
+# collision threshold (1/8)^(1/2) ≈ 0.35 Jaccard, which the scaling bench
+# measured going QUADRATIC on a shared-vocabulary corpus (5.9k candidate
+# pairs at 5k docs → 579k at 50k → 5.2M at 150k — pure n² band-bucket
+# densification from moderately-similar non-duplicates). 4 bands × 4 rows
+# (same 16 hashes, same signature cost) raises the threshold to
+# (1/4)^(1/4) ≈ 0.71 — the published corpus-dedup operating point
+# (Lee et al. 2022 "Deduplicating Training Data" uses 0.8-ish Jaccard) —
+# and collapses candidates to the near-duplicate set, which scales with
+# the corpus duplication rate, not n².
 _N_HASHES = 16
-_N_BANDS = 8
-_ROWS_PER_BAND = 2
+_N_BANDS = 4
+_ROWS_PER_BAND = 4
 
 
 def _sql_rotation(j: int) -> str:
@@ -125,8 +137,10 @@ _MINHASH_CTE = f"""
 
 @register("x2_minhash_pairs", oracle=_MINHASH_CTE + "SELECT id_a, id_b FROM pairs")
 def x2_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x2 — MinHash(16) + LSH(8 bands × 2) near-dup candidate pairs
-    (collision threshold ≈ (1/8)^(1/2) ≈ 0.35 Jaccard)."""
+    """x2 — MinHash(16) + LSH(4 bands × 4) near-dup candidate pairs
+    (collision threshold ≈ (1/4)^(1/4) ≈ 0.71 Jaccard — re-tuned from
+    8×2's 0.35 in round 10 after the scaling bench measured the low
+    threshold going quadratic on same-vocabulary corpora; PERF.md #52)."""
     docs = load(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=_N_HASHES)
     return lsh_candidate_pairs(

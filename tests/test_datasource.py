@@ -965,6 +965,32 @@ def test_sql_surface_temp_view_and_catalog_tables(spark, tmp_path):
         _open_table({})
 
 
+def test_catalog_table_over_column_mapped_table(spark, tmp_path):
+    """The catalog stash composes with column mapping: a table whose
+    columns were RENAMED (logical->physical indirection) still serves
+    correct values through CREATE TABLE / SELECT — the stash recovers
+    the path, and the reader resolves the mapping as usual."""
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "id int, v string, price double"
+        )
+    )
+    tab.rename_column("price", "amount")
+    spark.sql(f"CREATE TABLE lake_cat_mapped USING manifest OPTIONS (path '{root}')")
+    try:
+        rows = sorted(
+            tuple(r)
+            for r in spark.sql(
+                "SELECT id, v, amount FROM lake_cat_mapped"
+            ).collect()
+        )
+        assert rows == [(1, "a", 10.0), (2, "b", 20.0)], rows
+    finally:
+        spark.sql("DROP TABLE lake_cat_mapped")
+
+
 def test_partition_range_pruning_is_typed(spark, tmp_path):
     """Round 9: range predicates on PARTITION columns prune files (no
     footer stats exist for them — the value is the path string) and the

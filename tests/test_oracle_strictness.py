@@ -208,6 +208,13 @@ _VALUE_MUTATIONS = {
     "x66_dsv2_batch_write": (
         "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
     ),
+    # the S3 batch WRITER (round 10): executor-side uploads to the txn
+    # prefix -> conditional-put commit -> registered-reader read-back;
+    # the nudge proves the gate constrains the bytes that crossed the
+    # object store, not just their count
+    "x71_dsv2_s3_write": (
+        "SELECT * REPLACE (o_totalprice + 1 AS o_totalprice) FROM ({o}) t"
+    ),
     # the STREAMING SINK: per-epoch atomic commits + txn idempotence; the
     # nudge proves the gate constrains the final committed table
     "i15_stream_lake_sink": (
