@@ -704,20 +704,22 @@ def x31c_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus every singleton. Proves the whole "drop visually duplicate
     images from a 100 TB media lake" chain on one oracle hash.
 
-    Scale shape: pixels never shuffle — hashing is map-only; only 8-byte
-    hashes enter the banded join; only paired docs enter the cluster
-    graph; the final keep-set is a LEFT ANTI join against the (small)
-    dropped-id set.
+    Scale shape (round 10, PERF.md #54): pixels never shuffle — hashing
+    is map-only; clustering runs at DISTINCT-HASH level
+    (`dhash_dedup_keep`: CC nodes = distinct dHashes, measured 221 at
+    50k images), so member PAIRS are never materialized — the pairwise
+    form went quadratic on duplicate-group sizes (2.7B banded
+    candidates at 50k images, >30 min; rep form 11 s). Everything
+    doc-sized is a hash-agg or an equi-join.
 
     Note on the fixture: the synthetic images are tiny smooth byte
     gradients, so dHash collapses most of them into a few clusters (13 of
     5000 survive at sf0.01) — a property of the deterministic test data,
     not the operator; the oracle proves the clustering is exact either
     way."""
-    from ..operators.dedup import dup_clusters
     from ..operators.multimodal import (
         attach_bmp_media,
-        dhash_pairs,
+        dhash_dedup_keep,
         image_dhash,
     )
 
@@ -725,11 +727,8 @@ def x31c_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dh = image_dhash(attach_bmp_media(docs, "doc_id")).filter("valid").select(
         "doc_id", "dhash"
     )
-    pairs = dhash_pairs(dh, max_hamming=2)
-    clusters = dup_clusters(pairs.select("id_a", "id_b"))
-    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        "doc_id"
-    )
+    keep_valid = dhash_dedup_keep(dh, max_hamming=2)
+    dropped = dh.select("doc_id").join(keep_valid, "doc_id", "left_anti")
     return docs.join(dropped, "doc_id", "left_anti").select("doc_id")
 
 

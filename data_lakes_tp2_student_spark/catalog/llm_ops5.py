@@ -37,9 +37,14 @@ _SEM_THRESHOLD = 0.35
 
 @register(
     "x38_semdedup",
+    # the centroid count SCALES with the corpus (round 10, PERF.md #55):
+    # greatest(16, n // 128) — identical formula Spark-side, so both
+    # engines pick the same cells at every SF (= 16 at the driver's
+    # sf0.01 and below; the adaptive branch engages only at scale)
     oracle=f"""
-    WITH cent AS (SELECT vec_id AS centroid, embedding AS cvec
-                  FROM embeddings WHERE vec_id < 16),
+    WITH nn AS (SELECT count(*) AS c FROM embeddings),
+    cent AS (SELECT vec_id AS centroid, embedding AS cvec
+             FROM embeddings, nn WHERE vec_id < greatest(16, c // 128)),
     assigned AS (
         SELECT e.vec_id, e.embedding, c.centroid,
                row_number() OVER (
@@ -61,12 +66,19 @@ _SEM_THRESHOLD = 0.35
     """,
 )
 def x38_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x38 — SemDeDup semantic dedup: cluster embeddings into 16 cells,
-    drop every vector whose cosine to a lower-id cell-mate reaches the
+    """x38 — SemDeDup semantic dedup: cluster embeddings into cells, drop
+    every vector whose cosine to a lower-id cell-mate reaches the
     threshold. Pair generation is the cell equi-join (sum |cell|^2, never
-    corpus^2) — see operators/similarity.py:semdedup for the 100 TB shape."""
+    corpus^2) — and as of round 10 the CELL COUNT scales with the corpus
+    (greatest(16, n/128), mirrored exactly in the oracle): with cells
+    FIXED at 16 the per-cell pair work is n^2/16 — measured x5.5 wall at
+    10x vectors (PERF.md #55) — while cells ∝ n bounds expected cell
+    size at ~128 and keeps the pair stage linear, which is how the
+    SemDeDup paper runs it (50k clusters for LAION; Abbas et al. 2023).
+    See operators/similarity.py:semdedup for the 100 TB shape."""
     emb = load(spark, sf_dir, "embeddings")
-    return semdedup(emb, n_cells=16, threshold=_SEM_THRESHOLD)
+    n_cells = max(16, emb.count() // 128)
+    return semdedup(emb, n_cells=n_cells, threshold=_SEM_THRESHOLD)
 
 
 # ----------------------------------------------- x39 Variant semi-structured

@@ -859,6 +859,66 @@ def image_dhash(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(run, schema=out_schema)
 
 
+def dhash_rep_pairs(
+    dh_df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    bands: int = 8,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs between DISTINCT dHash VALUES (each tagged with its
+    minimum member id as representative): band the 56-bit hash into 8 x
+    7-bit slices, equi-join collisions, keep hash pairs within
+    `max_hamming` exact bit flips. Returns (rep_a, rep_b, _ha, _hb,
+    hamming) with rep_a < rep_b.
+
+    Round 10 (the scaling bench's third quadratic catch, PERF.md #54):
+    perceptual hashes CONCENTRATE — the corpus measured 221 distinct
+    dHashes over 50k images (biggest group 11,461) — so doc-level banding
+    produced 2.7B candidates (n²/bucket-space over near-identical rows).
+    Banding over distinct VALUES makes candidate generation
+    O(distinct-hashes² / bucket-space) regardless of how many images
+    share each hash; callers expand to doc pairs (dhash_pairs) or run
+    clustering at rep level (dhash_dedup_keep) so engine work beyond
+    this point is proportional to the OUTPUT, never to member-pair
+    intermediates. Pigeonhole recall unchanged: ≤6 differing bits touch
+    ≤6 of 8 bands, so ≥2 bands still collide."""
+    from ..functions.compute import eager
+
+    reps = eager(
+        dh_df.groupBy(hash_col).agg(F.min(id_col).alias("_rep"))
+    )
+    band_arr = F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"k -> cast(shiftright({hash_col}, 7 * k) % 128 AS int))"
+    )
+    banded = eager(
+        reps.select(
+            "_rep",
+            F.col(hash_col),
+            F.posexplode(band_arr).alias("band", "bits"),
+        )
+    )
+    a = banded.select(
+        F.col("_rep").alias("rep_a"), F.col(hash_col).alias("_ha"),
+        "band", "bits",
+    )
+    b = banded.select(
+        F.col("_rep").alias("rep_b"), F.col(hash_col).alias("_hb"),
+        "band", "bits",
+    )
+    cand = (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b", "_ha", "_hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("bigint")
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
 def dhash_pairs(
     dh_df: DataFrame,
     id_col: str = "doc_id",
@@ -866,45 +926,97 @@ def dhash_pairs(
     bands: int = 8,
     max_hamming: int = 6,
 ) -> DataFrame:
-    """x2/x5 — IMAGE near-dup candidate pairs over perceptual hashes: band
-    the 56-bit dHash into 8×7-bit slices, emit pairs (id_a < id_b)
-    colliding on at least one slice, keep pairs within `max_hamming` bit
-    flips (exact `bit_count(xor)`).
-
-    Pigeonhole guarantee: ≤6 differing bits touch ≤6 of 8 bands, so ≥2
-    bands still collide — recall is exact for the default threshold, and
-    candidate generation stays O(collisions), never O(n²). Same LSH shape
-    as `dedup.simhash_pairs`, on integer bands instead of bit strings."""
-    from ..functions.compute import eager
-
-    band_arr = F.expr(
-        f"transform(sequence(0, {bands - 1}), "
-        f"k -> cast(shiftright({hash_col}, 7 * k) % 128 AS int))"
+    """x2/x5 — IMAGE near-dup pairs (id_a < id_b, exact hamming ≤
+    `max_hamming`) over perceptual hashes. Same output as the pre-r10
+    doc-level banding, restructured through `dhash_rep_pairs`: band and
+    verify once per DISTINCT HASH PAIR, then expand to document pairs —
+    two member joins for cross-hash pairs plus one same-hash self-join
+    for the hamming-0 pairs. The pair RELATION is inherently quadratic
+    in duplicate-group sizes (a 10k-copy image contributes C(10k,2)
+    true pairs); this shape makes the engine's work proportional to
+    that output instead of the (orders-larger) banded candidate
+    intermediates. Dedup policies should consume `dhash_dedup_keep`,
+    which never materializes member pairs at all."""
+    members = dh_df.select(F.col(id_col), F.col(hash_col))
+    rp = dhash_rep_pairs(
+        dh_df, id_col, hash_col, bands=bands, max_hamming=max_hamming
     )
-    banded = eager(
-        dh_df.select(
-            F.col(id_col),
-            F.col(hash_col),
-            F.posexplode(band_arr).alias("band", "bits"),
+    ma = members.select(
+        F.col(hash_col).alias("_ha"), F.col(id_col).alias("_ida")
+    )
+    mb = members.select(
+        F.col(hash_col).alias("_hb"), F.col(id_col).alias("_idb")
+    )
+    cross = (
+        rp.join(ma, "_ha")
+        .join(mb, "_hb")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
         )
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col(hash_col).alias("_ha"),
-        "band", "bits",
+    within = (
+        ma.join(mb, ma["_ha"] == mb["_hb"])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
     )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col(hash_col).alias("_hb"),
-        "band", "bits",
+    return cross.unionByName(within)
+
+
+def dhash_dedup_keep(
+    dh_df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    bands: int = 8,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """x31c — the scalable keep-set of the image dedup policy: the ids
+    that survive "cluster hamming-≤k connected images, keep the minimum
+    id per cluster". Equivalent to CC over doc-level `dhash_pairs`
+    edges, computed WITHOUT ever materializing member pairs (round 10,
+    PERF.md #54):
+
+    - connected components run over `dhash_rep_pairs` — one node per
+      DISTINCT hash (measured 221 at 50k images), so the iterative CC
+      is constant-tiny however many images share each hash;
+    - every hash maps to its component label (its own rep when
+      unpaired), every image inherits its hash's label, and the keeper
+      per label is the minimum member id — three hash-aggregations and
+      two joins, all linear in the image count.
+
+    Same-hash duplicates need no edges: they share a label by
+    construction, exactly as the pairwise form's hamming-0 edges
+    grouped them."""
+    from ..functions.compute import eager
+
+    from .dedup import dup_clusters
+
+    members = dh_df.select(F.col(id_col), F.col(hash_col))
+    reps = eager(
+        members.groupBy(hash_col).agg(F.min(id_col).alias("_rep"))
     )
-    cand = (
-        a.join(b, ["band", "bits"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_ha", "_hb")
-        .distinct()
+    rp = dhash_rep_pairs(
+        dh_df, id_col, hash_col, bands=bands, max_hamming=max_hamming
+    ).select(F.col("rep_a").alias("id_a"), F.col("rep_b").alias("id_b"))
+    # CC over rep ids; unpaired reps keep their own id as label
+    clusters = dup_clusters(rp)  # (doc_id=rep, cluster_id), paired reps only
+    labeled = reps.join(
+        clusters.withColumnRenamed("doc_id", "_rep"), "_rep", "left"
+    ).select(
+        hash_col,
+        F.coalesce("cluster_id", "_rep").alias("_label"),
     )
-    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("bigint")
-    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    per_doc = members.join(labeled, hash_col)
+    winners = per_doc.groupBy("_label").agg(F.min(id_col).alias("_winner"))
+    return (
+        per_doc.join(winners, "_label")
+        .filter(F.col(id_col) == F.col("_winner"))
+        .select(id_col)
     )
 
 

@@ -70,6 +70,17 @@ HEAVY = [
     ("i1_tumbling_window", "linear"),
     ("i3_session_window", "nlogn"),
     ("x12_funnel", "nlogn"),
+    # round-10 wave-2 additions: the two that went quadratic before the
+    # #54 rep-collapse restructure (x31b's wall is output-bound — its
+    # pair RELATION grows with duplicate-group sizes squared, so expect
+    # the wall under linear-in-n only because writes dominate)
+    ("x31b_image_neardup_pairs", "linear"),
+    ("x31c_image_dedup", "linear"),
+    ("x19_bm25_topk", "linear"),
+    ("x22_decontamination", "linear"),
+    ("x38_semdedup", "fixedq"),
+    ("x42_entity_resolution", "nlogn"),
+    ("x47_sparse_cosine", "linear"),
 ]
 
 N_SMALL = 600_000  # lineitem rows at sf0.1 (the dominant table)
