@@ -55,12 +55,15 @@ def d2_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d2x_approx_count_distinct",
     # HLL sketch: exact hash match impossible, but the bound IS checkable
-    # (VERDICT r9 item 5) — approx_count_distinct's default rsd is 0.05,
-    # so +/-3 sigma = +/-15% around the exact distinct count. The local
-    # gate fails if the sketch ever leaves that interval.
+    # (VERDICT r9 item 5). approx_count_distinct's rsd=0.05 is a relative
+    # STANDARD DEVIATION, not a hard guarantee (ADVICE r10) — the bound
+    # here is PROBABILISTIC: +/-4 sigma = +/-20%, P(outside) < 1e-4 per
+    # run under HLL++'s near-Gaussian error, so a gate failure means a
+    # broken sketch, not bad luck. A regenerated fixture or different
+    # source cardinality stays inside with the same confidence.
     tol_oracle="""
-    SELECT CAST(floor(count(DISTINCT source) * 0.85) AS BIGINT) AS n_distinct_lo,
-           CAST(ceil(count(DISTINCT source) * 1.15) AS BIGINT) AS n_distinct_hi
+    SELECT CAST(floor(count(DISTINCT source) * 0.80) AS BIGINT) AS n_distinct_lo,
+           CAST(ceil(count(DISTINCT source) * 1.20) AS BIGINT) AS n_distinct_hi
     FROM documents
     """,
 )

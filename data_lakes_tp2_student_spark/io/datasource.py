@@ -507,20 +507,34 @@ class _StagedWriterBase:
             raise ValueError(
                 "column name 'txn' is reserved by the manifest layout"
             )
-        if base is not None and table._mapping_of(table._raw(base)) is not None:
-            # column-mapped tables store PHYSICAL column names; this
-            # writer stages the DataFrame's logical names verbatim, so
-            # a write here would detach renamed columns from their
-            # bytes. Fail loud (Delta gates column mapping behind a
-            # writer protocol version the same way); the native path
-            # resolves the mapping. A rename landing AFTER this check
-            # is caught by the commit loop's mapping-change gate.
-            raise ValueError(
-                "table has column mapping enabled (rename/drop history) "
-                "— write via ManifestTable.commit_append/commit_overwrite"
+        # column-mapped tables (VERDICT r10 item 3): files store
+        # PHYSICAL column names. The mapping is resolved ONCE here at
+        # writer construction (new logical columns get fresh physical
+        # names, same rule as the native path) and rides the pickled
+        # writer to every executor, which stages its parquet under the
+        # physical names. A rename landing AFTER this resolution is
+        # caught by the commit loop's mapping-change gate (the staged
+        # physicals would be stale — fail loud, never detach bytes).
+        base_map = (
+            table._mapping_of(table._raw(base)) if base is not None else None
+        )
+        self._base_mapping = base_map
+        self._mapping = (
+            table._extend_mapping(
+                base_map, list(schema.names), self._partition_by
             )
-        self._stats_cols = table.stats_cols
+            if base_map is not None
+            else None
+        )
+        self._stats_cols = (
+            [self._mapping.get(c, c) for c in table.stats_cols]
+            if self._mapping
+            else table.stats_cols
+        )
         self._options = dict(options)
+        # never let a read-side catalog stash ride into the committed
+        # table schema (ADVICE r10: wrong-table recovery on re-CREATE)
+        self._schema = _strip_stash(self._schema)
         return table, base
 
     def _task_stage(self) -> tuple[str, str]:
@@ -560,7 +574,13 @@ class _StagedWriterBase:
         data_fields = [
             f for f in want if f.name not in set(self._partition_by)
         ]
-        data_schema = pa.schema(data_fields)
+        # mapped tables: the FILE schema carries physical names (the
+        # invariant every read path resolves through); grouping and
+        # selection below stay logical, the rename happens at write
+        mapping = getattr(self, "_mapping", None) or {}
+        data_schema = pa.schema(
+            [f.with_name(mapping.get(f.name, f.name)) for f in data_fields]
+        )
         tc = TaskContext.get()
         task = tc.partitionId() if tc is not None else 0
         writers: dict[tuple, pq.ParquetWriter] = {}
@@ -617,7 +637,9 @@ class _StagedWriterBase:
                     }
             for key, gt in groups.items():
                 file_for(key).write_table(
-                    gt.select([f.name for f in data_fields])
+                    gt.select([f.name for f in data_fields]).rename_columns(
+                        [f.name for f in data_schema]
+                    )
                 )
         import pyarrow.parquet as _pq
 
@@ -669,6 +691,19 @@ class _StagedWriterBase:
         from .manifest import CheckConstraintViolation
 
         duck_of = {c: _duckdb_type(self._schema[c].dataType) for c in self._partition_by}
+        mapping = getattr(self, "_mapping", None)
+        if mapping:
+            # staged files carry PHYSICAL names; constraint SQL binds to
+            # LOGICAL — relabel in the projection (these files hold only
+            # this commit's physicals, so the relabel is collision-free)
+            qq = lambda s: s.replace('"', '""')  # noqa: E731
+            cols = ", ".join(
+                '"{}" AS "{}"'.format(qq(mapping.get(c, c)), qq(c))
+                for c in self._schema.names
+                if c not in set(self._partition_by)
+            )
+        else:
+            cols = "*"
         _b, paths = table.store.resolve_read([e["path"] for e in entries])
         for e, p in zip(entries, paths):
             extra = "".join(
@@ -679,8 +714,8 @@ class _StagedWriterBase:
                 )
                 for c, v in e["partition"].items()
             )
-            rel = "(SELECT *{} FROM read_parquet('{}'))".format(
-                extra, p.replace("'", "''")
+            rel = "(SELECT {}{} FROM read_parquet('{}'))".format(
+                cols, extra, p.replace("'", "''")
             )
             for name in sorted(cons):
                 expr = cons[name]
@@ -821,6 +856,12 @@ class ManifestBatchWriter(_StagedWriterBase, DataSourceArrowWriter):
                     if self._app is not None
                     else None
                 ),
+                # mapped tables: publish the construction-time mapping;
+                # the commit loop's gate compares the parent's mapping
+                # against base_mapping, so a rename landing after our
+                # files were staged under stale physicals FAILS LOUD
+                column_mapping=self._mapping,
+                base_mapping=self._base_mapping,
             )
         except TxnAlreadyCommitted:
             # a concurrent writer with the same token won the race
@@ -920,6 +961,12 @@ class ManifestStreamWriter(_StagedWriterBase, DataSourceStreamArrowWriter):
                 txn_guard=(
                     (self._app, batchId) if self._app is not None else None
                 ),
+                # base here is per-batch but base_mapping is the
+                # CONSTRUCTION-time mapping: a rename landing mid-stream
+                # makes this batch's staged physicals stale — the gate
+                # compares the parent's mapping against it and fails loud
+                column_mapping=self._mapping,
+                base_mapping=self._base_mapping,
             )
         except TxnAlreadyCommitted:
             self._drop_staged(table, entries)
@@ -946,6 +993,33 @@ _CATALOG_STASH_OPTS = (
     "statscols",
     "filesperpartition",
 )
+
+
+def _strip_stash(st: StructType) -> StructType:
+    """Drop any catalog-options stash from field metadata. The stash is
+    a READ-side channel only; letting it ride a written schema means a
+    df read from catalog table A and written to table B embeds A's path
+    in B's logged schema, and a later CREATE TABLE over B would recover
+    A's options — scans of B silently reading A (ADVICE r10)."""
+    if not any(_CATALOG_STASH_KEY in (f.metadata or {}) for f in st.fields):
+        return st
+    from pyspark.sql.types import StructField
+
+    return StructType(
+        [
+            StructField(
+                f.name,
+                f.dataType,
+                f.nullable,
+                {
+                    k: v
+                    for k, v in (f.metadata or {}).items()
+                    if k != _CATALOG_STASH_KEY
+                },
+            )
+            for f in st.fields
+        ]
+    )
 
 
 class ManifestDataSource(DataSource):
@@ -978,9 +1052,14 @@ class ManifestDataSource(DataSource):
         # resolves twice and a commit landing between the two calls would
         # pair version N's schema with version N+1's files
         self._pinned_version = version
-        st = _nullable(
-            StructType.fromJson(
-                json.loads(table._table_schema_of(table._raw(version)))
+        # a logged schema written before the _strip_stash guard existed
+        # may carry a stale stash from some OTHER table — always shed it
+        # before (conditionally) stashing THIS table's fresh options
+        st = _strip_stash(
+            _nullable(
+                StructType.fromJson(
+                    json.loads(table._table_schema_of(table._raw(version)))
+                )
             )
         )
         stash = {

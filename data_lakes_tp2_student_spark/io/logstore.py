@@ -126,6 +126,20 @@ class LogStore(ABC):
         return removed
 
     @abstractmethod
+    def list_txn_files(self, name: str) -> list[tuple[str, float]]:
+        """(table-relative path, seconds since write) for every file in
+        one txn dir — vacuum's DEEP sweep uses this to find zombie
+        objects inside LIVE (committed) txn dirs: a speculative task
+        whose PUTs land after the commit's pre-publish LIST leaves
+        unreferenced keys the dir-granular sweep never reaps (ADVICE
+        r10)."""
+
+    @abstractmethod
+    def delete_files(self, rels: list[str]) -> None:
+        """Remove individual data files by table-relative path (deep
+        vacuum's zombie reap)."""
+
+    @abstractmethod
     def file_size(self, rel: str) -> int:
         """Size in bytes of one data file (legacy entries without a
         recorded `bytes`; new commits store it in the manifest)."""
@@ -230,6 +244,40 @@ class LocalLogStore(LogStore):
 
     def delete_txn_dir(self, name: str) -> None:
         shutil.rmtree(os.path.join(self.data_dir, name))
+
+    def list_txn_files(self, name: str) -> list[tuple[str, float]]:
+        base = os.path.join(self.data_dir, name)
+        out: list[tuple[str, float]] = []
+        now = time.time()
+        for dirpath, _dirs, names in os.walk(base):
+            for n in names:
+                full = os.path.join(dirpath, n)
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue  # concurrently removed
+                out.append((os.path.relpath(full, self.root), age))
+        return out
+
+    def delete_files(self, rels: list[str]) -> None:
+        for rel in rels:
+            full = os.path.join(self.root, rel)
+            try:
+                os.unlink(full)
+            except OSError:
+                continue
+            # prune now-empty partition dirs up to (not including) the
+            # txn dir itself — same hygiene as the commit-time sweep
+            d = os.path.dirname(full)
+            while (
+                os.path.basename(d).count("=")
+                and not os.path.basename(d).startswith("txn=")
+            ):
+                try:
+                    os.rmdir(d)
+                except OSError:
+                    break
+                d = os.path.dirname(d)
 
     def file_size(self, rel: str) -> int:
         return os.path.getsize(os.path.join(self.root, rel))
@@ -466,6 +514,25 @@ class S3LogStore(LogStore):
                 os.path.join(self.cache_root, "data", name), ignore_errors=True
             )
         return removed
+
+    def list_txn_files(self, name: str) -> list[tuple[str, float]]:
+        pre = f"{self.prefix}/data/{name}/"
+        now = time.time()
+        return [
+            (
+                o["Key"][len(self.prefix) + 1:],
+                now - o["LastModified"].timestamp(),
+            )
+            for o in self._list_keys(pre)
+        ]
+
+    def delete_files(self, rels: list[str]) -> None:
+        self._delete_keys([self._rel_key(r) for r in rels])
+        for rel in rels:
+            try:
+                os.unlink(os.path.join(self.cache_root, rel))
+            except OSError:
+                pass
 
     def file_size(self, rel: str) -> int:
         return self.client.head_object(

@@ -865,6 +865,7 @@ def dhash_rep_pairs(
     hash_col: str = "dhash",
     bands: int = 8,
     max_hamming: int = 6,
+    reps: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between DISTINCT dHash VALUES (each tagged with its
     minimum member id as representative): band the 56-bit hash into 8 x
@@ -882,12 +883,17 @@ def dhash_rep_pairs(
     clustering at rep level (dhash_dedup_keep) so engine work beyond
     this point is proportional to the OUTPUT, never to member-pair
     intermediates. Pigeonhole recall unchanged: ≤6 differing bits touch
-    ≤6 of 8 bands, so ≥2 bands still collide."""
+    ≤6 of 8 bands, so ≥2 bands still collide.
+
+    `reps` (ADVICE r10): a precomputed `(hash_col, _rep=min(id))`
+    DataFrame — dhash_dedup_keep needs the same aggregate itself and
+    passes it in so the full-image-set job runs ONCE, not twice."""
     from ..functions.compute import eager
 
-    reps = eager(
-        dh_df.groupBy(hash_col).agg(F.min(id_col).alias("_rep"))
-    )
+    if reps is None:
+        reps = eager(
+            dh_df.groupBy(hash_col).agg(F.min(id_col).alias("_rep"))
+        )
     band_arr = F.expr(
         f"transform(sequence(0, {bands - 1}), "
         f"k -> cast(shiftright({hash_col}, 7 * k) % 128 AS int))"
@@ -1001,7 +1007,8 @@ def dhash_dedup_keep(
         members.groupBy(hash_col).agg(F.min(id_col).alias("_rep"))
     )
     rp = dhash_rep_pairs(
-        dh_df, id_col, hash_col, bands=bands, max_hamming=max_hamming
+        dh_df, id_col, hash_col, bands=bands, max_hamming=max_hamming,
+        reps=reps,
     ).select(F.col("rep_a").alias("id_a"), F.col("rep_b").alias("id_b"))
     # CC over rep ids; unpaired reps keep their own id as label
     clusters = dup_clusters(rp)  # (doc_id=rep, cluster_id), paired reps only

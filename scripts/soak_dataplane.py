@@ -1,0 +1,278 @@
+"""Lake DATA-PLANE scale soak (round 11, VERDICT r10 item 2).
+
+The r9 log soak (`soak_manifest.py`) proved the METADATA plane holds at
+10^4 commits; this drives the DATA-plane ops the verdict named as
+curve-less at high FILE counts and stacked-DV depth, on one real local
+table with F tiny-but-real parquet files:
+
+- `pushFilters` / native range_filter pruning at F files — expected
+  O(F) driver-side stats pass with a tiny constant, and the PRUNED
+  task count proportional to the selectivity, not F;
+- `MergeBuilder` touched-file discovery + rewrite with a source hitting
+  ~1% of files — discovery is one predicate-pushed scan (O(F data)),
+  rewrite O(touched files) only;
+- row-level DELETE (CoW) hit-file discovery — the driver-side collect
+  at io/manifest.py:_rewrite_files is O(files), pinned here at 10^4;
+- DV-read overhead as deletion vectors STACK on one table (0/16/64
+  DVs) — the reader unions per-DV anti-joins, expected ~linear in
+  stacked DV count and bounded;
+- CHECK-constraint validation wall for an append of F_new files —
+  validation reads ONLY the new files back.
+
+Each phase prints one JSON line (op, files/DVs, wall, expected shape);
+the summary compares adjacent F levels and exits 1 if any op grows
+super-linearly in F beyond slack. Results are booked in PERF.md.
+
+Usage:
+  python scripts/soak_dataplane.py [--levels 512,2048,8192] [--dv-depths 0,16,64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from data_lakes_tp2_student_spark.io.manifest import ManifestTable  # noqa: E402
+from data_lakes_tp2_student_spark.session import get_spark  # noqa: E402
+
+ROWS_PER_FILE = 4
+
+
+def build_table(root: str, n_files: int) -> ManifestTable:
+    """F real parquet files (ROWS_PER_FILE rows each, disjoint id
+    ranges) committed as ONE manifest version with honest per-file
+    stats — the shape a 100 TB table's manifest actually has."""
+    tab = ManifestTable(root, stats_cols=["id"])
+    txn = uuid.uuid4().hex
+    stage = tab.store.txn_stage_dir(txn)
+    os.makedirs(stage, exist_ok=True)
+    entries = []
+    for i in range(n_files):
+        lo = i * ROWS_PER_FILE
+        ids = list(range(lo, lo + ROWS_PER_FILE))
+        name = f"part-{i:05d}.parquet"
+        local = os.path.join(stage, name)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "v": pa.array([f"r{j}" for j in ids], pa.string()),
+                }
+            ),
+            local,
+        )
+        entries.append(
+            {
+                "path": f"data/txn={txn}/{name}",
+                "partition": {},
+                "bytes": os.path.getsize(local),
+                "rows": ROWS_PER_FILE,
+                "stats": {"id": [lo, lo + ROWS_PER_FILE - 1]},
+            }
+        )
+    schema = (
+        '{"type":"struct","fields":['
+        '{"name":"id","type":"long","nullable":true,"metadata":{}},'
+        '{"name":"v","type":"string","nullable":true,"metadata":{}}]}'
+    )
+    tab._commit_files(
+        None, txn, entries, schema, None, "overwrite", "all", None, {},
+        validate=False,
+    )
+    return tab
+
+
+def timed(fn, *a, **kw):
+    t0 = time.perf_counter()
+    out = fn(*a, **kw)
+    return out, time.perf_counter() - t0
+
+
+def phase_prune(spark, tab, n_files: int) -> dict:
+    """Stats pruning at F files, both paths. The pruned read must plan
+    ~selectivity * F files, and the planning pass is O(F) metadata."""
+    total = n_files * ROWS_PER_FILE
+    lo, hi = total - ROWS_PER_FILE * max(1, n_files // 100), total
+    # native path: read(range_filter) prunes on manifest stats
+    df, t_native = timed(
+        tab.read, spark, range_filter={"id": (lo, hi)}
+    )
+    n_native = df.count()
+    # registered format: pushFilters prunes the same stats
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    fdf = (
+        spark.read.format("manifest").option("path", tab.root).load()
+        .filter(f"id >= {lo}")
+    )
+    _, t_format = timed(fdf.count)
+    return {
+        "op": "prune_read",
+        "files": n_files,
+        "native_sec": round(t_native, 3),
+        "native_rows": n_native,
+        "format_sec": round(t_format, 3),
+        "expected": "O(F) metadata pass + O(selected) scan",
+    }
+
+
+def phase_merge(spark, tab, n_files: int) -> dict:
+    """MERGE with a source updating ~1% of files' rows: discovery O(F
+    data), rewrite O(touched)."""
+    step = max(1, n_files // 100)
+    touched_files = list(range(0, n_files, n_files // step))[:step]
+    src_ids = [f * ROWS_PER_FILE for f in touched_files]
+    src = spark.createDataFrame(
+        [(i, "merged") for i in src_ids], "id long, v string"
+    )
+    before = tab.latest_version()
+    _, t_merge = timed(
+        lambda: tab.merge(spark, src, "t.id = s.id")
+        .when_matched_update(set={"v": "s.v"})
+        .execute()
+    )
+    entry = tab._raw(tab.latest_version())
+    rewritten = len(entry.get("remove", {}).get("values", []))
+    tab.restore(before)
+    return {
+        "op": "merge_1pct",
+        "files": n_files,
+        "sec": round(t_merge, 3),
+        "files_rewritten": rewritten,
+        "expected": "discovery O(F data); rewrite O(touched)",
+    }
+
+
+def phase_delete_cow(spark, tab, n_files: int) -> dict:
+    """CoW DELETE hitting one file — the hit-discovery collect is
+    O(files) driver-side paths (io/manifest.py:_rewrite_files)."""
+    before = tab.latest_version()
+    target = (n_files // 2) * ROWS_PER_FILE
+    _, t_del = timed(tab.delete_where, spark, f"id = {target}")
+    entry = tab._raw(tab.latest_version())
+    rewritten = len(entry.get("remove", {}).get("values", []))
+    tab.restore(before)
+    return {
+        "op": "delete_cow_1row",
+        "files": n_files,
+        "sec": round(t_del, 3),
+        "files_rewritten": rewritten,
+        "expected": "one pushed scan; rewrite O(1 file)",
+    }
+
+
+def phase_dv_stack(spark, tab, n_files: int, depths: list[int]) -> list[dict]:
+    """Stack D deletion vectors (each a distinct single-row DV delete)
+    and time the full read at each depth — expected ~linear in D."""
+    out = []
+    before = tab.latest_version()
+    done = 0
+    base_rows = None
+    for depth in sorted(depths):
+        while done < depth:
+            tab.delete_where(spark, f"id = {done * ROWS_PER_FILE + 1}", mode="dv")
+            done += 1
+        df, t_read = timed(lambda: tab.read(spark).count())
+        if base_rows is None:
+            base_rows = df
+        out.append(
+            {
+                "op": "read_with_stacked_dvs",
+                "files": n_files,
+                "dvs": depth,
+                "sec": round(t_read, 3),
+                "rows": df,
+                "expected": "~linear in stacked DV count",
+            }
+        )
+    tab.restore(before)
+    return out
+
+
+def phase_check_validate(spark, tab, n_files: int) -> dict:
+    """CHECK validation on an append of F/10 files reads back ONLY the
+    new files."""
+    tab.add_check_constraint(spark, "pos_id", "id >= 0")
+    n_new = max(1, n_files // 10)
+    total = n_files * ROWS_PER_FILE
+    df = spark.range(total, total + n_new * ROWS_PER_FILE).selectExpr(
+        "id", "'new' AS v"
+    ).repartition(n_new)
+    _, t_commit = timed(tab.commit_append, df)
+    tab.drop_check_constraint("pos_id")
+    return {
+        "op": "check_validated_append",
+        "files": n_files,
+        "new_files": n_new,
+        "sec": round(t_commit, 3),
+        "expected": "validation O(new files), not O(table)",
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--levels", default="512,2048,8192")
+    ap.add_argument("--dv-depths", default="0,16,64")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    levels = [int(x) for x in args.levels.split(",")]
+    depths = [int(x) for x in args.dv_depths.split(",")]
+    spark = get_spark(
+        app_name="soak_dataplane",
+        cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    )
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    rows = []
+    base = tempfile.mkdtemp(prefix="dataplane-soak-")
+    try:
+        for f in levels:
+            root = os.path.join(base, f"t{f}")
+            tab = build_table(root, f)
+            for rec in (
+                phase_prune(spark, tab, f),
+                phase_merge(spark, tab, f),
+                phase_delete_cow(spark, tab, f),
+                *phase_dv_stack(spark, tab, f, depths),
+                phase_check_validate(spark, tab, f),
+            ):
+                rows.append(rec)
+                print(json.dumps(rec))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    # super-linearity gate: for each op, wall must grow no faster than
+    # file count (with generous slack for fixed overhead at small F)
+    flagged = []
+    by_op: dict[str, list] = {}
+    for r in rows:
+        if "dvs" in r and r["dvs"] != max(depths):
+            continue
+        by_op.setdefault(r["op"], []).append(r)
+    for op, rs in by_op.items():
+        rs.sort(key=lambda r: r["files"])
+        for a, b in zip(rs, rs[1:]):
+            grow = b["files"] / a["files"]
+            key = "sec" if "sec" in a else "native_sec"
+            ratio = b[key] / max(a[key], 1e-3)
+            if ratio > grow * 2.0:  # slack 2x: tiny walls are noisy
+                flagged.append((op, a["files"], b["files"], round(ratio, 2)))
+    print(json.dumps({"phase": "summary", "flagged": flagged}))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump({"rows": rows, "flagged": flagged}, fh, indent=1)
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()

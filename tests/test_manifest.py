@@ -2213,3 +2213,65 @@ def test_constraints_validate_through_swapped_mapping(spark, tmp_path):
             )
         )
     assert tab.read(spark).count() == 2
+
+
+def _plant_file(tab, rel: str, data: bytes) -> None:
+    """Simulate a zombie speculative task's PUT landing under a
+    committed txn prefix AFTER the commit's pre-publish sweep."""
+    from data_lakes_tp2_student_spark.io.logstore import LocalLogStore
+
+    if isinstance(tab.store, LocalLogStore):
+        full = os.path.join(tab.store.root, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        with open(full, "wb") as f:
+            f.write(data)
+    else:
+        tab.store.client.put_object(
+            Bucket=tab.store.bucket, Key=tab.store._rel_key(rel), Body=data
+        )
+
+
+def _file_exists(tab, rel: str) -> bool:
+    from data_lakes_tp2_student_spark.io.logstore import LocalLogStore
+
+    if isinstance(tab.store, LocalLogStore):
+        return os.path.exists(os.path.join(tab.store.root, rel))
+    try:
+        tab.store.client.head_object(
+            Bucket=tab.store.bucket, Key=tab.store._rel_key(rel)
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_deep_vacuum_reaps_zombie_files_in_live_txn_dirs(spark, tab):
+    """ADVICE r10: a zombie speculative task whose write() completes its
+    PUTs after the commit's pre-publish LIST leaves objects under a
+    COMMITTED txn prefix — invisible to readers (the manifest is the
+    file list) but never reaped by the dir-granular sweep. vacuum(
+    deep=True) removes exactly the unreferenced keys inside live txn
+    dirs, honoring the min_age in-flight guard; referenced data and
+    reads are untouched."""
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d2")]))
+    live_paths = [e["path"] for e in tab._snapshot_files(0)]
+    txn_dir = live_paths[0].split("/")[1]
+    zombie = f"data/{txn_dir}/part-99999-zombie-attempt.parquet"
+    _plant_file(tab, zombie, b"zombie-bytes")
+    # the dir-granular sweep never touches a live dir
+    assert tab.vacuum(min_age_seconds=0) == []
+    assert _file_exists(tab, zombie)
+    # min_age guard: a FRESH unreferenced file could be an in-flight
+    # attempt of a commit racing this vacuum — deep leaves it alone
+    assert tab.vacuum(deep=True) == []
+    assert _file_exists(tab, zombie)
+    # dry run reports without deleting
+    would = tab.vacuum(min_age_seconds=0, dry_run=True, deep=True)
+    assert would == [zombie] and _file_exists(tab, zombie)
+    removed = tab.vacuum(min_age_seconds=0, deep=True)
+    assert zombie in removed
+    assert not _file_exists(tab, zombie)
+    # every referenced file survives; the table still reads exactly
+    for rel in live_paths:
+        assert _file_exists(tab, rel)
+    assert rows(tab.read(spark)) == [(1, "a", "d1"), (2, "b", "d2")]
