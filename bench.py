@@ -112,12 +112,20 @@ BASELINE_GOFORWARD = {
 }
 
 
-def run_correctness(out_path: str) -> int:
+def run_correctness(
+    out_path: str, sample: int | None = None, seed: int | None = None
+) -> int:
     """`bench.py --correctness [out.json]` — run EVERY registry query
     against its DuckDB oracle with the driver-grade local comparator
     (tests/oracle.py) and write one record per query in the driver's
     CORRECTNESS_r{N}.json shape. This is the full-registry artifact the
-    driver's 50-query sample can be diffed against (VERDICT r5 item 3)."""
+    driver's 50-query sample can be diffed against (VERDICT r5 item 3).
+
+    `--sample N --seed S` (VERDICT r10 item 7): run a seed-rotated
+    N-query subsample instead — a cheap self-sample whose composition
+    ROTATES with the seed, catching sample-composition drift (queries
+    that only ever pass because the fixed driver sample never draws
+    them) before the driver does. Same comparator, same artifact shape."""
     from tests.oracle import (
         canon_strings,
         check_tolerance,
@@ -132,9 +140,19 @@ def run_correctness(out_path: str) -> int:
         app_name="correctness",
         cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"),
     )
+    names = sorted(REGISTRY)
+    if sample is not None:
+        import random
+
+        rng = random.Random(seed if seed is not None else 0)
+        names = sorted(rng.sample(names, min(sample, len(names))))
+        print(
+            f"seed-rotated sample: {len(names)} queries (seed={seed})",
+            file=sys.stderr,
+        )
     results: dict[str, dict] = {}
     failures = 0
-    for name in sorted(REGISTRY):
+    for name in names:
         q = REGISTRY.get(name)
         rec = {
             "rows_match": False,
@@ -386,8 +404,18 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--correctness":
-        out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        args = sys.argv[2:]
+        sample = seed = None
+        if "--sample" in args:
+            i = args.index("--sample")
+            sample = int(args[i + 1])
+            del args[i : i + 2]
+        if "--seed" in args:
+            i = args.index("--seed")
+            seed = int(args[i + 1])
+            del args[i : i + 2]
+        out = args[0] if args else os.path.join(
             REPO, "CORRECTNESS_local_last.json"
         )
-        sys.exit(run_correctness(out))
+        sys.exit(run_correctness(out, sample=sample, seed=seed))
     main()

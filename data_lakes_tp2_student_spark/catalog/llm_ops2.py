@@ -305,13 +305,89 @@ def x32_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans a substring-level cleaner would cut from doc a.
 
     Scale: one hash equi-join (16-byte keys) + per-pair gaps-and-islands;
-    no document-pair cross product anywhere. See operator docstrings for
-    the df-cap skew lever at full corpus scale."""
+    no document-pair cross product anywhere — but the OUTPUT relation is
+    quadratic in the document frequency of hot windows (measured x5188
+    rows at a 30x corpus, SCALING_r11). This EXACT form is the oracle
+    semantics; the 100 TB policy default is x32b's document-frequency
+    cap."""
     from ..operators.textops import duplicated_spans, windowed_fingerprints
 
     docs = load(spark, sf_dir, "documents")
     wins = windowed_fingerprints(docs, "doc_id", "text", width=5)
     return duplicated_spans(wins, "doc_id", width=5)
+
+
+_X32B_MAX_DF = 4
+_X32B_MIN_LEN = 6  # >= 2 consecutive shared windows (width 5 + 1)
+
+
+@register(
+    "x32b_substring_dedup_capped",
+    # the exact-form CTEs with TWO added stages: window hashes present
+    # in more than MAX_DF documents drop before the join, and spans
+    # shorter than MIN_LEN words drop after the islands merge — both
+    # constants generated from the same Python values the engine uses,
+    # so engine and oracle can never drift (r10's lockstep practice)
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, k AS pos,
+               md5(array_to_string(list_slice(ws, k + 1, k + 5), ' ')) AS h
+        FROM w, unnest(range(0, greatest(0, length(ws) - 4))) AS t(k)
+    ),
+    rare AS (
+        SELECT h FROM wins GROUP BY h
+        HAVING count(DISTINCT doc_id) <= {_X32B_MAX_DF}
+    ),
+    kept AS (
+        SELECT wins.* FROM wins JOIN rare USING (h)
+    ),
+    matched AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.pos
+        FROM kept a JOIN (SELECT DISTINCT doc_id, h FROM kept) b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT id_a, id_b, pos,
+               pos - row_number() OVER (PARTITION BY id_a, id_b
+                                        ORDER BY pos) AS grp
+        FROM matched
+    )
+    SELECT id_a, id_b, CAST(min(pos) AS BIGINT) AS start_a,
+           CAST(max(pos) - min(pos) + 5 AS BIGINT) AS len_words
+    FROM isl GROUP BY id_a, id_b, grp
+    HAVING max(pos) - min(pos) + 5 >= {_X32B_MIN_LEN}
+    """,
+)
+def x32b_substring_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x32b — x32 with the two POLICY levers a 100 TB corpus needs
+    (round 11, VERDICT r10 item 1). The r11 scaling instrument measured
+    x32's exact output relation growing x5188 at a 30x corpus, and two
+    distinct mechanisms drive it:
+
+    - HOT windows (boilerplate in many docs) pair every co-containing
+      doc: `max_df=4` drops window hashes present in >4 documents
+      before the join (per-hash fan-out ≤ df² = 16). Spans shared by
+      MANY documents are boilerplate for a boilerplate FILTER, not
+      pairwise dedup — the RefinedWeb/C4 treatment of ubiquitous
+      n-grams.
+    - COINCIDENTAL single-window collisions between weakly-overlapping
+      doc pairs grow with the number of doc pairs (measured: the
+      df-cap alone left output at x2100): `min_len=6` keeps only spans
+      of ≥2 consecutive shared windows — Lee et al. dedup on exact
+      50-TOKEN substrings for exactly this reason; a lone 5-word
+      window is noise, a run is a duplicated substring.
+
+    This is the 100 TB policy default; x32 keeps the exact semantics."""
+    from ..operators.textops import duplicated_spans, windowed_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    wins = windowed_fingerprints(docs, "doc_id", "text", width=5)
+    return duplicated_spans(
+        wins, "doc_id", width=5, max_df=_X32B_MAX_DF, min_len=_X32B_MIN_LEN
+    )
 
 
 def _pagerank_iters_sql(iterations: int = 3) -> str:

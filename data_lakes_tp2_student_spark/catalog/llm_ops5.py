@@ -765,7 +765,18 @@ def x46_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------- x47 sparse cosine via inverted index
 
 _TFIDF_FP = 10**5
+# df cutoff scales with the corpus (round 11): a FIXED df<=50 is vacuous
+# past ~500 docs over a bounded vocabulary — at sf0.1 every term exceeded
+# it and the whole pipeline emitted 0 rows (caught by SCALING_r11's
+# rows_small=0). max(50, n/10) keeps sf0.001/sf0.01 outputs bit-identical
+# (10% of 50/500 <= 50) while the corpus-relative stop-term cutoff keeps
+# sf0.1 non-vacuous. Fixture caveat (documented, not an engine property):
+# the synthetic documents use a CLOSED ~31-term vocabulary, so at large
+# enough n EVERY term legitimately becomes a stop term (df ~ n/1.3) and
+# the posting set empties — a Zipfian real corpus always keeps a rare
+# tail under a fractional cutoff.
 _TFIDF_MAXDF = 50
+_TFIDF_DF_DIV = 10
 _TFIDF_TOPK = 20
 
 
@@ -786,7 +797,7 @@ _TFIDF_TOPK = 20
                                         * {_TFIDF_FP}.0) AS BIGINT),
                      30000000) AS w
         FROM tf JOIN df USING (term), n_docs
-        WHERE df.df <= {_TFIDF_MAXDF}
+        WHERE df.df <= greatest({_TFIDF_MAXDF}, n_docs.n // {_TFIDF_DF_DIV})
     ),
     norms AS (SELECT doc_id, sum(w * w) AS n2 FROM post GROUP BY doc_id
               HAVING sum(w * w) > 0),
@@ -816,9 +827,11 @@ def x47_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a shared term exists.
 
     Scale levers, both explicit: (1) document-frequency pruning
-    (df <= {_TFIDF_MAXDF}) bounds every posting list, so the self-join
-    fan-out is sum over terms of df^2 with df capped — the standard
-    stop-term cutoff that keeps term-at-a-time similarity subquadratic;
+    (df <= max({_TFIDF_MAXDF}, n/{_TFIDF_DF_DIV}) — the corpus-relative
+    stop-term cutoff, so it neither goes vacuous as the corpus grows
+    nor unbounded at 50M docs) bounds every posting list, so the
+    self-join fan-out is sum over terms of df^2 with df capped — the
+    standard cutoff that keeps term-at-a-time similarity subquadratic;
     (2) IDF weights are fixed-point BIGINT, so dot products are integer
     sums — deterministic under any partitioning — with doubles touched
     once at the final normalize. Top-k is TakeOrderedAndProject."""
@@ -831,8 +844,14 @@ def x47_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     post = (
         tf.join(df, "term")
-        .filter(F.col("df") <= _TFIDF_MAXDF)
         .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("df")
+            <= F.greatest(
+                F.lit(_TFIDF_MAXDF),
+                (F.col("n") / _TFIDF_DF_DIV).cast("bigint"),
+            )
+        )
         .select(
             "doc_id",
             "term",

@@ -1,0 +1,141 @@
+"""Subprocess worker for the MULTI-PROCESS commit-race test
+(tests/test_multiprocess_race.py, VERDICT r10 item 6).
+
+The thread-level races in test_manifest.py share one Python process —
+one GIL, one boto3 client, one page cache — which can mask real
+cross-host race windows. This worker runs in its OWN OS process: it
+stages a tiny parquet sessionless (pyarrow — the DataSource writer's
+commit-callback idiom, no SparkSession) and drives the REAL
+`_commit_files` publish loop against a table other processes are
+committing to concurrently. Invoked as:
+
+    python tests/race_worker.py '<json cfg>'
+
+and prints a JSON list of committed versions (or "conflict" where the
+serializability gate correctly aborted)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from data_lakes_tp2_student_spark.io.logstore import S3LogStore  # noqa: E402
+from data_lakes_tp2_student_spark.io.manifest import (  # noqa: E402
+    ConcurrentWriteConflict,
+    ManifestTable,
+)
+
+
+def open_table(cfg: dict) -> ManifestTable:
+    if cfg["backend"] == "local":
+        return ManifestTable(cfg["root"])
+    store = S3LogStore(
+        cfg["bucket"],
+        cfg["prefix"],
+        endpoint=cfg["endpoint"],
+        cache_dir=cfg["cache_dir"],
+    )
+    return ManifestTable(
+        f"s3://{cfg['bucket']}/{cfg['prefix']}", log_store=store
+    )
+
+
+def stage(
+    table: ManifestTable,
+    schema: pa.Schema,
+    rows: dict,
+    partition: dict | None = None,
+) -> tuple[str, list[dict]]:
+    """One parquet into a fresh txn stage dir (both backends via
+    txn_stage_dir + finalize_txn); returns (txn, commit entries)."""
+    txn = uuid.uuid4().hex
+    stage_dir = table.store.txn_stage_dir(txn)
+    sub = stage_dir
+    if partition:
+        sub = os.path.join(
+            stage_dir, *[f"{k}={v}" for k, v in partition.items()]
+        )
+    os.makedirs(sub, exist_ok=True)
+    pq.write_table(
+        pa.table(rows, schema=schema),
+        os.path.join(sub, f"part-00000-{txn[:8]}.parquet"),
+    )
+    entries = []
+    for rel, local in table.store.finalize_txn(txn):
+        entries.append(
+            {
+                "path": rel,
+                "partition": dict(partition or {}),
+                "bytes": os.path.getsize(local),
+                "rows": pq.ParquetFile(local).metadata.num_rows,
+            }
+        )
+    return txn, entries
+
+
+def main() -> None:
+    cfg = json.loads(sys.argv[1])
+    table = open_table(cfg)
+    base = table.latest_version()
+    schema_json = table._table_schema_of(table._raw(base))
+    out: list = []
+    if cfg["mode"] == "append":
+        schema = pa.schema(
+            [("id", pa.int32()), ("v", pa.string()), ("day", pa.string())]
+        )
+        for i in range(cfg["n_commits"]):
+            rows = {
+                "id": [cfg["worker"] * 1000 + i],
+                "v": [f"w{cfg['worker']}c{i}"],
+                "day": ["d1"],
+            }
+            txn, entries = stage(table, schema, rows)
+            v = table._commit_files(
+                None,
+                txn,
+                entries,
+                schema_json,
+                None,
+                "append",
+                "none",
+                table.latest_version(),
+                {},
+                validate=False,
+            )
+            out.append(v)
+    else:  # replace ONE partition, all workers anchored at the same base
+        schema = pa.schema([("id", pa.int32()), ("v", pa.string())])
+        part = {"day": cfg["day"]}
+        rows = {"id": [cfg["worker"] * 1000], "v": [f"w{cfg['worker']}"]}
+        txn, entries = stage(table, schema, rows, partition=part)
+        try:
+            v = table._commit_files(
+                None,
+                txn,
+                entries,
+                schema_json,
+                ["day"],
+                "replace_partitions",
+                "partitions",
+                cfg["base"],
+                {},
+                validate=False,
+            )
+            out.append(v)
+        except ConcurrentWriteConflict:
+            table.store.delete_txn_dir(f"txn={txn}")
+            out.append("conflict")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

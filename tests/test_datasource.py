@@ -874,7 +874,7 @@ def test_write_format_to_column_mapped_table(spark, tmp_path):
     _b, (p,) = tab.store.resolve_read([f["path"]])
     names = _pq.read_schema(p).names
     assert "v" in names and "val" not in names, names
-    assert "v" not in f.get("stats", {}) or True  # stats keyed physical
+    assert "id" in f.get("stats", {})  # footer stats present, physical-keyed
     # the registered READER resolves the same files back to logical
     via_format = (
         spark.read.format("manifest").option("path", root).load()

@@ -413,6 +413,59 @@ def test_substring_dedup_spans(spark):
     assert not any(4 in k or 5 in k for k in out)
 
 
+def test_substring_dedup_policy_levers(spark):
+    """x32b levers (round 11, VERDICT r10 item 1). `max_df` drops window
+    hashes present in more than max_df docs BEFORE the join (ubiquitous
+    boilerplate); `min_len` drops merged spans shorter than min_len
+    words AFTER the islands pass (single-window coincidences). Both
+    must subset the exact output, never invent rows."""
+    from data_lakes_tp2_student_spark.operators.textops import (
+        duplicated_spans,
+        windowed_fingerprints,
+    )
+
+    boiler = "w1 w2 w3 w4 w5"  # ONE shared window, in EVERY doc (df=4)
+    rows = [
+        (1, boiler + " a1 a2 a3 a4 a5 a6"),
+        (2, boiler + " a1 a2 a3 a4 a5 a6"),  # 1&2 share an 12-word span
+        (3, boiler + " b1 b2 b3 b4 b5"),
+        (4, boiler + " c1 c2 c3 c4 c5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    wins = windowed_fingerprints(df, "doc_id", "text", width=5)
+    exact = {
+        (r.id_a, r.id_b): (r.start_a, r.len_words)
+        for r in duplicated_spans(wins, "doc_id", width=5).collect()
+    }
+    # exact: every pair shares at least the boilerplate window
+    assert set(exact) == {(a, b) for a in range(1, 5) for b in range(a + 1, 5)}
+    assert exact[(1, 2)] == (0, 11)  # identical docs: full span
+    # df-cap at 3: the boilerplate window (df=4) drops; only the real
+    # near-dup pair (1,2) survives, its span now starting past the
+    # boilerplate head (the first 5-word window whose words all sit in
+    # the shared tail region... positions 1+ still match: the window at
+    # pos 1 spans 'w2..a1' which both docs share) -> start 1, len 10
+    capped = {
+        (r.id_a, r.id_b): (r.start_a, r.len_words)
+        for r in duplicated_spans(
+            wins, "doc_id", width=5, max_df=3
+        ).collect()
+    }
+    assert set(capped) == {(1, 2)} and capped[(1, 2)] == (1, 10)
+    # min_len=6 keeps only runs of >=2 consecutive shared windows: the
+    # lone boilerplate window (len 5) drops everywhere except (1,2)
+    min6 = {
+        (r.id_a, r.id_b): (r.start_a, r.len_words)
+        for r in duplicated_spans(
+            wins, "doc_id", width=5, min_len=6
+        ).collect()
+    }
+    assert set(min6) == {(1, 2)} and min6[(1, 2)] == (0, 11)
+    # subset property: each lever's output rows are exact-output rows
+    # (possibly with trimmed spans under max_df), never new pairs
+    assert set(capped) <= set(exact) and set(min6) <= set(exact)
+
+
 def test_importance_sampling_empty_target_domain(spark, tmp_path):
     """x33 with NO documents in the target domain must stay defined
     (Laplace smoothing gives the target LM mass 1/(0+V) everywhere) and
