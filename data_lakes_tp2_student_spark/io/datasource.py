@@ -968,8 +968,19 @@ class ManifestStreamWriter(_StagedWriterBase, DataSourceStreamArrowWriter):
                 column_mapping=self._mapping,
                 base_mapping=self._base_mapping,
             )
+            # once batch 1 publishes an EXTENDED mapping (the stream
+            # added a logical column → fresh physical), later batches
+            # must expect the extension at the parent, not the
+            # construction-time map — without this, batch 2 would
+            # spuriously conflict against batch 1's own commit
+            # (round-11 review)
+            if self._mapping is not None:
+                self._base_mapping = self._mapping
         except TxnAlreadyCommitted:
+            # duplicate batch: the log already holds this mapping too
             self._drop_staged(table, entries)
+            if self._mapping is not None:
+                self._base_mapping = self._mapping
 
     def abort(self, messages, batchId: int):
         table = _open_table(self._options)

@@ -1295,46 +1295,7 @@ class ManifestTable:
         m = self.manifest(version)
         files = m["files"]
         if range_filter:
-            # stats are keyed by PHYSICAL column name (stable across
-            # renames); callers filter on logical names
-            cmap = m.get("column_mapping") or {}
-            part_types = {
-                f.name: f.dataType.simpleString()
-                for f in StructType.fromJson(
-                    json.loads(self._table_schema_of(m))
-                ).fields
-                if f.name in (m["partition_by"] or [])
-            }
-            for c, (lo, hi) in range_filter.items():
-                sc = cmap.get(c, c)
-                # canonicalize to the stats' stored domain (review r6:
-                # a date bound against ISO-string stats raised TypeError)
-                lo, hi = _json_safe(lo), _json_safe(hi)
-                if c in part_types:
-                    # PARTITION column (round 9): files carry no footer
-                    # stats for it — the exact value lives in the path;
-                    # compare TYPED ('9' < '10' numerically). NULL /
-                    # unparsable values are kept (cannot prune — sound).
-                    st = part_types[c]
-                    tlo = _typed_part_value(str(lo), st)
-                    thi = _typed_part_value(str(hi), st)
-                    if tlo is None or thi is None:
-                        continue
-                    files = [
-                        e
-                        for e in files
-                        if (pv := _typed_part_value(e["partition"].get(c), st))
-                        is None
-                        or (tlo <= pv <= thi)
-                    ]
-                    continue
-                files = [
-                    e
-                    for e in files
-                    if "stats" not in e
-                    or sc not in e["stats"]
-                    or (e["stats"][sc][0] <= hi and e["stats"][sc][1] >= lo)
-                ]
+            files = self._prune_files_range(m, files, range_filter)
         if partition_filter:
             unknown = set(partition_filter) - set(m["partition_by"])
             if unknown:
@@ -1361,6 +1322,56 @@ class ManifestTable:
         # back to the committed types, and DELETION VECTORS applied to the
         # file entries that carry them (round 8 merge-on-read).
         return self._load_snapshot(spark, m, files)
+
+    def _prune_files_range(
+        self, m: dict, files: list[dict], range_filter: dict
+    ) -> list[dict]:
+        """Manifest data skipping: drop every file whose recorded
+        [min, max] (or typed partition value) cannot overlap the
+        inclusive [lo, hi] per column. Sound over-approximation — files
+        without stats for the column are always kept. Shared by read()
+        and the CoW rewrite discovery scan (round 11)."""
+        # stats are keyed by PHYSICAL column name (stable across
+        # renames); callers filter on logical names
+        cmap = m.get("column_mapping") or {}
+        part_types = {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromJson(
+                json.loads(self._table_schema_of(m))
+            ).fields
+            if f.name in (m["partition_by"] or [])
+        }
+        for c, (lo, hi) in range_filter.items():
+            sc = cmap.get(c, c)
+            # canonicalize to the stats' stored domain (review r6:
+            # a date bound against ISO-string stats raised TypeError)
+            lo, hi = _json_safe(lo), _json_safe(hi)
+            if c in part_types:
+                # PARTITION column (round 9): files carry no footer
+                # stats for it — the exact value lives in the path;
+                # compare TYPED ('9' < '10' numerically). NULL /
+                # unparsable values are kept (cannot prune — sound).
+                st = part_types[c]
+                tlo = _typed_part_value(str(lo), st)
+                thi = _typed_part_value(str(hi), st)
+                if tlo is None or thi is None:
+                    continue
+                files = [
+                    e
+                    for e in files
+                    if (pv := _typed_part_value(e["partition"].get(c), st))
+                    is None
+                    or (tlo <= pv <= thi)
+                ]
+                continue
+            files = [
+                e
+                for e in files
+                if "stats" not in e
+                or sc not in e["stats"]
+                or (e["stats"][sc][0] <= hi and e["stats"][sc][1] >= lo)
+            ]
+        return files
 
     # ---------- table services over the log ----------
 
@@ -1661,6 +1672,7 @@ class ManifestTable:
         condition,
         action: str,
         transform,
+        range_filter=None,
     ) -> int:
         """Copy-on-write core for row-level DELETE/UPDATE: find the files
         holding at least one row matching `condition`, rewrite ONLY those
@@ -1677,13 +1689,26 @@ class ManifestTable:
         snapshot read aborts this one with ConcurrentWriteConflict (a
         concurrent append could add rows the predicate should have seen —
         Delta's serializable DELETE). A no-match predicate is a no-op
-        returning the current version (no empty commit)."""
+        returning the current version (no empty commit).
+
+        `range_filter` (round 11, the data-plane soak measured the
+        discovery scan linear in file count — 22 s at 8192 files): the
+        manifest-stats skipping lever read() has, applied to the
+        DISCOVERY scan, so a stats-clustered DELETE/UPDATE schedules
+        O(overlapping files) tasks instead of O(table files). The caller
+        CONTRACT is Delta's replaceWhere-hint contract: the ranges must
+        OVER-APPROXIMATE `condition` (every row the condition can match
+        lies inside them) — files without stats are always kept, so a
+        correct hint can never change the result, only the work."""
         latest = self.latest_version()
         if latest is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         m = self.manifest(latest)
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        prov = self._read_with_provenance(spark, m)
+        files = m["files"]
+        if range_filter:
+            files = self._prune_files_range(m, files, range_filter)
+        prov = self._load_snapshot(spark, m, files, provenance=True)
         hit = [
             r._rel
             for r in prov.filter(cond).select("_rel").distinct().collect()
@@ -1704,7 +1729,8 @@ class ManifestTable:
         )
 
     def delete_where(
-        self, spark: SparkSession, condition, mode: str = "cow"
+        self, spark: SparkSession, condition, mode: str = "cow",
+        range_filter=None,
     ) -> int:
         """Row-level DELETE FROM ... WHERE (Delta/Iceberg semantics):
         rows matching `condition` (SQL string or Column) disappear from
@@ -1736,7 +1762,10 @@ class ManifestTable:
                 ~F.coalesce(cond.cast("boolean"), F.lit(False))
             )
 
-        return self._rewrite_files(spark, condition, "delete", keep_survivors)
+        return self._rewrite_files(
+            spark, condition, "delete", keep_survivors,
+            range_filter=range_filter,
+        )
 
     def _write_dv(self, spark: SparkSession, dv_df: DataFrame) -> tuple[str, str, list[str]]:
         """Write a deletion-vector parquet (`file` string, `pos` bigint)
@@ -1841,7 +1870,7 @@ class ManifestTable:
 
     def update_where(
         self, spark: SparkSession, condition, set_exprs: dict,
-        mode: str = "cow",
+        mode: str = "cow", range_filter=None,
     ) -> int:
         """Row-level UPDATE ... SET ... WHERE (same file selectivity and
         concurrency contract as delete_where): matched rows get each
@@ -1878,7 +1907,9 @@ class ManifestTable:
             return self._update_where_dv(spark, condition, apply_set)
         if mode != "cow":
             raise ValueError(f"update_where mode must be 'cow' or 'dv', got {mode!r}")
-        return self._rewrite_files(spark, condition, "update", apply_set)
+        return self._rewrite_files(
+            spark, condition, "update", apply_set, range_filter=range_filter,
+        )
 
     def _update_where_dv(self, spark, condition, apply_set) -> int:
         """Merge-on-read UPDATE: old positions of matched rows → deletion

@@ -233,6 +233,9 @@ def main() -> None:
         app_name="soak_dataplane",
         cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"),
     )
+    from data_lakes_tp2_student_spark.io.datasource import ManifestDataSource
+
+    spark.dataSource.register(ManifestDataSource)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     rows = []
     base = tempfile.mkdtemp(prefix="dataplane-soak-")

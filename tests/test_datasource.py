@@ -858,7 +858,9 @@ def test_write_format_to_column_mapped_table(spark, tmp_path):
     tab.rename_column("v", "val")
     spark.createDataFrame(
         [(2, "b", "d2")], "id int, val string, day string"
-    ).write.format("manifest").mode("append").option("path", root).save()
+    ).write.format("manifest").mode("append").option("path", root).option(
+        "statsCols", "val"
+    ).save()
     got = tab.read(spark)
     assert sorted(got.columns) == ["day", "id", "val"]
     assert sorted((r.id, r.val, r.day) for r in got.collect()) == [
@@ -874,7 +876,8 @@ def test_write_format_to_column_mapped_table(spark, tmp_path):
     _b, (p,) = tab.store.resolve_read([f["path"]])
     names = _pq.read_schema(p).names
     assert "v" in names and "val" not in names, names
-    assert "id" in f.get("stats", {})  # footer stats present, physical-keyed
+    # footer stats for the renamed column key by PHYSICAL name
+    assert f["stats"] == {"v": ["b", "b"]}, f["stats"]
     # the registered READER resolves the same files back to logical
     via_format = (
         spark.read.format("manifest").option("path", root).load()

@@ -2275,3 +2275,48 @@ def test_deep_vacuum_reaps_zombie_files_in_live_txn_dirs(spark, tab):
     for rel in live_paths:
         assert _file_exists(tab, rel)
     assert rows(tab.read(spark)) == [(1, "a", "d1"), (2, "b", "d2")]
+
+
+def test_delete_where_range_hint_prunes_discovery(spark, tmp_path, monkeypatch):
+    """Round 11 (data-plane soak: the CoW discovery scan is linear in
+    file count): delete_where/update_where accept the same manifest-
+    stats `range_filter` read() has, applied to the DISCOVERY scan —
+    an over-approximating hint schedules O(overlapping files) tasks and
+    can never change the result (stats-less files are kept)."""
+    tab = ManifestTable(str(tmp_path / "t"), stats_cols=["id"])
+    df = spark.createDataFrame(
+        [(i, f"v{i}", f"d{i % 3}") for i in range(60)],
+        "id int, v string, day string",
+    )
+    tab.commit_overwrite(df.repartitionByRange(6, "id"))
+    n_files = len(tab._snapshot_files(0))
+    assert n_files >= 4  # disjoint id ranges per file
+
+    seen: dict = {}
+    orig = ManifestTable._load_snapshot
+
+    def spy(self, spark_, m, files, **kw):
+        seen.setdefault("n", len(files))
+        return orig(self, spark_, m, files, **kw)
+
+    monkeypatch.setattr(ManifestTable, "_load_snapshot", spy)
+    tab.delete_where(spark, "id = 7", range_filter={"id": (7, 7)})
+    monkeypatch.undo()
+    # the discovery scan saw only the stats-overlapping file(s)
+    assert seen["n"] < n_files, (seen, n_files)
+    assert sorted(r.id for r in tab.read(spark).collect()) == [
+        i for i in range(60) if i != 7
+    ]
+    # identical result to the unhinted path on the same predicate
+    tab2 = ManifestTable(str(tmp_path / "t2"), stats_cols=["id"])
+    tab2.commit_overwrite(df.repartitionByRange(6, "id"))
+    tab2.delete_where(spark, "id = 7")
+    assert sorted(map(tuple, tab.read(spark).collect())) == sorted(
+        map(tuple, tab2.read(spark).collect())
+    )
+    # update_where takes the same lever
+    tab.update_where(
+        spark, "id = 8", {"v": "'patched'"}, range_filter={"id": (8, 8)}
+    )
+    got = {r.id: r.v for r in tab.read(spark).collect()}
+    assert got[8] == "patched" and got[9] == "v9"

@@ -230,3 +230,62 @@ def test_sink_enforces_check_constraints_per_batch(spark, tmp_path):
         q.stop()
     # the violating batch committed nothing and staged nothing durable
     assert sink.read(spark).count() == 2
+
+
+def test_stream_sink_mapped_table_new_column_across_batches(spark, tmp_path):
+    """Round-11 review regression: a stream writing a NEW logical column
+    to a MAPPED table extends the mapping (fresh physical) at batch 1's
+    commit — batch 2 must commit against that extension instead of
+    spuriously conflicting with the writer's own batch-1 publish. Files
+    stage under physical names; the read serves logical across all
+    batches."""
+    import os
+    import uuid
+
+    import pandas as pd
+
+    root = str(tmp_path / "t")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(
+        spark.createDataFrame([(1, "a")], "id int, v string")
+    )
+    tab.rename_column("v", "val")
+    schema = spark.createDataFrame(
+        [(0, "x", 0.0)], "id int, val string, score double"
+    ).schema
+    w = ManifestStreamWriter(schema, {"path": root}, overwrite=False)
+    assert w._mapping["val"] == "v" and w._mapping["score"].startswith("col_")
+
+    def staged_entry(i: int):
+        stage, _rel = w._task_stage()
+        os.makedirs(stage, exist_ok=True)
+        p = os.path.join(stage, f"part-{uuid.uuid4().hex}.parquet")
+        # files carry PHYSICAL names, as the executor write() stages them
+        pd.DataFrame(
+            {
+                "id": pd.array([i], dtype="int32"),
+                "v": [f"b{i}"],
+                w._mapping["score"]: [float(i)],
+            }
+        ).to_parquet(p)
+        return {
+            "path": os.path.relpath(p, root),
+            "partition": {},
+            "bytes": os.path.getsize(p),
+        }
+
+    w.commit([_CommitEntries([staged_entry(10)])], batchId=0)
+    # batch 2 against the now-extended mapping: must NOT conflict
+    w.commit([_CommitEntries([staged_entry(11)])], batchId=1)
+    got = sorted(
+        (r.id, r.val, r.score) for r in tab.read(spark).collect()
+    )
+    assert got == [(1, "a", None), (10, "b10", 10.0), (11, "b11", 11.0)]
+    # a REAL concurrent rename still aborts the next batch loudly
+    from data_lakes_tp2_student_spark.io.manifest import (
+        ConcurrentWriteConflict,
+    )
+
+    tab.rename_column("val", "value")
+    with pytest.raises(ConcurrentWriteConflict, match="rename"):
+        w.commit([_CommitEntries([staged_entry(12)])], batchId=2)
