@@ -104,6 +104,13 @@ HEAVY = [
     ("x40_label_propagation", "nlogn"),
     ("x17_event_transitions", "nlogn"),
     ("x25_token_budget_selection", "nlogn"),
+    # round-11 wave 2: the STREAMING drains — file source listing,
+    # watermarked state ops, and memory-sink materialization all scale
+    # with the event volume; previously the only family with no rows
+    ("i4_stream_tumbling", "nlogn"),
+    ("i5_stream_dedup", "nlogn"),
+    ("i7_stream_interval_join", "nlogn"),
+    ("i8_stream_session", "nlogn"),
 ]
 
 N_SMALL = 600_000  # lineitem rows at sf0.1 (the dominant table)
