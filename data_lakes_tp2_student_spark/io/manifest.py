@@ -2610,6 +2610,36 @@ class MergeBuilder:
 
     # -- execution ---------------------------------------------------------
 
+    def _equi_keys(self) -> list[tuple[str, str]]:
+        """(target col, source col) pairs for every simple `t.c = s.c`
+        equality in a plain conjunction ON clause — the keys the
+        automatic target-file skipping (see execute) can prune on.
+        Conservative by construction: parentheses, OR, or a non-string
+        ON disable parsing entirely, and unparsed AND-conjuncts are
+        simply ignored (extra conjuncts only REDUCE matches, so pruning
+        on the parsed subset stays an over-approximation)."""
+        import re
+
+        if not isinstance(self._on, str):
+            return []
+        s = self._on
+        if "(" in s or ")" in s or re.search(r"\bor\b", s, re.I):
+            return []
+        pairs = []
+        for atom in re.split(r"\band\b", s, flags=re.I):
+            mm = re.fullmatch(
+                r"\s*([ts])\s*\.\s*`?(\w+)`?\s*=\s*([ts])\s*\.\s*`?(\w+)`?\s*",
+                atom,
+            )
+            if not mm:
+                continue
+            a_side, a_col, b_side, b_col = mm.groups()
+            if {a_side, b_side} == {"t", "s"}:
+                t_col = a_col if a_side == "t" else b_col
+                s_col = a_col if a_side == "s" else b_col
+                pairs.append((t_col, s_col))
+        return pairs
+
     @staticmethod
     def _guard(condition):
         """Clause condition → boolean Column; NULL counts as no-match
@@ -2660,7 +2690,50 @@ class MergeBuilder:
                 f"source columns)"
             )
         on = F.expr(self._on) if isinstance(self._on, str) else self._on
-        prov = t._read_with_provenance(spark, m)
+        # ---- automatic target-file skipping (round 11 — the data-plane
+        # soak measured touched-file discovery linear in file count):
+        # when ON is a conjunction holding `t.c = s.c` equalities on
+        # stats columns, ONE tiny agg computes the SOURCE's key bounds
+        # and every target file whose [min, max] cannot intersect them
+        # is dropped from (a) the matched-discovery join — it can hold
+        # no matched pair — and (b) the insert anti-join — a source row
+        # can only match target rows with EQUAL keys, so disjoint files
+        # cannot veto an insert. Delta's MERGE does the same min/max
+        # pushdown. NOT-MATCHED-BY-SOURCE needs every target row and
+        # gets the FULL snapshot, built lazily below — exactly ONE
+        # multi-path DataFrame is constructed up front (constructing a
+        # full 10^4-path frame AND a pruned one costs two driver-side
+        # file-index passes: measured +60% on an unprunable merge), and
+        # the prune engages only past a 10% saving for the same reason.
+        sel_files = m["files"]
+        keys = [
+            (tc, sc)
+            for tc, sc in self._equi_keys()
+            if tc in tcols and sc in src.columns
+        ]
+        if keys:
+            aggs = []
+            for i, (_tc, sc) in enumerate(keys):
+                aggs += [
+                    F.min(F.col(f"`{sc}`")).alias(f"__lo{i}"),
+                    F.max(F.col(f"`{sc}`")).alias(f"__hi{i}"),
+                ]
+            try:
+                b = src.agg(*aggs).collect()[0]
+            except Exception:
+                b = None  # un-orderable key type — skip pruning, stay sound
+            rf = {}
+            if b is not None:
+                for i, (tc, _sc) in enumerate(keys):
+                    lo, hi = b[f"__lo{i}"], b[f"__hi{i}"]
+                    if lo is not None and hi is not None:
+                        rf[tc] = (lo, hi)
+            if rf:
+                pf = t._prune_files_range(m, sel_files, rf)
+                if len(pf) <= 0.9 * len(sel_files):
+                    sel_files = pf
+        pruned_prov = t._load_snapshot(spark, m, sel_files, provenance=True)
+        prov = pruned_prov if sel_files is m["files"] else None
 
         # ---- pass 1: touched files + cardinality gate (findTouchedFiles)
         hit: set = set()
@@ -2669,7 +2742,7 @@ class MergeBuilder:
             for _kind, _assigns, cond in self._matched:
                 fire = fire | self._guard(cond)
             per_file = (
-                prov.alias("t")
+                pruned_prov.alias("t")
                 .join(src.alias("s"), on, "inner")
                 .groupBy("_rel", "_pos")
                 .agg(F.sum(fire.cast("int")).alias("__nf"))
@@ -2684,6 +2757,8 @@ class MergeBuilder:
                 )
             hit |= {r["_rel"] for r in per_file if r["__mx"] > 0}
         if self._nms:
+            if prov is None:
+                prov = t._read_with_provenance(spark, m)
             fire = F.lit(False)
             for _kind, _assigns, cond in self._nms:
                 fire = fire | self._guard(cond)
@@ -2779,7 +2854,9 @@ class MergeBuilder:
 
         inserts = None
         if self._not_matched:
-            ins_src = src.alias("s").join(prov.alias("t"), on, "left_anti")
+            ins_src = src.alias("s").join(
+                pruned_prov.alias("t"), on, "left_anti"
+            )
             chain = None
             for j, (_values, cond) in enumerate(self._not_matched):
                 g = self._guard(cond)

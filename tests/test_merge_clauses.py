@@ -365,3 +365,116 @@ def test_column_typed_arguments(spark, tab):
         .execute()
     )
     assert rows(tab.read(spark)) == [(1, "X", "d1")]
+
+
+def test_merge_auto_prunes_target_by_source_key_bounds(
+    spark, tmp_path, monkeypatch
+):
+    """Round 11 (data-plane soak: touched-file discovery is linear in
+    file count): a `t.c = s.c` conjunction ON clause triggers automatic
+    target-file skipping — ONE source min/max agg prunes every target
+    file whose stats cannot intersect the source key range from the
+    matched-discovery join AND the insert anti-join (a disjoint file
+    can hold no matched pair and cannot veto an insert). Pinned: the
+    discovery really loads the pruned entry list, and the merge result
+    is exact."""
+    from data_lakes_tp2_student_spark.io.manifest import ManifestTable
+
+    tab2 = ManifestTable(str(tmp_path / "mp"), stats_cols=["id"])
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "d1") for i in range(60)],
+        "id int, v string, day string",
+    )
+    tab2.commit_overwrite(df.repartitionByRange(6, "id"))
+    n_files = len(tab2._snapshot_files(0))
+    assert n_files >= 4
+
+    seen: list = []
+    orig = ManifestTable._load_snapshot
+
+    def spy(self, spark_, m, files, **kw):
+        if kw.get("provenance"):
+            seen.append(len(files))
+        return orig(self, spark_, m, files, **kw)
+
+    monkeypatch.setattr(ManifestTable, "_load_snapshot", spy)
+    src = spark.createDataFrame(
+        [(55, "patched"), (61, "new")], "id int, v string"
+    )
+    (
+        tab2.merge(spark, src, "t.id = s.id")
+        .when_matched_update(set={"v": "s.v"})
+        .when_not_matched_insert(
+            values={"id": "s.id", "v": "s.v", "day": "'d9'"}
+        )
+        .execute()
+    )
+    monkeypatch.undo()
+    # source bounds [55, 61] overlap exactly ONE target file: both the
+    # pruned discovery load AND the pass-2 hit load see 1 entry (an
+    # unpruned run shows only pass-2's); with no NMS clause the FULL
+    # provenance frame is never even constructed (lazy, round-11 —
+    # building both frames cost two driver file-index passes)
+    assert seen.count(1) >= 2, seen
+    assert max(seen) < n_files, seen
+    got = {r.id: (r.v, r.day) for r in tab2.read(spark).collect()}
+    assert got[55] == ("patched", "d1") and got[61] == ("new", "d9")
+    assert got[54] == ("v54", "d1") and len(got) == 61
+    # existing keys in PRUNED files must still veto inserts: id 7 lives
+    # in a file the [55,61] bounds pruned, but a second merge sourcing
+    # id 7 has bounds [7,7] — its file is kept, no duplicate insert
+    src2 = spark.createDataFrame([(7, "dup")], "id int, v string")
+    (
+        tab2.merge(spark, src2, "t.id = s.id")
+        .when_not_matched_insert(
+            values={"id": "s.id", "v": "s.v", "day": "'d9'"}
+        )
+        .execute()
+    )
+    assert tab2.read(spark).filter("id = 7").count() == 1
+
+
+def test_merge_nms_sees_full_table_despite_pruning(spark, tmp_path):
+    """NOT-MATCHED-BY-SOURCE needs every target row — the automatic
+    skipping must never apply to that pass: a one-key source deletes
+    every other row across ALL files, including files the source key
+    range would prune."""
+    from data_lakes_tp2_student_spark.io.manifest import ManifestTable
+
+    tab2 = ManifestTable(str(tmp_path / "nms"), stats_cols=["id"])
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "d1") for i in range(60)],
+        "id int, v string, day string",
+    )
+    tab2.commit_overwrite(df.repartitionByRange(6, "id"))
+    src = spark.createDataFrame([(55, "keep")], "id int, v string")
+    (
+        tab2.merge(spark, src, "t.id = s.id")
+        .when_matched_update(set={"v": "s.v"})
+        .when_not_matched_by_source_delete()
+        .execute()
+    )
+    got = [(r.id, r.v) for r in tab2.read(spark).collect()]
+    assert got == [(55, "keep")], got
+
+
+def test_merge_complex_on_disables_pruning_soundly(spark, tmp_path):
+    """An ON clause the parser cannot fully reduce (OR / parentheses)
+    disables the skip entirely; results stay exact."""
+    from data_lakes_tp2_student_spark.io.manifest import ManifestTable
+
+    tab2 = ManifestTable(str(tmp_path / "cx"), stats_cols=["id"])
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "d1") for i in range(20)],
+        "id int, v string, day string",
+    )
+    tab2.commit_overwrite(df.repartitionByRange(4, "id"))
+    b = tab2.merge(
+        spark,
+        spark.createDataFrame([(3, "x")], "id int, v string"),
+        "(t.id = s.id) OR (t.id = s.id + 1)",
+    )
+    assert b._equi_keys() == []
+    b.when_matched_update(set={"v": "'hit'"}).execute()
+    got = {r.id: r.v for r in tab2.read(spark).collect()}
+    assert got[3] == "hit" and got[4] == "hit" and got[5] == "v5"
