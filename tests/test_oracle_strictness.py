@@ -247,6 +247,21 @@ _VALUE_MUTATIONS = {
     "x70_metadata_row_count": (
         "SELECT phase, meta_rows + 1 AS meta_rows, scan_rows FROM ({o}) t"
     ),
+    # round-11 mapped WRITER through the registered format: the nudge
+    # proves the gate constrains the values that crossed the
+    # physical-name staging + mapping-publishing commit — a writer that
+    # staged under the wrong physical (detaching bytes from the logical
+    # name) or dropped the mapping could not hide behind row counts
+    "x72_dsv2_mapped_write": (
+        "SELECT * REPLACE (price + 1 AS price) FROM ({o}) t"
+    ),
+    # round-11 substring-dedup POLICY variant: the nudge proves the gate
+    # constrains the SPAN GEOMETRY under the df-cap + min-span levers
+    # (a drifting cap or length threshold changes which spans survive,
+    # and a start/length bug changes their coordinates)
+    "x32b_substring_dedup_capped": (
+        "SELECT id_a, id_b, start_a, len_words + 1 AS len_words FROM ({o}) t"
+    ),
 }
 
 
