@@ -114,6 +114,282 @@ class MergeCardinalityError(RuntimeError):
     deduplicate the source on the merge keys and retry."""
 
 
+def _norm_bounds(lo, hi, sample):
+    """Canonicalize a (lo, hi) bound pair (None = unbounded side) into
+    the DOMAIN of a stored stats `sample` value, or return None when
+    comparability cannot be proven — callers must then skip pruning on
+    that column (sound: pruning fewer files never changes results).
+
+    Domains: numeric stats accept numeric bounds verbatim; plain-string
+    stats accept string bounds verbatim; datetime-ISO string stats
+    (what `_json_safe` stores for parquet footer datetimes) get bounds
+    re-emitted in the stats' EXACT format — naive vs '+00:00'-suffixed
+    (TIMESTAMP_MICROS footers are UTC-aware; the session timezone is
+    pinned UTC so a naive literal IS that instant), and date-only stats
+    floor both sides to the day (exact for hi — a DATE ≤ ts iff DATE ≤
+    floor-day(ts) — and over-approximating for lo)."""
+    import datetime as _dt
+
+    if sample is None or isinstance(sample, bool):
+        return None
+    if isinstance(sample, (int, float)):
+        ok = all(
+            b is None
+            or (isinstance(b, (int, float)) and not isinstance(b, bool))
+            for b in (lo, hi)
+        )
+        return (lo, hi) if ok else None
+    if not isinstance(sample, str):
+        return None
+    try:
+        sdt = _dt.datetime.fromisoformat(sample)
+        date_only = "T" not in sample and ":" not in sample
+    except ValueError:
+        ok = all(b is None or isinstance(b, str) for b in (lo, hi))
+        return (lo, hi) if ok else None
+    utc_suffix = sample.endswith("+00:00")
+    if sdt.tzinfo is not None and not utc_suffix:
+        return None  # non-UTC-offset stats format: unknown domain
+
+    def conv(b):
+        if b is None:
+            return None
+        if not isinstance(b, str):
+            raise ValueError("non-string bound on datetime-string stats")
+        d = _dt.datetime.fromisoformat(b)
+        if d.tzinfo is not None:
+            if utc_suffix and d.utcoffset() == _dt.timedelta(0):
+                d = d.replace(tzinfo=None)
+            else:
+                raise ValueError("offset bound vs naive/other stats")
+        if utc_suffix:
+            return d.isoformat() + "+00:00"
+        return d.date().isoformat() if date_only else d.isoformat()
+
+    try:
+        return (conv(lo), conv(hi))
+    except ValueError:
+        return None
+
+
+_CKPT_CORE = ("path", "partition", "bytes", "rows", "stats", "dv")
+
+
+def _ckpt_to_parquet_bytes(body: dict) -> bytes:
+    """Columnar checkpoint encoding (round 12, Delta checkpoint parity):
+    one row per file entry with TYPED per-column min/max stat columns
+    (`stat_min::<col>` / `stat_max::<col>`) so a reader can data-skip
+    over the checkpoint itself vectorized, before materializing a single
+    python dict. Stats columns whose values mix domains across files
+    (str vs numeric) fall back to a per-entry `stats_json` blob — the
+    reader treats those as unskippable at the coarse level (sound).
+    `partition`, `dv` and any non-core entry keys ride as JSON strings;
+    `version` and the cumulative `txns` map ride as schema metadata."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = body["files"]
+    names: list[str] = []
+    for e in files:
+        for c in e.get("stats") or {}:
+            if c not in names:
+                names.append(c)
+    typed: dict[str, tuple[list, list]] = {}
+    fallback: set[str] = set()
+    for c in names:
+        los: list = []
+        his: list = []
+        kind = None
+        ok = True
+        for e in files:
+            st = (e.get("stats") or {}).get(c)
+            if st is None:
+                los.append(None)
+                his.append(None)
+                continue
+            lo, hi = st
+            for v in (lo, hi):
+                if v is None:
+                    continue
+                if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+                    ok = False
+                    break
+                k = "str" if isinstance(v, str) else "num"
+                if kind is not None and k != kind:
+                    ok = False
+                    break
+                kind = k
+            if not ok:
+                break
+            los.append(lo)
+            his.append(hi)
+        if ok and kind is not None:
+            typed[c] = (los, his)
+        else:
+            fallback.add(c)
+    cols: dict[str, list] = {
+        "path": [e["path"] for e in files],
+        "partition": [
+            json.dumps(e.get("partition") or {}, sort_keys=True)
+            for e in files
+        ],
+        "bytes": [e.get("bytes") for e in files],
+        "rows": [e.get("rows") for e in files],
+        "dv": [json.dumps(e["dv"]) if e.get("dv") else None for e in files],
+        "stats_json": [
+            (
+                json.dumps(
+                    {
+                        c: v
+                        for c, v in e["stats"].items()
+                        if c in fallback
+                    },
+                    sort_keys=True,
+                )
+                if e.get("stats") and fallback & set(e["stats"])
+                else None
+            )
+            for e in files
+        ],
+        "extra": [
+            (
+                json.dumps(
+                    {k: v for k, v in e.items() if k not in _CKPT_CORE},
+                    sort_keys=True,
+                )
+                if set(e) - set(_CKPT_CORE)
+                else None
+            )
+            for e in files
+        ],
+    }
+    fields = [
+        pa.field("path", pa.string()),
+        pa.field("partition", pa.string()),
+        pa.field("bytes", pa.int64()),
+        pa.field("rows", pa.int64()),
+        pa.field("dv", pa.string()),
+        pa.field("stats_json", pa.string()),
+        pa.field("extra", pa.string()),
+    ]
+    for c, (los, his) in typed.items():
+        t = (
+            pa.string()
+            if any(isinstance(v, str) for v in los + his)
+            else (
+                pa.float64()
+                if any(isinstance(v, float) for v in los + his)
+                else pa.int64()
+            )
+        )
+        cols[f"stat_min::{c}"] = los
+        cols[f"stat_max::{c}"] = his
+        fields += [
+            pa.field(f"stat_min::{c}", t),
+            pa.field(f"stat_max::{c}", t),
+        ]
+    md = {b"version": str(body["version"]).encode()}
+    if "txns" in body:
+        md[b"txns"] = json.dumps(body["txns"], sort_keys=True).encode()
+    table = pa.table(cols, schema=pa.schema(fields, metadata=md))
+    sink = pa.BufferOutputStream()
+    pq.write_table(table, sink)
+    return sink.getvalue().to_pybytes()
+
+
+def _ckpt_from_parquet(b: bytes, coarse_range: dict | None = None) -> dict:
+    """Decode a columnar checkpoint. With `coarse_range` ({col: (lo, hi),
+    None = unbounded side}), rows whose TYPED stat columns prove the file
+    disjoint from the range are dropped VECTORIZED before python-dict
+    materialization — null stats, absent columns, and domain-mismatched
+    bounds keep the row (sound over-approximation, same contract as
+    `_prune_files_range`)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(pa.BufferReader(b))
+    if coarse_range:
+        mask = None
+        for c, (lo, hi) in coarse_range.items():
+            lo = None if lo is None else _json_safe(lo)
+            hi = None if hi is None else _json_safe(hi)
+            mn_name = f"stat_min::{c}"
+            if mn_name not in t.column_names:
+                continue
+            # canonicalize the bounds into this column's stored domain
+            # (datetime-ISO strings may carry '+00:00', date-only stats
+            # floor to the day) — unprovable comparability skips the
+            # column, same contract as _prune_files_range
+            sample_arr = pc.drop_null(t[mn_name]).slice(0, 1).to_pylist()
+            nb = _norm_bounds(lo, hi, sample_arr[0] if sample_arr else None)
+            if nb is None:
+                continue
+            lo, hi = nb
+            keep = None
+            try:
+                if hi is not None:
+                    keep = pc.less_equal(t[mn_name], pa.scalar(hi))
+                if lo is not None:
+                    k2 = pc.greater_equal(t[f"stat_max::{c}"], pa.scalar(lo))
+                    keep = k2 if keep is None else pc.and_(keep, k2)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, TypeError):
+                continue  # bound domain ≠ stats domain: cannot skip, sound
+            if keep is None:
+                continue
+            keep = pc.fill_null(keep, True)  # stats-less file: keep
+            mask = keep if mask is None else pc.and_(mask, keep)
+        if mask is not None:
+            t = t.filter(mask)
+    cols = {c: t[c].to_pylist() for c in t.column_names}
+    stat_names = [
+        c[len("stat_min::"):]
+        for c in t.column_names
+        if c.startswith("stat_min::")
+    ]
+    files = []
+    for i in range(t.num_rows):
+        e: dict = {
+            "path": cols["path"][i],
+            "partition": json.loads(cols["partition"][i]),
+            "bytes": cols["bytes"][i],
+            "rows": cols["rows"][i],
+        }
+        st: dict = {}
+        for c in stat_names:
+            lo = cols[f"stat_min::{c}"][i]
+            hi = cols[f"stat_max::{c}"][i]
+            if lo is not None or hi is not None:
+                st[c] = [lo, hi]
+        if cols["stats_json"][i]:
+            st.update(json.loads(cols["stats_json"][i]))
+        if st:
+            e["stats"] = st
+        if cols["dv"][i]:
+            e["dv"] = json.loads(cols["dv"][i])
+        if cols["extra"][i]:
+            e.update(json.loads(cols["extra"][i]))
+        files.append(e)
+    md = t.schema.metadata or {}
+    body = {"version": int(md[b"version"]), "files": files}
+    if b"txns" in md:
+        body["txns"] = json.loads(md[b"txns"])
+    return body
+
+
+def _plan_deterministic(df) -> bool:
+    """Best-effort determinism proof for a DataFrame's analyzed plan
+    (Catalyst's `QueryPlan.deterministic`): True only when every
+    expression in the plan is provably deterministic; failed or
+    unavailable introspection reports False — the conservative
+    direction (callers then pin the rows or skip optimizations that
+    assume repeatable evaluation)."""
+    try:
+        return bool(df._jdf.queryExecution().analyzed().deterministic())
+    except Exception:
+        return False
+
+
 def _json_safe(v):
     """Parquet-footer statistic → JSON-storable canonical value."""
     import datetime as _dt
@@ -273,7 +549,13 @@ class ManifestTable:
         stats_cols: list[str] | None = None,
         checkpoint_interval: int = 10,
         log_store=None,
+        checkpoint_format: str = "json",
     ) -> None:
+        if checkpoint_format not in ("json", "parquet"):
+            raise ValueError(
+                f"checkpoint_format must be 'json' or 'parquet', "
+                f"got {checkpoint_format!r}"
+            )
         if log_store is None:
             if "://" in root:
                 # A URI root without an explicit backend would write data
@@ -295,6 +577,13 @@ class ManifestTable:
         self.data_dir = getattr(log_store, "data_dir", None)
         self.stats_cols = list(stats_cols or [])
         self.checkpoint_interval = max(0, int(checkpoint_interval))
+        # round 12 (VERDICT r11 item 3): "parquet" writes COLUMNAR
+        # checkpoints (typed per-column min/max stats — Delta checkpoint
+        # parity) so snapshot planning at 10^5-10^6 files reads the file
+        # list in O(columnar scan) and a range-filtered read touches
+        # O(selected) python objects instead of parsing a multi-MB JSON
+        # body. Readers understand BOTH formats regardless of this knob.
+        self.checkpoint_format = checkpoint_format
         # highest version this handle has observed — the O(Δ) probe
         # anchor for latest_version (never trusted blindly: see there)
         self._version_hint: int | None = None
@@ -309,6 +598,7 @@ class ManifestTable:
             stats_cols=self.stats_cols,
             checkpoint_interval=self.checkpoint_interval,
             log_store=self.store.clone(),
+            checkpoint_format=self.checkpoint_format,
         )
 
     # ---------- log primitives (storage via self.store) ----------
@@ -320,6 +610,10 @@ class ManifestTable:
     @staticmethod
     def _checkpoint_name(version: int) -> str:
         return f"v{version:020d}.checkpoint.json"
+
+    @staticmethod
+    def _checkpoint_pq_name(version: int) -> str:
+        return f"v{version:020d}.checkpoint.parquet"
 
     def versions(self) -> list[int]:
         out = []
@@ -336,13 +630,14 @@ class ManifestTable:
         return sorted(out)
 
     def checkpoints(self) -> list[int]:
-        out = []
+        out = set()
         for name in self.store.list_log():
-            if name.endswith(".checkpoint.json") and name.startswith("v"):
-                try:
-                    out.append(int(name[1 : -len(".checkpoint.json")]))
-                except ValueError:
-                    continue
+            for suf in (".checkpoint.json", ".checkpoint.parquet"):
+                if name.endswith(suf) and name.startswith("v"):
+                    try:
+                        out.add(int(name[1 : -len(suf)]))
+                    except ValueError:
+                        pass
         return sorted(out)
 
     def latest_version(self) -> int | None:
@@ -414,16 +709,38 @@ class ManifestTable:
             files = [e for e in files if e["path"] not in gone]
         return files + add
 
-    def _snapshot_files(self, version: int) -> list[dict]:
+    def _read_checkpoint_body(
+        self, version: int, coarse_range: dict | None = None
+    ) -> dict:
+        """Checkpoint `version`'s body ({version, files[, txns]}),
+        whichever format exists — parquet preferred (columnar). With
+        `coarse_range`, the PARQUET path prunes rows vectorized against
+        the typed stat columns BEFORE materializing python dicts (sound
+        over-approximation: null/absent/mismatched-domain stats keep the
+        row); the JSON path ignores it — callers exact-prune later
+        either way. Raises FileNotFoundError if neither format exists."""
+        try:
+            b = self.store.read_log(self._checkpoint_pq_name(version))
+        except FileNotFoundError:
+            b = None
+        if b is not None:
+            return _ckpt_from_parquet(b, coarse_range)
+        return json.loads(self.store.read_log(self._checkpoint_name(version)))
+
+    def _snapshot_files(
+        self, version: int, coarse_range: dict | None = None
+    ) -> list[dict]:
         """Reconstruct version N's full file list: nearest checkpoint ≤ N,
-        then replay the (few) later log entries — O(Δ since checkpoint)."""
+        then replay the (few) later log entries — O(Δ since checkpoint).
+        `coarse_range` (round 12): a sound {col: (lo, hi)} pre-filter the
+        PARQUET checkpoint applies columnar, so a range-filtered read at
+        10^5+ files materializes O(selected) entries — post-checkpoint
+        ADDS are kept unpruned (the caller's exact prune handles them)."""
         cps = [c for c in self.checkpoints() if c <= version]
         if cps:
             start = cps[-1]
             files = list(
-                json.loads(
-                    self.store.read_log(self._checkpoint_name(start))
-                )["files"]
+                self._read_checkpoint_body(start, coarse_range)["files"]
             )
         else:
             start = -1
@@ -432,16 +749,19 @@ class ManifestTable:
             files = self._apply(self._raw(v), files)
         return files
 
-    def manifest(self, version: int) -> dict:
+    def manifest(self, version: int, coarse_range: dict | None = None) -> dict:
         """Version N's metadata with its FULL reconstructed file list
         under `files` (the pre-round-7 full-snapshot shape, now derived
         from the delta log). Raises FileNotFoundError for vacuumed or
-        never-committed versions."""
+        never-committed versions. With `coarse_range` the file list may
+        omit files a PARQUET checkpoint proves disjoint from the range
+        (callers must treat the list as range-scoped, not the full
+        snapshot)."""
         e = self._raw(version)
         if "files" in e:
             return e
         out = {k: v for k, v in e.items() if k not in ("add", "remove")}
-        out["files"] = self._snapshot_files(version)
+        out["files"] = self._snapshot_files(version, coarse_range)
         return out
 
     def _publish(self, entry: dict) -> bool:
@@ -478,10 +798,16 @@ class ManifestTable:
         txns = self._txns_up_to(version)
         if txns is not None:
             body["txns"] = {k: txns[k] for k in sorted(txns)}
-        self.store.put_log_atomic(
-            self._checkpoint_name(version),
-            json.dumps(body).encode(),
-        )
+        if self.checkpoint_format == "parquet":
+            self.store.put_log_atomic(
+                self._checkpoint_pq_name(version),
+                _ckpt_to_parquet_bytes(body),
+            )
+        else:
+            self.store.put_log_atomic(
+                self._checkpoint_name(version),
+                json.dumps(body).encode(),
+            )
 
     def _txns_up_to(self, version: int) -> dict | None:
         """The complete {app: max txn version} map over commits 0..N, or
@@ -498,9 +824,7 @@ class ManifestTable:
                 if c >= version:
                     continue
                 try:
-                    prev = json.loads(
-                        self.store.read_log(self._checkpoint_name(c))
-                    )
+                    prev = self._read_checkpoint_body(c)
                 except FileNotFoundError:
                     continue  # vacuumed between list and read
                 if "txns" in prev:
@@ -1292,7 +1616,21 @@ class ManifestTable:
             version = self.latest_version()
         if version is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
-        m = self.manifest(version)
+        # round 12: with a PARQUET checkpoint the range filter prunes
+        # COLUMNAR inside the checkpoint read, before any python dict
+        # materializes — O(selected) planning at 10^5+ files. Mapped
+        # tables skip the coarse pass (their stats are keyed by physical
+        # names; the exact prune below resolves the mapping).
+        coarse = None
+        if range_filter:
+            e0 = self._raw(version)
+            if "files" not in e0 and not e0.get("column_mapping"):
+                coarse = {
+                    c: (v[0], v[1])
+                    for c, v in range_filter.items()
+                    if isinstance(v, (tuple, list)) and len(v) == 2
+                }
+        m = self.manifest(version, coarse_range=coarse or None)
         files = m["files"]
         if range_filter:
             files = self._prune_files_range(m, files, range_filter)
@@ -1344,34 +1682,192 @@ class ManifestTable:
         for c, (lo, hi) in range_filter.items():
             sc = cmap.get(c, c)
             # canonicalize to the stats' stored domain (review r6:
-            # a date bound against ISO-string stats raised TypeError)
-            lo, hi = _json_safe(lo), _json_safe(hi)
+            # a date bound against ISO-string stats raised TypeError).
+            # A None bound means UNBOUNDED on that side (round 12 — the
+            # automatic WHERE-derived prune emits one-sided ranges for
+            # predicates like `ts >= X`).
+            lo = None if lo is None else _json_safe(lo)
+            hi = None if hi is None else _json_safe(hi)
+            if lo is None and hi is None:
+                continue
             if c in part_types:
                 # PARTITION column (round 9): files carry no footer
                 # stats for it — the exact value lives in the path;
                 # compare TYPED ('9' < '10' numerically). NULL /
                 # unparsable values are kept (cannot prune — sound).
                 st = part_types[c]
-                tlo = _typed_part_value(str(lo), st)
-                thi = _typed_part_value(str(hi), st)
-                if tlo is None or thi is None:
+                tlo = None if lo is None else _typed_part_value(str(lo), st)
+                thi = None if hi is None else _typed_part_value(str(hi), st)
+                if (lo is not None and tlo is None) or (
+                    hi is not None and thi is None
+                ):
                     continue
                 files = [
                     e
                     for e in files
                     if (pv := _typed_part_value(e["partition"].get(c), st))
                     is None
-                    or (tlo <= pv <= thi)
+                    or (
+                        (tlo is None or tlo <= pv)
+                        and (thi is None or pv <= thi)
+                    )
                 ]
                 continue
+            # canonicalize the bounds into the stats' STORED domain
+            # (round 12, shared with the coarse checkpoint prune):
+            # datetime stats strings may carry '+00:00' (TIMESTAMP_MICROS
+            # footers), date-only stats floor to the day, and a bound
+            # whose comparability cannot be proven skips the column
+            # instead of raising or comparing unsoundly
+            sample = next(
+                (
+                    e["stats"][sc][0]
+                    for e in files
+                    if e.get("stats", {}).get(sc)
+                    and e["stats"][sc][0] is not None
+                ),
+                None,
+            )
+            nb = _norm_bounds(lo, hi, sample)
+            if nb is None:
+                continue
+            lo, hi = nb
             files = [
                 e
                 for e in files
                 if "stats" not in e
                 or sc not in e["stats"]
-                or (e["stats"][sc][0] <= hi and e["stats"][sc][1] >= lo)
+                or (
+                    (hi is None or e["stats"][sc][0] <= hi)
+                    and (lo is None or e["stats"][sc][1] >= lo)
+                )
             ]
         return files
+
+    @staticmethod
+    def _cond_ranges(condition) -> dict:
+        """Conservative WHERE-string → {col: (lo, hi)} over-approximation
+        (None = unbounded side) for automatic file skipping. Parses ONLY
+        a plain conjunction of `col OP literal` comparisons (OP ∈ =, ==,
+        <, <=, >, >=; either operand order; numeric, 'quoted', date'...'
+        and timestamp'...' literals). Anything else — Column conditions,
+        OR/NOT, parentheses, functions, BETWEEN/IN, double quotes —
+        returns {} or skips the atom. Soundness argument: rows matching
+        a conjunction satisfy EVERY conjunct, so ranges derived from any
+        SUBSET of conjuncts still contain every matching row; strict
+        comparisons are widened to inclusive bounds (keeps more files);
+        quoted literals are stashed before the AND-split so a literal
+        containing ' and ' can never fabricate an atom (same guard the
+        MERGE ON parser grew for ADVICE r11)."""
+        import re
+
+        if not isinstance(condition, str) or '"' in condition or "\x00" in condition:
+            return {}
+        lits: list[str] = []
+
+        def _stash(mm):
+            lits.append(mm.group(1))
+            return f"\x00{len(lits) - 1}\x00"
+
+        s = re.sub(r"'([^']*)'", _stash, condition)
+        if "'" in s or "(" in s or ")" in s or re.search(
+            r"\b(?:or|not)\b", s, re.I
+        ):
+            return {}
+        COL = r"`?([A-Za-z_]\w*)`?"
+        VAL = r"((?:date|timestamp)?\x00\d+\x00|[-+]?\d+(?:\.\d+)?)"
+        OPS = r"(==|=|<=|>=|<|>)"
+        FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "==": "=="}
+
+        def _decode(tok: str):
+            mm = re.fullmatch(r"(?:date|timestamp)?\x00(\d+)\x00", tok, re.I)
+            if mm:
+                return lits[int(mm.group(1))]
+            return float(tok) if "." in tok else int(tok)
+
+        out: dict[str, list] = {}
+        poisoned: set[str] = set()
+        for atom in re.split(r"\band\b", s, flags=re.I):
+            m1 = re.fullmatch(rf"\s*{COL}\s*{OPS}\s*{VAL}\s*", atom, re.I)
+            if m1:
+                col, op, tok = m1.groups()
+            else:
+                m2 = re.fullmatch(rf"\s*{VAL}\s*{OPS}\s*{COL}\s*", atom, re.I)
+                if not m2:
+                    continue
+                tok, op, col = m2.groups()
+                op = FLIP[op]
+            if re.fullmatch(r"(?:date|timestamp)", col, re.I):
+                continue
+            v = _decode(tok)
+            cur = out.setdefault(col, [None, None])
+            try:
+                if op in ("=", "==", ">", ">="):
+                    cur[0] = v if cur[0] is None else max(cur[0], v)
+                if op in ("=", "==", "<", "<="):
+                    cur[1] = v if cur[1] is None else min(cur[1], v)
+            except TypeError:
+                poisoned.add(col)  # mixed literal types on one column
+        res: dict[str, tuple] = {}
+        for c, b in out.items():
+            if c in poisoned or (b[0] is None and b[1] is None):
+                continue
+            if b[0] is not None and b[1] is not None:
+                try:
+                    b[0] <= b[1]  # both sides must live in ONE domain
+                except TypeError:
+                    continue
+            res[c] = (b[0], b[1])
+        return res
+
+    def _auto_prune(self, m: dict, files: list[dict], condition) -> list[dict]:
+        """Automatic Delta-style data skipping for row-level DELETE /
+        UPDATE discovery (round 12 — DATAPLANE_r11 measured CoW
+        hit-discovery LINEAR in file count, 22 s for a one-row delete at
+        8192 files, with the fix gated behind an opt-in `range_filter`
+        hint): derive min/max bounds from the WHERE predicate itself via
+        `_cond_ranges` and prune the discovery scan, no user action
+        needed. Literal domains are normalized against the STORED stats
+        domain before comparing (stats serialize datetimes as isoformat
+        strings — a `timestamp'2024-01-01 05:00:00'` literal must become
+        '2024-01-01T05:00:00' or the lexicographic compare is unsound);
+        columns whose literal cannot be proven comparable in the stats'
+        own domain are dropped from the prune (sound: pruning fewer
+        files never changes results), and any residual compare error
+        falls back to the unpruned list."""
+        rf = self._cond_ranges(condition)
+        if not rf:
+            return files
+        cmap = m.get("column_mapping") or {}
+        part_cols = set(m["partition_by"] or [])
+        norm: dict = {}
+        for c, (lo, hi) in rf.items():
+            if c in part_cols:
+                # typed partition compare canonicalizes its own domain
+                norm[c] = (lo, hi)
+                continue
+            sc = cmap.get(c, c)
+            sample = next(
+                (
+                    e["stats"][sc][0]
+                    for e in files
+                    if e.get("stats", {}).get(sc)
+                    and e["stats"][sc][0] is not None
+                ),
+                None,
+            )
+            nb = _norm_bounds(lo, hi, sample)
+            if nb is not None:
+                norm[c] = nb
+        norm = {
+            c: b for c, b in norm.items() if b[0] is not None or b[1] is not None
+        }
+        if not norm:
+            return files
+        try:
+            return self._prune_files_range(m, files, norm)
+        except Exception:
+            return files  # pruning is an optimization, never a crash
 
     # ---------- table services over the log ----------
 
@@ -1574,6 +2070,47 @@ class ManifestTable:
             ),
         )
 
+    def _coalesce_dirs(self, rels: list[str]) -> list[str]:
+        """Collapse per-file scan paths into their txn DIRECTORY when the
+        directory's on-disk parquet content is EXACTLY the live set
+        (round 12 — the per-path driver cost of Spark's file index made
+        full-snapshot frame construction linear-in-files with a ~1 ms
+        constant). Sound by the commit protocol: txn dirs are immutable
+        once committed (new commits stage into FRESH dirs), so the
+        listing cannot race a writer; any mismatch — dead files after a
+        CoW rewrite, pre-vacuum zombies, non-parquet droppings — keeps
+        that dir's files on the per-file path. Hidden files (`_`/`.`
+        prefixes, non-.parquet) are excluded from the comparison because
+        Spark's scan ignores them either way."""
+        from collections import defaultdict
+
+        groups: dict[str, list[str]] = defaultdict(list)
+        loose: list[str] = []
+        for r in rels:
+            parts = r.split("/")
+            if (
+                len(parts) >= 3
+                and parts[0] == "data"
+                and parts[1].startswith("txn=")
+            ):
+                groups["/".join(parts[:2])].append(r)
+            else:
+                loose.append(r)
+        out = list(loose)
+        for d in sorted(groups):
+            live = groups[d]
+            listed = {
+                rel
+                for rel, _age in self.store.list_txn_files(d.split("/", 1)[1])
+                if rel.endswith(".parquet")
+                and not os.path.basename(rel).startswith(("_", "."))
+            }
+            if listed == set(live):
+                out.append(d)
+            else:
+                out.extend(live)
+        return out
+
     def _load_snapshot(
         self,
         spark: SparkSession,
@@ -1614,12 +2151,38 @@ class ManifestTable:
             return spark.createDataFrame([], out_schema)
 
         def load(entries: list[dict], with_meta: bool) -> DataFrame:
-            base, paths = self.store.resolve_read(
-                [e["path"] for e in entries]
+            rels = [e["path"] for e in entries]
+            # round 12 (planning soak): Spark's file index pays ~1 ms of
+            # driver-side glob/qualify/list work PER PATH — 17+ s for a
+            # 16k-file snapshot before a single task runs. Txn dirs are
+            # immutable after commit, so when a directory's on-disk
+            # parquet content EXACTLY equals its live set, one DIRECTORY
+            # path replaces all its per-file paths: path count drops
+            # from O(files) to O(commits). Dirs with dead/extra files
+            # (CoW leftovers pre-vacuum, zombies) fall back to per-file
+            # paths — result-identical by construction.
+            if self.data_dir is not None and len(rels) >= 512:
+                rels = self._coalesce_dirs(rels)
+            base, paths = self.store.resolve_read(rels)
+            # The snapshot's cumulative schema is KNOWN from the
+            # manifest — declare it (under PHYSICAL names) instead of
+            # mergeSchema, which fetches EVERY file footer at frame-
+            # construction time: measured 100 s at 4096 files in the
+            # round-12 planning soak, ~40 min extrapolated at 10^5.
+            # The explicit-schema parquet reader gives the identical
+            # semantics for free: absent columns (pre-evolution files)
+            # read as NULL, partition-discovery types are pinned to the
+            # committed types, extra (dropped) columns are ignored —
+            # with ZERO footer reads at plan time.
+            phys = StructType(
+                [
+                    StructField(mapping.get(f.name, f.name), f.dataType, True)
+                    for f in schema.fields
+                ]
             )
             df = (
-                spark.read.option("basePath", base)
-                .option("mergeSchema", "true")
+                spark.read.schema(phys)
+                .option("basePath", base)
                 .parquet(*paths)
             )
             avail = set(df.columns)
@@ -1708,6 +2271,10 @@ class ManifestTable:
         files = m["files"]
         if range_filter:
             files = self._prune_files_range(m, files, range_filter)
+        # round 12: hint-free automatic skipping — bounds derived from
+        # the WHERE predicate itself (composes with an explicit hint:
+        # both are over-approximations, so applying both stays sound)
+        files = self._auto_prune(m, files, condition)
         prov = self._load_snapshot(spark, m, files, provenance=True)
         hit = [
             r._rel
@@ -1803,7 +2370,14 @@ class ManifestTable:
             raise FileNotFoundError(f"no committed version at {self.root}")
         m = self.manifest(latest)
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        prov = self._read_with_provenance(spark, m)
+        # round 12: the DV match scan only needs files that CAN contain
+        # matches — same automatic WHERE-derived skipping as the CoW path
+        # (files outside the bounds hold no matched positions, so they
+        # need no DV entry; pruning them cannot change the result)
+        prov = self._load_snapshot(
+            spark, m, self._auto_prune(m, m["files"], condition),
+            provenance=True,
+        )
         matched = prov.filter(
             F.coalesce(cond.cast("boolean"), F.lit(False))
         )
@@ -1921,7 +2495,14 @@ class ManifestTable:
             raise FileNotFoundError(f"no committed version at {self.root}")
         m = self.manifest(latest)
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        prov = self._read_with_provenance(spark, m)
+        # round 12: the DV match scan only needs files that CAN contain
+        # matches — same automatic WHERE-derived skipping as the CoW path
+        # (files outside the bounds hold no matched positions, so they
+        # need no DV entry; pruning them cannot change the result)
+        prov = self._load_snapshot(
+            spark, m, self._auto_prune(m, m["files"], condition),
+            provenance=True,
+        )
         matched = prov.filter(
             F.coalesce(cond.cast("boolean"), F.lit(False))
         )
@@ -2513,11 +3094,22 @@ class ManifestTable:
                 self._write_checkpoint(keep[0])
         # log truncation in ONE bulk call (round 9: 10^4 dead entries
         # were 10^4 DELETE round-trips on S3)
-        doomed = [self._version_name(v) for v in vs if v not in keep] + [
-            self._checkpoint_name(c)
-            for c in self.checkpoints()
-            if keep and c < keep[0]
-        ]
+        # doom checkpoint files by their LISTED names (json or parquet —
+        # dooming both spellings blindly would unlink a name that was
+        # never written)
+        old_cps = []
+        for name in self.store.list_log():
+            for suf in (".checkpoint.json", ".checkpoint.parquet"):
+                if name.startswith("v") and name.endswith(suf):
+                    try:
+                        c = int(name[1 : -len(suf)])
+                    except ValueError:
+                        continue
+                    if keep and c < keep[0]:
+                        old_cps.append(name)
+        doomed = [
+            self._version_name(v) for v in vs if v not in keep
+        ] + old_cps
         self.store.delete_logs(doomed)
         return removed + zombies
 
@@ -2614,16 +3206,25 @@ class MergeBuilder:
         """(target col, source col) pairs for every simple `t.c = s.c`
         equality in a plain conjunction ON clause — the keys the
         automatic target-file skipping (see execute) can prune on.
-        Conservative by construction: parentheses, OR, or a non-string
-        ON disable parsing entirely, and unparsed AND-conjuncts are
-        simply ignored (extra conjuncts only REDUCE matches, so pruning
-        on the parsed subset stays an over-approximation)."""
+        Conservative by construction: parentheses, OR, a quoted string
+        literal (ADVICE r11 — `re.split` on \\band\\b could otherwise
+        split INSIDE a literal like `'a and b'` and the inner fragment
+        fullmatch as a fake equality), or a non-string ON disable
+        parsing entirely, and unparsed AND-conjuncts are simply ignored
+        (extra conjuncts only REDUCE matches, so pruning on the parsed
+        subset stays an over-approximation)."""
         import re
 
         if not isinstance(self._on, str):
             return []
         s = self._on
-        if "(" in s or ")" in s or re.search(r"\bor\b", s, re.I):
+        if (
+            "(" in s
+            or ")" in s
+            or "'" in s
+            or '"' in s
+            or re.search(r"\bor\b", s, re.I)
+        ):
             return []
         pairs = []
         for atom in re.split(r"\band\b", s, flags=re.I):
@@ -2659,6 +3260,23 @@ class MergeBuilder:
         if not (self._matched or self._not_matched or self._nms):
             raise ValueError("MERGE requires at least one WHEN clause")
         t, spark, src = self._table, self._spark, self._source
+        # ADVICE r11: a non-deterministic source (rand(), un-ordered
+        # LIMIT, a re-read of changing data) can yield DIFFERENT rows on
+        # each of the merge's several evaluations — unsound for the
+        # bounds prune below AND for the multi-pass merge itself (the
+        # cardinality gate, the discovery join, and the insert anti-join
+        # each re-evaluate src). Delta materializes the merge source for
+        # exactly this reason; we localCheckpoint it eagerly so every
+        # pass sees ONE pinned row set. If the plan cannot be proven
+        # deterministic and cannot be checkpointed either, target-file
+        # pruning is disabled (stay sound, keep Spark's usual
+        # best-effort semantics for non-deterministic inputs).
+        prune_ok = True
+        if not _plan_deterministic(src):
+            try:
+                src = src.localCheckpoint(eager=True)
+            except Exception:
+                prune_ok = False
         reserved = {"_rel", "_pos", "__merge_src", "__merge_act", "__merge_rn"}
         bad = reserved & set(src.columns)
         if bad:
@@ -2711,7 +3329,7 @@ class MergeBuilder:
             for tc, sc in self._equi_keys()
             if tc in tcols and sc in src.columns
         ]
-        if keys:
+        if keys and prune_ok:
             aggs = []
             for i, (_tc, sc) in enumerate(keys):
                 aggs += [
@@ -2729,7 +3347,17 @@ class MergeBuilder:
                     if lo is not None and hi is not None:
                         rf[tc] = (lo, hi)
             if rf:
-                pf = t._prune_files_range(m, sel_files, rf)
+                # ADVICE r11: _prune_files_range compares source bounds
+                # against stored stats with raw Python operators — a
+                # source key whose type differs from the stats domain
+                # (string source vs numeric target stats, where the Spark
+                # join would implicitly cast) raises TypeError. Pruning is
+                # an optimization: fall back to the unpruned list rather
+                # than crash a previously-working MERGE.
+                try:
+                    pf = t._prune_files_range(m, sel_files, rf)
+                except Exception:
+                    pf = sel_files
                 if len(pf) <= 0.9 * len(sel_files):
                     sel_files = pf
         pruned_prov = t._load_snapshot(spark, m, sel_files, provenance=True)

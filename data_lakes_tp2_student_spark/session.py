@@ -49,6 +49,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Spark still defaults timestamps to deprecated INT96, which
+        # carries NO parquet footer min/max — every timestamp column
+        # would silently lose data skipping (manifest stats AND Spark's
+        # own row-group pruning). TIMESTAMP_MICROS is the modern typed
+        # encoding with full statistics (round 12).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # the `manifest` Python DataSource (io/datasource.py) implements
         # pushFilters; Spark refuses the scan unless this is on
         .config("spark.sql.python.filterPushdown.enabled", "true")

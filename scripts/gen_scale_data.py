@@ -109,6 +109,54 @@ def scale_documents(df: pd.DataFrame, factor: int) -> pd.DataFrame:
     return pd.concat(out, ignore_index=True)
 
 
+def scale_documents_constant(
+    df: pd.DataFrame, factor: int, dup_frac: float = 0.10
+) -> pd.DataFrame:
+    """Round 12 (VERDICT r11 item 2): grow the corpus with NEW documents
+    at a FIXED duplication rate, instead of perturbed copies of the base.
+
+    The legacy `scale_documents` mode replicates every base doc F times
+    with perturbation; copy-pairs of one source doc still share real
+    substrings, so PAIR-relation queries (x32/x32b/x2f) see an output
+    quadratic in F — a property of the FIXTURE, not of a real corpus
+    whose dup rate is scale-invariant. Here every copy k >= 1 holds
+    len(df) FRESH documents: words sampled (seeded, deterministic) from
+    the base corpus's empirical unigram distribution, lengths mirroring
+    the base length distribution — so no long substring is shared across
+    copies or with the base — and then the last `dup_frac` of the copy's
+    docs are near-clones of distinct earlier docs IN THE SAME COPY
+    (cluster size 2, every 12th word substituted → preserved 11-word
+    runs keep x32's 5-word windows and x32b's >=6-word spans findable,
+    and SimHash/MinHash similarity high). Result: the true pair relation
+    grows ~linearly in F — out_ratio becomes direct engine evidence."""
+    all_words = np.array(
+        [w for t in df["text"] for w in t.split(" ") if w]
+    )
+    W = len(all_words)
+    n = len(df)
+    lengths = df["text"].str.split(" ").str.len().to_numpy()
+    out = [df.copy()]
+    for k in range(1, factor):
+        rng = np.random.RandomState(20_000 + k)
+        texts = [
+            " ".join(all_words[rng.randint(0, W, size=int(L))])
+            for L in lengths
+        ]
+        nd = int(n * dup_frac)
+        for j in range(nd):
+            src = j % (n - nd)
+            words = texts[src].split(" ")
+            for t in range(0, len(words), 12):
+                words[t] = all_words[(j * 31 + t * 7 + k * 13) % W]
+            texts[n - nd + j] = " ".join(words)
+        c = df.copy()
+        c["doc_id"] = _shift(df["doc_id"], k)
+        c["text"] = texts
+        c["n_chars"] = [len(t) for t in texts]
+        out.append(c)
+    return pd.concat(out, ignore_index=True)
+
+
 def scale_embeddings(df: pd.DataFrame, factor: int) -> pd.DataFrame:
     base = np.vstack(df["embedding"].to_numpy()).astype(np.float32)
     std = float(base.std())
@@ -126,7 +174,13 @@ def scale_embeddings(df: pd.DataFrame, factor: int) -> pd.DataFrame:
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    dest = f"/tmp/scaledata/sfx{factor}"
+    # docs mode: "perturb" (legacy replicated copies — kept for row
+    # continuity) or "constant" (round 12: fixed dup rate, fresh docs;
+    # output dir gets a `c` suffix so both fixtures coexist)
+    docs_mode = sys.argv[3] if len(sys.argv) > 3 else "perturb"
+    assert docs_mode in ("perturb", "constant"), docs_mode
+    suffix = "c" if docs_mode == "constant" else ""
+    dest = f"/tmp/scaledata/sfx{factor}{suffix}"
     os.makedirs(dest, exist_ok=True)
 
     # key-family shift bases come from the PARENT tables
@@ -153,9 +207,12 @@ def main() -> None:
         big = replicate_keyed(df, factor, shifts) if shifts else df
         _write(big, p, f"{dest}/{t}.parquet")
         print(f"{t}: {len(df)} -> {len(big)}")
+    docs_fn = (
+        scale_documents_constant if docs_mode == "constant" else scale_documents
+    )
     for t, fn in (
         ("events", scale_events),
-        ("documents", scale_documents),
+        ("documents", docs_fn),
         ("embeddings", scale_embeddings),
     ):
         p = f"{src}/{t}.parquet"

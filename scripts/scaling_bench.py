@@ -151,9 +151,12 @@ def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         REPO, "SCALING_last.json"
     )
-    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    # factor may carry a fixture-mode suffix, e.g. "10c" = the round-12
+    # constant-dup-rate documents fixture (gen_scale_data.py ... constant)
+    factor_s = sys.argv[2] if len(sys.argv) > 2 else "10"
+    factor = int(factor_s.rstrip("c"))
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
-    big_dir = f"/tmp/scaledata/sfx{factor}"
+    big_dir = f"/tmp/scaledata/sfx{factor_s}"
     if not os.path.isdir(big_dir):
         sys.exit(
             f"{big_dir} missing — run scripts/gen_scale_data.py {factor} first"
@@ -214,6 +217,7 @@ def main() -> None:
         json.dump(
             {
                 "factor": factor,
+                "fixture": factor_s,
                 "rounds": ROUNDS,
                 "slack": SLACK,
                 "queries": rows,

@@ -1,0 +1,169 @@
+"""Driver-side planning soak at 10^4–10^5 manifest files (VERDICT r11
+item 3): DATAPLANE_r11 stopped at 8192 files; snapshot planning is
+driver-side O(F) over the JSON checkpoint. This script measures, at
+each file count F:
+
+  - checkpoint load + snapshot reconstruction (`manifest(v)`) ms,
+  - stats pruning over the full list (`_prune_files_range`) ms,
+  - pruned-scan DataFrame construction (`_load_snapshot` on the
+    pruned file subset) ms,
+  - full-scan DataFrame construction ms (the unprunable worst case),
+  - with both the JSON checkpoint path and the round-12 PARQUET
+    (columnar) checkpoint path, to show the parquet checkpoint's
+    O(columnar-read) advantage — Delta checkpoint parity.
+
+The F data files are HARD LINKS of one tiny parquet (inode-only, so
+10^5 files cost ~nothing to create); their manifest entries carry
+synthetic DISJOINT id ranges so a point-lookup prune selects exactly
+one file. This measures the metadata plane, not the data plane.
+
+Usage: python scripts/soak_planning.py [--files 4096,16384,65536,131072]
+Prints one JSON line per (F, checkpoint-format) combination and a
+final summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+from data_lakes_tp2_student_spark.io.manifest import ManifestTable  # noqa: E402
+from data_lakes_tp2_student_spark.session import get_spark  # noqa: E402
+
+
+def build_table(root: str, n_files: int) -> ManifestTable:
+    """One commit of `n_files` hard-linked parquet files with synthetic
+    disjoint [lo, hi] id stats, through the REAL commit machinery."""
+    tab = ManifestTable(root, stats_cols=["id"], checkpoint_interval=1)
+    txn = "0" * 32
+    stage = tab.store.txn_stage_dir(txn)
+    os.makedirs(stage, exist_ok=True)
+    seed = os.path.join(stage, "part-0000000-link.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([0], pa.int64()), "v": ["x"]}), seed
+    )
+    nbytes = os.path.getsize(seed)
+    entries = []
+    for i in range(n_files):
+        name = f"part-{i:07d}-link.parquet"
+        if i:
+            os.link(seed, os.path.join(stage, name))
+        entries.append(
+            {
+                "path": f"data/txn={txn}/{name}",
+                "partition": {},
+                "bytes": nbytes,
+                "rows": 1,
+                "stats": {"id": [i * 10, i * 10 + 9]},
+            }
+        )
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    tab._commit_files(
+        None, txn, entries, schema_json, None, "overwrite", "all", None, {},
+        validate=False,
+    )
+    return tab
+
+
+def bench_once(spark, tab: ManifestTable, fmt: str) -> dict:
+    t0 = time.perf_counter()
+    m = tab.manifest(tab.latest_version())
+    t_load = time.perf_counter() - t0
+    n = len(m["files"])
+
+    t0 = time.perf_counter()
+    pruned = tab._prune_files_range(m, m["files"], {"id": (42, 42)})
+    t_prune = time.perf_counter() - t0
+    assert len(pruned) == 1, len(pruned)
+
+    # the fused path: checkpoint load + COARSE prune in one step (the
+    # parquet checkpoint prunes columnar before materializing dicts)
+    t0 = time.perf_counter()
+    coarse = tab.manifest(
+        tab.latest_version(), coarse_range={"id": (42, 42)}
+    )["files"]
+    t_coarse = time.perf_counter() - t0
+    assert 1 <= len(coarse) <= n
+
+    t0 = time.perf_counter()
+    df = tab._load_snapshot(spark, m, pruned)
+    got = df.count()
+    t_pruned_scan = time.perf_counter() - t0
+    assert got == 1, got
+
+    t0 = time.perf_counter()
+    full = tab._load_snapshot(spark, m, m["files"])
+    _ = full.schema  # frame construction incl. driver file index
+    t_full_frame = time.perf_counter() - t0
+
+    return {
+        "files": n,
+        "checkpoint": fmt,
+        "load_ms": round(t_load * 1e3, 1),
+        "prune_ms": round(t_prune * 1e3, 1),
+        "coarse_plan_ms": round(t_coarse * 1e3, 1),
+        "coarse_entries": len(coarse),
+        "pruned_scan_ms": round(t_pruned_scan * 1e3, 1),
+        "full_frame_ms": round(t_full_frame * 1e3, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--files", default="4096,16384,65536,131072",
+        help="comma-separated file counts",
+    )
+    args = ap.parse_args()
+    counts = [int(x) for x in args.files.split(",")]
+    spark = get_spark(app_name="soak-planning", shuffle_partitions=8)
+    rows = []
+    with tempfile.TemporaryDirectory() as td:
+        for f in counts:
+            root = os.path.join(td, f"t{f}")
+            t0 = time.perf_counter()
+            tab = build_table(root, f)
+            build_s = time.perf_counter() - t0
+            for fmt in ("json", "parquet"):
+                try:
+                    fresh = ManifestTable(
+                        root, stats_cols=["id"], checkpoint_interval=1,
+                        checkpoint_format=fmt,
+                    )
+                except TypeError:
+                    if fmt == "parquet":
+                        continue  # parquet checkpoints not built yet
+                    fresh = ManifestTable(
+                        root, stats_cols=["id"], checkpoint_interval=1,
+                    )
+                if fmt == "parquet":
+                    fresh._write_checkpoint(fresh.latest_version())
+                r = bench_once(spark, fresh, fmt)
+                r["build_s"] = round(build_s, 2)
+                rows.append(r)
+                print(json.dumps(r), flush=True)
+    print(json.dumps({"planning_soak": rows}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

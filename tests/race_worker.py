@@ -112,6 +112,32 @@ def main() -> None:
                 validate=False,
             )
             out.append(v)
+    elif cfg["mode"] == "torn":
+        # kill-9 torn-commit fixture (VERDICT r11 item 5): stage the
+        # PUTs of a commit, optionally finalize them into the backend,
+        # then BLOCK forever before the conditional-put publish — the
+        # parent SIGKILLs us here, leaving an orphaned txn dir with no
+        # manifest entry. Readers must never see these rows; vacuum
+        # must reap the dir; later writers must commit cleanly.
+        schema = pa.schema(
+            [("id", pa.int32()), ("v", pa.string()), ("day", pa.string())]
+        )
+        txn = uuid.uuid4().hex
+        stage_dir = table.store.txn_stage_dir(txn)
+        os.makedirs(stage_dir, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {"id": [9999], "v": ["TORN"], "day": ["d9"]}, schema=schema
+            ),
+            os.path.join(stage_dir, f"part-00000-{txn[:8]}.parquet"),
+        )
+        if cfg["torn_at"] == "finalized":
+            table.store.finalize_txn(txn)
+        print(json.dumps({"staged": True, "txn": txn}), flush=True)
+        import time as _time
+
+        _time.sleep(600)  # parent kills -9 long before this returns
+        return
     else:  # replace ONE partition, all workers anchored at the same base
         schema = pa.schema([("id", pa.int32()), ("v", pa.string())])
         part = {"day": cfg["day"]}

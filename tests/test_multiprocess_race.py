@@ -162,3 +162,55 @@ def test_multiprocess_disjoint_partition_replaces_both_land(
     assert got == sorted(
         [(1000, "w1", "d1"), (2000, "w2", "d2"), (3, "c", "d3")]
     )
+
+
+@pytest.mark.parametrize("torn_at", ["staged", "finalized"])
+def test_kill9_torn_commit_recovery(spark, race_cfg, tmp_path, torn_at):
+    """VERDICT r11 item 5: a writer process SIGKILLed mid-publish —
+    after its staging PUTs, before (or never reaching) the
+    conditional-put of the manifest — must leave the table fully
+    usable: readers see only the old version, vacuum reaps the
+    orphaned txn dir once min_age passes, and a subsequent writer
+    commits cleanly. Both torn points, both backends."""
+    import signal
+    import time
+
+    tab, base_cfg = race_cfg
+    tab.commit_overwrite(_df(spark, [(0, "base", "d0")]))
+    c = dict(base_cfg, mode="torn", torn_at=torn_at)
+    if base_cfg["backend"] == "s3":
+        c["cache_dir"] = str(tmp_path / "cache_torn")
+    p = subprocess.Popen(
+        [sys.executable, WORKER, json.dumps(c)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    line = p.stdout.readline()  # blocks until the worker reports STAGED
+    marker = json.loads(line)
+    assert marker["staged"]
+    torn_txn = f"txn={marker['txn']}"
+    p.kill()  # SIGKILL: no atexit, no cleanup, a real torn commit
+    p.wait(timeout=30)
+    assert p.returncode == -signal.SIGKILL
+
+    # 1. readers see only the old version — the torn rows never appear
+    assert tab.latest_version() == 0
+    assert rows(tab.read(spark)) == [(0, "base", "d0")]
+
+    # 2. min_age guards the (apparently) in-flight dir; at age 0 vacuum
+    #    reaps it. The 'staged' S3 variant never uploaded, so there is
+    #    simply nothing remote — absence is asserted either way.
+    tab.vacuum(min_age_seconds=3600)
+    if torn_at == "finalized" or base_cfg["backend"] == "local":
+        assert torn_txn in tab.store.list_txn_dirs()
+    time.sleep(1.1)  # local mtime resolution
+    removed = tab.vacuum(min_age_seconds=1)
+    if torn_at == "finalized" or base_cfg["backend"] == "local":
+        assert torn_txn in removed, (removed, torn_txn)
+    assert torn_txn not in tab.store.list_txn_dirs()
+
+    # 3. a subsequent writer commits cleanly on top
+    v = tab.commit_append(_df(spark, [(1, "after", "d1")]))
+    assert v == 1
+    assert rows(tab.read(spark)) == [(0, "base", "d0"), (1, "after", "d1")]
