@@ -349,9 +349,11 @@ def _ckpt_from_parquet(b: bytes, coarse_range: dict | None = None) -> dict:
     ]
     files = []
     for i in range(t.num_rows):
+        p = cols["partition"][i]
         e: dict = {
             "path": cols["path"][i],
-            "partition": json.loads(cols["partition"][i]),
+            # fast path: unpartitioned tables pay no per-row json parse
+            "partition": {} if p == "{}" else json.loads(p),
             "bytes": cols["bytes"][i],
             "rows": cols["rows"][i],
         }

@@ -49,6 +49,20 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Scan-split sizing (round 12, profile of the bench's worst
+        # fixed-overhead rows): the sf0.1 tables are single ~100-300 MB
+        # parquet files, so Spark's 128 MB default gave q1's lineitem
+        # scan THREE tasks on 32 cores — the "floor" on q1/i1/x2b was
+        # scan under-parallelism, not AQE (measured: q1 1.31→1.01 s,
+        # x2b 2.47→1.57 s at 16 MB). 16 MB is a LOCAL-mode default:
+        # a real cluster at 100 TB wants 128 MB+ (set
+        # SPARK_FILES_MAX_PARTITION_BYTES, or pass extra_conf) — scan
+        # tasks there are bounded by file/row-group layout, not by a
+        # 32-core box reading one file.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_FILES_MAX_PARTITION_BYTES", "16m"),
+        )
         # Spark still defaults timestamps to deprecated INT96, which
         # carries NO parquet footer min/max — every timestamp column
         # would silently lose data skipping (manifest stats AND Spark's

@@ -125,29 +125,44 @@ def scale_documents_constant(
     the base length distribution — so no long substring is shared across
     copies or with the base — and then the last `dup_frac` of the copy's
     docs are near-clones of distinct earlier docs IN THE SAME COPY
-    (cluster size 2, every 12th word substituted → preserved 11-word
-    runs keep x32's 5-word windows and x32b's >=6-word spans findable,
-    and SimHash/MinHash similarity high). Result: the true pair relation
-    grows ~linearly in F — out_ratio becomes direct engine evidence."""
-    all_words = np.array(
-        [w for t in df["text"] for w in t.split(" ") if w]
-    )
-    W = len(all_words)
+    (cluster size 2, every 40th word substituted → 1-2 changed words per
+    ~54-word doc: preserved ~39-word runs keep x32's 5-word windows and
+    x32b's >=6-word spans findable, MinHash jaccard ~0.95, and the
+    SimHash fingerprint inside its hamming band — with the large
+    synthetic vocab every substitution swaps a RARE token, so a denser
+    12-word stride flipped too many fingerprint bits for x2f to see the
+    pair at all). Result: the true pair relation grows ~linearly in F;
+    the per-copy planted DENSITY is a design constant that differs per
+    query family from the base corpus's internal density, so single-F
+    out_ratios carry that constant — LINEARITY is evidenced by the
+    rows growth between the 10c and 30c fixtures (≈3x for linear,
+    ≈10x for quadratic)."""
+    # Fresh docs draw from a LARGE synthetic uniform vocabulary, not the
+    # base corpus's word distribution: the driver's documents table has
+    # only ~31 distinct words, so i.i.d. resampling of that vocab makes
+    # chance 5-gram matches and chance SimHash proximity COMMON — and the
+    # cross-copy chance terms grow as F², which is exactly the fixture
+    # quadratic this mode exists to remove (measured: x32 out_ratio 99.5
+    # at 10x under empirical resampling vs the planted-linear design).
+    # A 20k-word uniform vocab puts the chance 5-gram probability at
+    # (1/20000)^5 — zero at any reachable corpus size — and growing
+    # vocabulary with corpus size is the realistic law anyway (Heaps).
+    W = 20_000
+    vocab = np.array([f"w{j:05d}" for j in range(W)])
     n = len(df)
     lengths = df["text"].str.split(" ").str.len().to_numpy()
     out = [df.copy()]
     for k in range(1, factor):
         rng = np.random.RandomState(20_000 + k)
-        texts = [
-            " ".join(all_words[rng.randint(0, W, size=int(L))])
-            for L in lengths
-        ]
+        flat = vocab[rng.randint(0, W, size=int(lengths.sum()))]
+        cuts = np.cumsum(lengths)[:-1]
+        texts = [" ".join(chunk) for chunk in np.split(flat, cuts)]
         nd = int(n * dup_frac)
         for j in range(nd):
             src = j % (n - nd)
             words = texts[src].split(" ")
-            for t in range(0, len(words), 12):
-                words[t] = all_words[(j * 31 + t * 7 + k * 13) % W]
+            for t in range(0, len(words), 40):
+                words[t] = vocab[(j * 31 + t * 7 + k * 13) % W]
             texts[n - nd + j] = " ".join(words)
         c = df.copy()
         c["doc_id"] = _shift(df["doc_id"], k)

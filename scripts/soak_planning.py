@@ -57,7 +57,13 @@ def build_table(root: str, n_files: int) -> ManifestTable:
     entries = []
     for i in range(n_files):
         name = f"part-{i:07d}-link.parquet"
-        if i:
+        if i and i % 50_000 == 0:
+            # ext4 caps hard links at ~65k per inode — re-seed
+            import shutil as _sh
+
+            _sh.copyfile(seed, os.path.join(stage, name))
+            seed = os.path.join(stage, name)
+        elif i:
             os.link(seed, os.path.join(stage, name))
         entries.append(
             {
