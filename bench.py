@@ -111,6 +111,41 @@ BASELINE_GOFORWARD = {
     "f6_stratified_sample": 0.104,
 }
 
+# Round 13 (VERDICT r12 item 1a): a FIXED CPU+shuffle micro-task with a
+# booked reference time, so host drift is MEASURED per capture instead of
+# narrated per footnote. r12's story — driver capture 1.326×, a late
+# "recovered host" 1.056× that did not reproduce — is exactly what this
+# disambiguates: every BENCH line now carries host_factor = probe_best /
+# HOST_PROBE_REF (>1 ⇒ the host is slower than when the go-forward
+# baselines were recorded; per-query ratios should be read against it).
+# The probe is pure engine work (range → modular project → 9973-key
+# shuffle → agg → noop sink): no data files, no Python rows, same
+# local[32] session as the queries. REF booked on the r13 host, the same
+# capture that re-recorded BASELINE_GOFORWARD (BASELINE.md r13 footnote).
+HOST_PROBE_REF = None  # set after first r13 calibration run
+
+
+def _host_probe(spark, reps: int = 3) -> float:
+    """Best-of-`reps` wall seconds for the fixed calibration task."""
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 8_000_000, 1, 32)
+            .selectExpr(
+                "id % 9973 AS k",
+                "(id * 2654435761) % 1000003 AS v",
+            )
+            .groupBy("k")
+            .agg({"v": "sum", "*": "count"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
 
 def run_correctness(
     out_path: str, sample: int | None = None, seed: int | None = None
@@ -243,6 +278,11 @@ def main() -> None:
     # Warm up JVM/codegen paths outside the timed region.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Host calibration (VERDICT r12 item 1a): measure drift, don't narrate
+    # it. Probed at START and END of the capture so a mid-run degradation
+    # is visible too.
+    probe_start = _host_probe(spark)
+
     names_all = [n for n in HEADLINE if REGISTRY.get(n) is not None]
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     if warmup:
@@ -296,6 +336,18 @@ def main() -> None:
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             per_query[name].append(time.perf_counter() - t0)
             spark.catalog.clearCache()
+
+    probe_end = _host_probe(spark)
+    host_probe = {
+        "start": probe_start,
+        "end": probe_end,
+        "ref": HOST_PROBE_REF,
+        "factor": (
+            round(min(probe_start, probe_end) / HOST_PROBE_REF, 3)
+            if HOST_PROBE_REF
+            else None
+        ),
+    }
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -355,6 +407,8 @@ def main() -> None:
                 "extra_sampled": sorted(short) if extra_n else [],
                 "vs_baseline": vs_baseline,
                 "vs_baseline_total": vs_baseline_total,
+                "host_probe": host_probe,
+                "host_factor": host_probe["factor"],
                 "sf": sf,
             },
             f,
@@ -373,6 +427,7 @@ def main() -> None:
                 "vs_baseline": vs_baseline,
                 "vs_baseline_total": vs_baseline_total,
                 "extra_sampled": sorted(short) if extra_n else [],
+                "host_factor": host_probe["factor"],
                 "sf": sf,
             }
         )
@@ -395,6 +450,8 @@ def main() -> None:
                 "total_best": total_best,
                 "vs_baseline_total": vs_baseline_total,
                 "worst_vs_baseline": worst,
+                "host_factor": host_probe["factor"],
+                "host_probe_sec": min(probe_start, probe_end),
                 "n_queries": len(names),
                 "sf": sf,
             }

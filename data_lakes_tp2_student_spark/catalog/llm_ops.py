@@ -308,8 +308,18 @@ def x3b_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables cost nothing at this shape (1.21 s vs 1.18 s at sf0.1: the
     probe side is small, the bucket pass is ONE Arrow sweep either way);
     at a 100 TB corpus the tables× bucket-entry explode IS the cost knob —
-    recall budget buys shuffle volume. The oracle mirrors the union with
-    an OR-of-buckets join + DISTINCT."""
+    recall budget buys shuffle volume. Round 13 MEASURED that budget
+    (scripts/ann_operating_points.py, PERF.md #68): on this
+    near-isotropic corpus the 16×4-bit point scores candidate_fraction ≈
+    0.63 of corpus×queries for its 0.905 recall, and NO (planes, tables)
+    point on the sign-LSH curve reaches recall 0.8 under fraction 0.4
+    (6-bit/8-bit codes collapse recall faster than they shrink buckets).
+    That is a property of unstructured embeddings, not a tuning miss —
+    so sign-LSH here is the structured-embedding path, and IVF
+    (x3c: recall 0.73-0.81 at fraction ≈ 0.12, cells ∝ corpus) is the
+    100-TB default for unstructured vectors. Both the fraction ceiling
+    and the recall floor are gated in tests/test_ann_quality.py. The
+    oracle mirrors the union with an OR-of-buckets join + DISTINCT."""
     emb = load(spark, sf_dir, "embeddings")
     return knn_lsh(
         emb,

@@ -114,7 +114,7 @@ class MergeCardinalityError(RuntimeError):
     deduplicate the source on the merge keys and retry."""
 
 
-def _norm_bounds(lo, hi, sample):
+def _norm_bounds(lo, hi, sample, col_type=None, tz_utc=True):
     """Canonicalize a (lo, hi) bound pair (None = unbounded side) into
     the DOMAIN of a stored stats `sample` value, or return None when
     comparability cannot be proven — callers must then skip pruning on
@@ -124,10 +124,25 @@ def _norm_bounds(lo, hi, sample):
     stats accept string bounds verbatim; datetime-ISO string stats
     (what `_json_safe` stores for parquet footer datetimes) get bounds
     re-emitted in the stats' EXACT format — naive vs '+00:00'-suffixed
-    (TIMESTAMP_MICROS footers are UTC-aware; the session timezone is
-    pinned UTC so a naive literal IS that instant), and date-only stats
+    (TIMESTAMP_MICROS footers are UTC-aware; a naive literal is that
+    instant only under a UTC session timezone), and date-only stats
     floor both sides to the day (exact for hi — a DATE ≤ ts iff DATE ≤
-    floor-day(ts) — and over-approximating for lo)."""
+    floor-day(ts) — and over-approximating for lo).
+
+    `col_type` (the committed table schema's simpleString for the
+    column, when the caller can resolve it — ADVICE r12): a `string`
+    column NEVER takes the datetime branch even if its sampled stat
+    happens to parse as an ISO date ('2024-01-05' as a plain string
+    must not be floored/reformatted — lexicographic compare on the
+    verbatim literal is the sound domain). Temporal types confirm the
+    datetime branch; absent (None), the legacy sample-sniff decides.
+
+    `tz_utc=False` (ADVICE r12): the caller's bounds came from a SQL
+    predicate Spark evaluates in a NON-UTC session timezone, so a naive
+    timestamp literal is NOT the UTC instant the stats store — every
+    datetime canonicalization is refused (returns None → skip pruning)
+    except the tz-free case: date-only stats (a DATE column) compared
+    against date-only bounds, where no instant conversion exists."""
     import datetime as _dt
 
     if sample is None or isinstance(sample, bool):
@@ -141,12 +156,29 @@ def _norm_bounds(lo, hi, sample):
         return (lo, hi) if ok else None
     if not isinstance(sample, str):
         return None
+    str_col = isinstance(col_type, str) and col_type.startswith("string")
     try:
+        if str_col:
+            raise ValueError("schema says string: verbatim domain")
         sdt = _dt.datetime.fromisoformat(sample)
         date_only = "T" not in sample and ":" not in sample
     except ValueError:
         ok = all(b is None or isinstance(b, str) for b in (lo, hi))
         return (lo, hi) if ok else None
+    if not tz_utc:
+        def _is_date_only(b):
+            if b is None:
+                return True
+            if not isinstance(b, str):
+                return False
+            try:
+                _dt.date.fromisoformat(b)
+                return True
+            except ValueError:
+                return False
+
+        if not (date_only and _is_date_only(lo) and _is_date_only(hi)):
+            return None
     utc_suffix = sample.endswith("+00:00")
     if sdt.tzinfo is not None and not utc_suffix:
         return None  # non-UTC-offset stats format: unknown domain
@@ -172,6 +204,24 @@ def _norm_bounds(lo, hi, sample):
         return None
 
 
+def _session_tz_utc(spark) -> bool:
+    """True iff `spark` evaluates naive timestamp literals as UTC
+    instants (session timezone pinned to UTC). ManifestTable accepts ANY
+    SparkSession, not just `get_spark()`'s UTC-pinned one — under a
+    non-UTC session a naive `timestamp'...'` in a WHERE string, or a
+    collected timestamp min/max, denotes a DIFFERENT instant than the
+    UTC-aware stats the manifest stores, so temporal pruning must be
+    refused (ADVICE r12). Unknown/unreadable → False (prune less)."""
+    if spark is None:
+        return False
+    try:
+        return str(spark.conf.get("spark.sql.session.timeZone")) in (
+            "UTC", "Etc/UTC", "GMT", "Z", "+00:00",
+        )
+    except Exception:
+        return False
+
+
 _CKPT_CORE = ("path", "partition", "bytes", "rows", "stats", "dv")
 
 
@@ -184,7 +234,14 @@ def _ckpt_to_parquet_bytes(body: dict) -> bytes:
     (str vs numeric) fall back to a per-entry `stats_json` blob — the
     reader treats those as unskippable at the coarse level (sound).
     `partition`, `dv` and any non-core entry keys ride as JSON strings;
-    `version` and the cumulative `txns` map ride as schema metadata."""
+    `version` and the cumulative `txns` map ride as schema metadata.
+    Round 13 (VERDICT r12 item 3): each partition column ALSO rides as a
+    typed-string `part::<col>` column so partition-filtered planning can
+    prune rows vectorized too — files carry no footer stats for their
+    partition columns, so the `stat_min::` path never covers them and a
+    partition-scoped read at 10^6 files used to materialize every
+    entry's python dict. Readers treat absent `part::` columns (pre-r13
+    checkpoints) as unskippable — sound."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -214,7 +271,21 @@ def _ckpt_to_parquet_bytes(body: dict) -> bytes:
                 if isinstance(v, bool) or not isinstance(v, (int, float, str)):
                     ok = False
                     break
-                k = "str" if isinstance(v, str) else "num"
+                # int and float are DISTINCT kinds (ADVICE r12): a mixed
+                # column would coerce ints to float64, silently rounding
+                # values beyond 2^53 — a min rounded UP (or max rounded
+                # DOWN) later prunes a file that contains matching rows.
+                # Mixed columns ride the stats_json fallback instead;
+                # ints outside int64 (pathological, not parquet-footer-
+                # producible) also fall back rather than overflow Arrow.
+                k = (
+                    "str"
+                    if isinstance(v, str)
+                    else ("float" if isinstance(v, float) else "int")
+                )
+                if k == "int" and not (-(2**63) <= v < 2**63):
+                    ok = False
+                    break
                 if kind is not None and k != kind:
                     ok = False
                     break
@@ -288,6 +359,16 @@ def _ckpt_to_parquet_bytes(body: dict) -> bytes:
             pa.field(f"stat_min::{c}", t),
             pa.field(f"stat_max::{c}", t),
         ]
+    pcols: list[str] = []
+    for e in files:
+        for k in e.get("partition") or {}:
+            if k not in pcols:
+                pcols.append(k)
+    for k in pcols:
+        cols[f"part::{k}"] = [
+            (e.get("partition") or {}).get(k) for e in files
+        ]
+        fields.append(pa.field(f"part::{k}", pa.string()))
     md = {b"version": str(body["version"]).encode()}
     if "txns" in body:
         md[b"txns"] = json.dumps(body["txns"], sort_keys=True).encode()
@@ -297,21 +378,80 @@ def _ckpt_to_parquet_bytes(body: dict) -> bytes:
     return sink.getvalue().to_pybytes()
 
 
-def _ckpt_from_parquet(b: bytes, coarse_range: dict | None = None) -> dict:
+def _ckpt_from_parquet(
+    b: bytes,
+    coarse_range: dict | None = None,
+    col_types: dict | None = None,
+    coarse_parts: dict | None = None,
+) -> dict:
     """Decode a columnar checkpoint. With `coarse_range` ({col: (lo, hi),
     None = unbounded side}), rows whose TYPED stat columns prove the file
     disjoint from the range are dropped VECTORIZED before python-dict
     materialization — null stats, absent columns, and domain-mismatched
     bounds keep the row (sound over-approximation, same contract as
-    `_prune_files_range`)."""
+    `_prune_files_range`). `col_types` ({col: schema simpleString},
+    ADVICE r12) pins each bound's domain to the committed column type so
+    a STRING column whose stored min parses as an ISO date is never
+    date-floored at the coarse level either.
+
+    Round 13: coarse_range entries naming PARTITION columns prune on the
+    checkpoint's `part::<col>` columns — the typed compare runs once per
+    DISTINCT partition value (dictionary-style), then a vectorized is_in
+    keeps matching rows, so a partition-scoped read at 10^6 files
+    materializes O(selected) python dicts. `coarse_parts` ({col:
+    set-of-path-values}) is the exact-value form `partition_filter`
+    reads thread down. Absent `part::` columns (pre-r13 checkpoints) and
+    NULL/unparsable values keep the row — sound."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     t = pq.read_table(pa.BufferReader(b))
+    if coarse_parts:
+        for c, allowed in coarse_parts.items():
+            pname = f"part::{c}"
+            if pname not in t.column_names or None in allowed:
+                continue  # NULL-value filters: exact path handles them
+            keep = pc.is_in(t[pname], pa.array(sorted(allowed), pa.string()))
+            t = t.filter(pc.fill_null(keep, True))  # NULL partition: keep
     if coarse_range:
+        # pass 1 — PARTITION columns: filter t eagerly (row count shrinks
+        # before the stats masks are built against it)
+        for c, (lo, hi) in coarse_range.items():
+            pname = f"part::{c}"
+            if pname not in t.column_names:
+                continue
+            st = (col_types or {}).get(c)
+            if not st:
+                continue
+            lo = None if lo is None else _json_safe(lo)
+            hi = None if hi is None else _json_safe(hi)
+            tlo = None if lo is None else _typed_part_value(str(lo), st)
+            thi = None if hi is None else _typed_part_value(str(hi), st)
+            if (lo is not None and tlo is None) or (
+                hi is not None and thi is None
+            ):
+                continue  # unparsable bound: cannot prune, sound
+            uniq = [
+                u for u in pc.unique(t[pname]).to_pylist() if u is not None
+            ]
+            dropped = [
+                u
+                for u in uniq
+                if (pv := _typed_part_value(u, st)) is not None
+                and not (
+                    (tlo is None or tlo <= pv)
+                    and (thi is None or pv <= thi)
+                )
+            ]
+            if dropped:
+                bad = pc.is_in(t[pname], pa.array(dropped, pa.string()))
+                t = t.filter(pc.fill_null(pc.invert(bad), True))
+        # pass 2 — stats columns: accumulate one mask, apply once
         mask = None
         for c, (lo, hi) in coarse_range.items():
+            if f"part::{c}" in t.column_names:
+                continue  # handled in pass 1
             lo = None if lo is None else _json_safe(lo)
             hi = None if hi is None else _json_safe(hi)
             mn_name = f"stat_min::{c}"
@@ -322,7 +462,12 @@ def _ckpt_from_parquet(b: bytes, coarse_range: dict | None = None) -> dict:
             # floor to the day) — unprovable comparability skips the
             # column, same contract as _prune_files_range
             sample_arr = pc.drop_null(t[mn_name]).slice(0, 1).to_pylist()
-            nb = _norm_bounds(lo, hi, sample_arr[0] if sample_arr else None)
+            nb = _norm_bounds(
+                lo,
+                hi,
+                sample_arr[0] if sample_arr else None,
+                col_type=(col_types or {}).get(c),
+            )
             if nb is None:
                 continue
             lo, hi = nb
@@ -341,7 +486,11 @@ def _ckpt_from_parquet(b: bytes, coarse_range: dict | None = None) -> dict:
             mask = keep if mask is None else pc.and_(mask, keep)
         if mask is not None:
             t = t.filter(mask)
-    cols = {c: t[c].to_pylist() for c in t.column_names}
+    cols = {
+        c: t[c].to_pylist()
+        for c in t.column_names
+        if not c.startswith("part::")  # prune-only; `partition` JSON is
+    }                                  # the authoritative decode source
     stat_names = [
         c[len("stat_min::"):]
         for c in t.column_names
@@ -712,7 +861,11 @@ class ManifestTable:
         return files + add
 
     def _read_checkpoint_body(
-        self, version: int, coarse_range: dict | None = None
+        self,
+        version: int,
+        coarse_range: dict | None = None,
+        col_types: dict | None = None,
+        coarse_parts: dict | None = None,
     ) -> dict:
         """Checkpoint `version`'s body ({version, files[, txns]}),
         whichever format exists — parquet preferred (columnar). With
@@ -726,11 +879,15 @@ class ManifestTable:
         except FileNotFoundError:
             b = None
         if b is not None:
-            return _ckpt_from_parquet(b, coarse_range)
+            return _ckpt_from_parquet(b, coarse_range, col_types, coarse_parts)
         return json.loads(self.store.read_log(self._checkpoint_name(version)))
 
     def _snapshot_files(
-        self, version: int, coarse_range: dict | None = None
+        self,
+        version: int,
+        coarse_range: dict | None = None,
+        col_types: dict | None = None,
+        coarse_parts: dict | None = None,
     ) -> list[dict]:
         """Reconstruct version N's full file list: nearest checkpoint ≤ N,
         then replay the (few) later log entries — O(Δ since checkpoint).
@@ -742,7 +899,9 @@ class ManifestTable:
         if cps:
             start = cps[-1]
             files = list(
-                self._read_checkpoint_body(start, coarse_range)["files"]
+                self._read_checkpoint_body(
+                    start, coarse_range, col_types, coarse_parts
+                )["files"]
             )
         else:
             start = -1
@@ -751,7 +910,13 @@ class ManifestTable:
             files = self._apply(self._raw(v), files)
         return files
 
-    def manifest(self, version: int, coarse_range: dict | None = None) -> dict:
+    def manifest(
+        self,
+        version: int,
+        coarse_range: dict | None = None,
+        col_types: dict | None = None,
+        coarse_parts: dict | None = None,
+    ) -> dict:
         """Version N's metadata with its FULL reconstructed file list
         under `files` (the pre-round-7 full-snapshot shape, now derived
         from the delta log). Raises FileNotFoundError for vacuumed or
@@ -763,7 +928,9 @@ class ManifestTable:
         if "files" in e:
             return e
         out = {k: v for k, v in e.items() if k not in ("add", "remove")}
-        out["files"] = self._snapshot_files(version, coarse_range)
+        out["files"] = self._snapshot_files(
+            version, coarse_range, col_types, coarse_parts
+        )
         return out
 
     def _publish(self, entry: dict) -> bool:
@@ -1624,15 +1791,50 @@ class ManifestTable:
         # tables skip the coarse pass (their stats are keyed by physical
         # names; the exact prune below resolves the mapping).
         coarse = None
-        if range_filter:
+        ctypes = None
+        cparts = None
+        if range_filter or partition_filter:
             e0 = self._raw(version)
             if "files" not in e0 and not e0.get("column_mapping"):
-                coarse = {
-                    c: (v[0], v[1])
-                    for c, v in range_filter.items()
-                    if isinstance(v, (tuple, list)) and len(v) == 2
+                if range_filter:
+                    coarse = {
+                        c: (v[0], v[1])
+                        for c, v in range_filter.items()
+                        if isinstance(v, (tuple, list)) and len(v) == 2
+                    }
+                # round 13: partition_filter values prune COLUMNAR inside
+                # the parquet checkpoint too (`part::<col>` columns) — a
+                # partition-scoped read at 10^6 files materializes
+                # O(selected) dicts. Same value normalization as the
+                # exact filter below; the exact filter stays authoritative
+                # for post-checkpoint adds and json checkpoints.
+                if partition_filter:
+                    cparts = {
+                        k: {
+                            _path_value(v)
+                            for v in (
+                                vs
+                                if isinstance(vs, (list, set, tuple))
+                                else [vs]
+                            )
+                        }
+                        for k, vs in partition_filter.items()
+                    }
+                # pin each bound's domain to the committed column type
+                # (ADVICE r12) so the coarse pass never date-floors a
+                # STRING column whose stats look like ISO dates
+                ctypes = {
+                    f.name: f.dataType.simpleString()
+                    for f in StructType.fromJson(
+                        json.loads(self._table_schema_of(e0))
+                    ).fields
                 }
-        m = self.manifest(version, coarse_range=coarse or None)
+        m = self.manifest(
+            version,
+            coarse_range=coarse or None,
+            col_types=ctypes,
+            coarse_parts=cparts,
+        )
         files = m["files"]
         if range_filter:
             files = self._prune_files_range(m, files, range_filter)
@@ -1664,22 +1866,32 @@ class ManifestTable:
         return self._load_snapshot(spark, m, files)
 
     def _prune_files_range(
-        self, m: dict, files: list[dict], range_filter: dict
+        self, m: dict, files: list[dict], range_filter: dict,
+        tz_utc: bool = True,
     ) -> list[dict]:
         """Manifest data skipping: drop every file whose recorded
         [min, max] (or typed partition value) cannot overlap the
         inclusive [lo, hi] per column. Sound over-approximation — files
         without stats for the column are always kept. Shared by read()
-        and the CoW rewrite discovery scan (round 11)."""
+        and the CoW rewrite discovery scan (round 11). Bound domains are
+        resolved against the committed SCHEMA type (ADVICE r12 — a
+        string column whose stored min happens to parse as an ISO date
+        must not be date-floored) and, with `tz_utc=False`, temporal
+        canonicalization is refused for predicate-derived bounds a
+        non-UTC session evaluated (see `_norm_bounds`)."""
         # stats are keyed by PHYSICAL column name (stable across
         # renames); callers filter on logical names
         cmap = m.get("column_mapping") or {}
-        part_types = {
+        col_types = {
             f.name: f.dataType.simpleString()
             for f in StructType.fromJson(
                 json.loads(self._table_schema_of(m))
             ).fields
-            if f.name in (m["partition_by"] or [])
+        }
+        part_types = {
+            c: t
+            for c, t in col_types.items()
+            if c in (m["partition_by"] or [])
         }
         for c, (lo, hi) in range_filter.items():
             sc = cmap.get(c, c)
@@ -1730,7 +1942,9 @@ class ManifestTable:
                 ),
                 None,
             )
-            nb = _norm_bounds(lo, hi, sample)
+            nb = _norm_bounds(
+                lo, hi, sample, col_type=col_types.get(c), tz_utc=tz_utc
+            )
             if nb is None:
                 continue
             lo, hi = nb
@@ -1752,13 +1966,17 @@ class ManifestTable:
         (None = unbounded side) for automatic file skipping. Parses ONLY
         a plain conjunction of `col OP literal` comparisons (OP ∈ =, ==,
         <, <=, >, >=; either operand order; numeric, 'quoted', date'...'
-        and timestamp'...' literals). Anything else — Column conditions,
-        OR/NOT, parentheses, functions, BETWEEN/IN, double quotes —
-        returns {} or skips the atom. Soundness argument: rows matching
-        a conjunction satisfy EVERY conjunct, so ranges derived from any
-        SUBSET of conjuncts still contain every matching row; strict
-        comparisons are widened to inclusive bounds (keeps more files);
-        quoted literals are stashed before the AND-split so a literal
+        and timestamp'...' literals) plus `col IN (lit, ...)` atoms
+        (round 13 — the common retention-delete shape), which bound the
+        column by the [min, max] ENVELOPE of the literal list (finite-
+        union over-approximation). Anything else — Column conditions,
+        OR/NOT, other parentheses, functions, BETWEEN, NOT IN, double
+        quotes — returns {} or skips the atom (`_cond_disjuncts` handles
+        top-level OR). Soundness argument: rows matching a conjunction
+        satisfy EVERY conjunct, so ranges derived from any SUBSET of
+        conjuncts still contain every matching row; strict comparisons
+        are widened to inclusive bounds (keeps more files); quoted
+        literals are stashed before the AND-split so a literal
         containing ' and ' can never fabricate an atom (same guard the
         MERGE ON parser grew for ADVICE r11)."""
         import re
@@ -1772,9 +1990,7 @@ class ManifestTable:
             return f"\x00{len(lits) - 1}\x00"
 
         s = re.sub(r"'([^']*)'", _stash, condition)
-        if "'" in s or "(" in s or ")" in s or re.search(
-            r"\b(?:or|not)\b", s, re.I
-        ):
+        if "'" in s:
             return {}
         COL = r"`?([A-Za-z_]\w*)`?"
         VAL = r"((?:date|timestamp)?\x00\d+\x00|[-+]?\d+(?:\.\d+)?)"
@@ -1786,6 +2002,35 @@ class ManifestTable:
             if mm:
                 return lits[int(mm.group(1))]
             return float(tok) if "." in tok else int(tok)
+
+        # rewrite well-formed IN-lists into their [min, max] envelope
+        # BEFORE the paren bail: `k IN (3, 9, 5)` ⇒ `k >= 3 and k <= 9`.
+        # A `NOT IN` or keyword-collision match ('not'/'and'/'or' as the
+        # "column") is left untouched so the paren/NOT bail rejects it —
+        # NOT IN bounds nothing. Ill-formed or mixed-type lists poison
+        # the rewrite (left in place → paren bail → {}).
+        def _in_rewrite(mm):
+            col, body = mm.group(1), mm.group(2)
+            if re.fullmatch(r"not|and|or|in", col, re.I):
+                return mm.group(0)
+            toks = [t.strip() for t in body.split(",")]
+            vals = []
+            for t in toks:
+                if not re.fullmatch(VAL, t, re.I):
+                    return mm.group(0)
+                vals.append(_decode(t))
+            try:
+                lo_t = toks[min(range(len(vals)), key=lambda i: vals[i])]
+                hi_t = toks[max(range(len(vals)), key=lambda i: vals[i])]
+            except TypeError:
+                return mm.group(0)  # mixed literal types: unboundable
+            return f" {mm.group(1)} >= {lo_t} and {mm.group(1)} <= {hi_t} "
+
+        s = re.sub(
+            rf"{COL}\s+in\s*\(([^()]*)\)", _in_rewrite, s, flags=re.I
+        )
+        if "(" in s or ")" in s or re.search(r"\b(?:or|not)\b", s, re.I):
+            return {}
 
         out: dict[str, list] = {}
         poisoned: set[str] = set()
@@ -1822,7 +2067,88 @@ class ManifestTable:
             res[c] = (b[0], b[1])
         return res
 
-    def _auto_prune(self, m: dict, files: list[dict], condition) -> list[dict]:
+    @staticmethod
+    def _cond_disjuncts(condition) -> list[dict]:
+        """WHERE-string → list of per-branch {col: (lo, hi)} range dicts
+        for a TOP-LEVEL OR of conjunctions (round 13):
+        `(day = 'a' and id > 3) or day = 'b'` → [{day, id}, {day}]. A
+        file can hold matching rows iff it can satisfy SOME branch, so
+        the prunable set is the UNION of each branch's survivors —
+        still a sound over-approximation. Returns [] (no prune) when
+        ANY branch is unboundable (`_cond_ranges` → {}): that branch
+        alone could match anywhere, making the union everything. OR
+        splitting respects parens depth and stashes quoted literals
+        first so ' or ' inside a string can never fabricate a branch;
+        AND binds tighter than OR, so a depth-0 split is precedence-
+        exact. Plain conjunctions come back as a single-element list."""
+        import re
+
+        if (
+            not isinstance(condition, str)
+            or '"' in condition
+            or "\x00" in condition
+        ):
+            return []
+        lits: list[str] = []
+
+        def _stash(mm):
+            lits.append(mm.group(1))
+            return f"\x00{len(lits) - 1}\x00"
+
+        s = re.sub(r"'([^']*)'", _stash, condition)
+        if "'" in s or re.search(r"\bnot\b", s, re.I):
+            return []
+        branches: list[str] = []
+        depth, cur = 0, []
+        for tok in re.split(r"(\(|\)|\bor\b)", s, flags=re.I):
+            if tok == "(":
+                depth += 1
+                cur.append(tok)
+            elif tok == ")":
+                depth -= 1
+                if depth < 0:
+                    return []
+                cur.append(tok)
+            elif tok is not None and depth == 0 and re.fullmatch(
+                r"or", tok, re.I
+            ):
+                branches.append("".join(cur))
+                cur = []
+            else:
+                cur.append(tok or "")
+        if depth != 0:
+            return []
+        branches.append("".join(cur))
+
+        def _unquote(b: str) -> str:
+            return re.sub(
+                r"\x00(\d+)\x00", lambda m: f"'{lits[int(m.group(1))]}'", b
+            )
+
+        out: list[dict] = []
+        for b in branches:
+            b = b.strip()
+            # strip ONE layer of wrapping parens when they match: scan
+            # for a depth-0 return before the end ('(a) and (b)' must
+            # NOT be stripped to 'a) and (b')
+            if b.startswith("(") and b.endswith(")"):
+                d = 0
+                for i, ch in enumerate(b):
+                    d += ch == "("
+                    d -= ch == ")"
+                    if d == 0 and i < len(b) - 1:
+                        break
+                else:
+                    b = b[1:-1]
+            rf = ManifestTable._cond_ranges(_unquote(b))
+            if not rf:
+                return []
+            out.append(rf)
+        return out
+
+    def _auto_prune(
+        self, m: dict, files: list[dict], condition, spark=None
+    ) -> list[dict]:
         """Automatic Delta-style data skipping for row-level DELETE /
         UPDATE discovery (round 12 — DATAPLANE_r11 measured CoW
         hit-discovery LINEAR in file count, 22 s for a one-row delete at
@@ -1836,38 +2162,79 @@ class ManifestTable:
         columns whose literal cannot be proven comparable in the stats'
         own domain are dropped from the prune (sound: pruning fewer
         files never changes results), and any residual compare error
-        falls back to the unpruned list."""
-        rf = self._cond_ranges(condition)
-        if not rf:
+        falls back to the unpruned list.
+
+        `spark` (ADVICE r12): the session that will EVALUATE `condition`.
+        Spark resolves a naive `timestamp'...'` literal in the session
+        timezone, while the stored stats are UTC instants — so when the
+        session timezone is not UTC, temporal canonicalization is
+        unsound and is refused column-by-column (tz_utc=False threads
+        through `_norm_bounds`; date-only vs date-only compares, which
+        involve no instant conversion, still prune). No handle → assume
+        non-UTC (the conservative direction: fewer files pruned).
+
+        Round 13: the predicate may be a top-level OR of conjunctions
+        (`_cond_disjuncts`); survivors are the UNION of each branch's
+        surviving files — a branch that loses every provable bound keeps
+        ALL files, collapsing the union to no-prune (sound)."""
+        disjuncts = self._cond_disjuncts(condition)
+        if not disjuncts:
             return files
+        tz_utc = _session_tz_utc(spark)
         cmap = m.get("column_mapping") or {}
         part_cols = set(m["partition_by"] or [])
-        norm: dict = {}
-        for c, (lo, hi) in rf.items():
-            if c in part_cols:
-                # typed partition compare canonicalizes its own domain
-                norm[c] = (lo, hi)
-                continue
-            sc = cmap.get(c, c)
-            sample = next(
-                (
-                    e["stats"][sc][0]
-                    for e in files
-                    if e.get("stats", {}).get(sc)
-                    and e["stats"][sc][0] is not None
-                ),
-                None,
-            )
-            nb = _norm_bounds(lo, hi, sample)
-            if nb is not None:
-                norm[c] = nb
-        norm = {
-            c: b for c, b in norm.items() if b[0] is not None or b[1] is not None
+        col_types = {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromJson(
+                json.loads(self._table_schema_of(m))
+            ).fields
         }
-        if not norm:
-            return files
+
+        def _norm_branch(rf: dict) -> dict:
+            norm: dict = {}
+            for c, (lo, hi) in rf.items():
+                if c in part_cols:
+                    # typed partition compare canonicalizes its own
+                    # domain — but temporal partition values under a
+                    # non-UTC session have the same literal-vs-instant
+                    # hazard, so they are gated identically (date
+                    # partitions with date-only bounds stay prunable;
+                    # timestamps need UTC)
+                    ct = col_types.get(c, "")
+                    if not tz_utc and ct.startswith("timestamp"):
+                        continue
+                    norm[c] = (lo, hi)
+                    continue
+                sc = cmap.get(c, c)
+                sample = next(
+                    (
+                        e["stats"][sc][0]
+                        for e in files
+                        if e.get("stats", {}).get(sc)
+                        and e["stats"][sc][0] is not None
+                    ),
+                    None,
+                )
+                nb = _norm_bounds(
+                    lo, hi, sample, col_type=col_types.get(c), tz_utc=tz_utc
+                )
+                if nb is not None:
+                    norm[c] = nb
+            return {
+                c: b
+                for c, b in norm.items()
+                if b[0] is not None or b[1] is not None
+            }
+
         try:
-            return self._prune_files_range(m, files, norm)
+            surviving: set | None = set()
+            for rf in disjuncts:
+                norm = _norm_branch(rf)
+                if not norm:
+                    return files  # this branch alone can match anywhere
+                kept = self._prune_files_range(m, files, norm, tz_utc=tz_utc)
+                surviving.update(e["path"] for e in kept)
+            return [e for e in files if e["path"] in surviving]
         except Exception:
             return files  # pruning is an optimization, never a crash
 
@@ -2082,8 +2449,14 @@ class ManifestTable:
         listing cannot race a writer; any mismatch — dead files after a
         CoW rewrite, pre-vacuum zombies, non-parquet droppings — keeps
         that dir's files on the per-file path. Hidden files (`_`/`.`
-        prefixes, non-.parquet) are excluded from the comparison because
-        Spark's scan ignores them either way."""
+        prefixes) are excluded from the comparison because Spark's scan
+        ignores them; a VISIBLE non-parquet file is a mismatch (ADVICE
+        r12 — the directory scan would try to read it as parquet and
+        fail the job, so that dir stays on per-file paths). Residual
+        TOCTOU: a post-commit zombie PUT landing between this listing
+        and Spark's own directory listing could still inject a phantom
+        file into a coalesced dir — same window Spark's native
+        directory reads have, documented in the deep-vacuum notes."""
         from collections import defaultdict
 
         groups: dict[str, list[str]] = defaultdict(list)
@@ -2104,8 +2477,7 @@ class ManifestTable:
             listed = {
                 rel
                 for rel, _age in self.store.list_txn_files(d.split("/", 1)[1])
-                if rel.endswith(".parquet")
-                and not os.path.basename(rel).startswith(("_", "."))
+                if not os.path.basename(rel).startswith(("_", "."))
             }
             if listed == set(live):
                 out.append(d)
@@ -2276,7 +2648,7 @@ class ManifestTable:
         # round 12: hint-free automatic skipping — bounds derived from
         # the WHERE predicate itself (composes with an explicit hint:
         # both are over-approximations, so applying both stays sound)
-        files = self._auto_prune(m, files, condition)
+        files = self._auto_prune(m, files, condition, spark=spark)
         prov = self._load_snapshot(spark, m, files, provenance=True)
         hit = [
             r._rel
@@ -2377,7 +2749,7 @@ class ManifestTable:
         # (files outside the bounds hold no matched positions, so they
         # need no DV entry; pruning them cannot change the result)
         prov = self._load_snapshot(
-            spark, m, self._auto_prune(m, m["files"], condition),
+            spark, m, self._auto_prune(m, m["files"], condition, spark=spark),
             provenance=True,
         )
         matched = prov.filter(
@@ -2502,7 +2874,7 @@ class ManifestTable:
         # (files outside the bounds hold no matched positions, so they
         # need no DV entry; pruning them cannot change the result)
         prov = self._load_snapshot(
-            spark, m, self._auto_prune(m, m["files"], condition),
+            spark, m, self._auto_prune(m, m["files"], condition, spark=spark),
             provenance=True,
         )
         matched = prov.filter(
@@ -3356,8 +3728,13 @@ class MergeBuilder:
                 # join would implicitly cast) raises TypeError. Pruning is
                 # an optimization: fall back to the unpruned list rather
                 # than crash a previously-working MERGE.
+                # ADVICE r12: collected timestamp bounds are naive in
+                # the SESSION timezone — only UTC sessions may compare
+                # them against the UTC-aware stored stats
                 try:
-                    pf = t._prune_files_range(m, sel_files, rf)
+                    pf = t._prune_files_range(
+                        m, sel_files, rf, tz_utc=_session_tz_utc(spark)
+                    )
                 except Exception:
                     pf = sel_files
                 if len(pf) <= 0.9 * len(sel_files):

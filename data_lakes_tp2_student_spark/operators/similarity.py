@@ -392,6 +392,75 @@ def knn_lsh(
     )
 
 
+def lsh_candidate_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    planes: int = 6,
+    dim: int = 64,
+    tables: int = 1,
+) -> DataFrame:
+    """The DISTINCT (query, neighbor) candidate pairs `knn_lsh` at the same
+    (planes, tables) would score — the SELECTIVITY instrument (VERDICT r12
+    item 2): recall alone can hide an ANN that "finds" its neighbors by
+    scoring most of the corpus per query (each extra table unions another
+    ~1/2^planes of the corpus into the candidate set). Callers divide
+    count() by (|corpus|·|queries|) for the candidate fraction; the gate in
+    tests/test_ann_quality.py pins the default operating point's fraction
+    alongside its recall so a recall "win" bought purely with shuffle
+    volume fails loudly. Shares `lsh_buckets_batch` with knn_lsh —
+    bit-identical buckets, so the pair set IS the scored set."""
+    per_table = [
+        hyperplane_coefficients(planes, dim, table=t) for t in range(tables)
+    ]
+    c = corpus.select(
+        F.col(id_col),
+        F.posexplode(lsh_buckets_batch(vec_col, per_table)).alias(
+            "_table", "_bucket"
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.posexplode(lsh_buckets_batch(vec_col, per_table)).alias(
+            "_table", "_bucket"
+        ),
+    )
+    return (
+        c.join(F.broadcast(q), ["_table", "_bucket"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+
+
+def ivf_candidate_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_cells: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF analog of `lsh_candidate_pairs`: the distinct pairs scored by
+    `knn_ivf` at the same (n_cells, nprobe) — expected fraction ≈
+    nprobe / n_cells on balanced cells, the number the 100-TB sizing
+    math uses."""
+    cent = ivf_centroids(corpus, id_col, vec_col, n_cells)
+    assigned = ivf_cells(corpus, cent, id_col, vec_col, nprobe=1)
+    probes = ivf_cells(queries, cent, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias(query_id_col), "_cell"
+    )
+    return (
+        assigned.join(F.broadcast(probes), "_cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+
+
 def semdedup(
     corpus: DataFrame,
     id_col: str = "vec_id",

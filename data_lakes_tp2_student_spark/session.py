@@ -18,6 +18,37 @@ import os
 
 from pyspark.sql import SparkSession
 
+_MIB = 1 << 20
+
+
+def auto_max_partition_bytes(total_input_bytes: int, cores: int) -> int:
+    """Local-mode scan-split size (round 13, VERDICT r12 item 4): aim for
+    ~2 tasks per core over the session's expected input, clamped to
+    [16 MiB, 128 MiB]. The r12 fixed 16 MB default was right for sf0.1's
+    single-file tables but over-splits a directory of already-small
+    files and silently under-splits if the testdata grows — deriving the
+    size from (total bytes / 2×cores) keeps both ends honest. The clamp
+    floor matches parquet row-group granularity (a split below one row
+    group buys no parallelism, only scheduling overhead); the ceiling is
+    Spark's cluster default. Pure function — unit-testable without a
+    session."""
+    target = int(total_input_bytes) // max(1, 2 * int(cores))
+    return min(128 * _MIB, max(16 * _MIB, target))
+
+
+def _dir_parquet_bytes(path: str) -> int:
+    """Total size of the *.parquet files directly under `path` (the
+    driver testdata layout: one flat file per table); 0 when unknown."""
+    try:
+        with os.scandir(path) as it:
+            return sum(
+                e.stat().st_size
+                for e in it
+                if e.is_file() and e.name.endswith(".parquet")
+            )
+    except OSError:
+        return 0
+
 
 def get_spark(
     app_name: str = "data-lakes-tp2-spark",
@@ -49,19 +80,29 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # Scan-split sizing (round 12, profile of the bench's worst
-        # fixed-overhead rows): the sf0.1 tables are single ~100-300 MB
-        # parquet files, so Spark's 128 MB default gave q1's lineitem
-        # scan THREE tasks on 32 cores — the "floor" on q1/i1/x2b was
-        # scan under-parallelism, not AQE (measured: q1 1.31→1.01 s,
-        # x2b 2.47→1.57 s at 16 MB). 16 MB is a LOCAL-mode default:
-        # a real cluster at 100 TB wants 128 MB+ (set
+        # Scan-split sizing (round 12 profiled the bench's worst
+        # fixed-overhead rows as scan under-parallelism: q1 1.31→1.01 s,
+        # x2b 2.47→1.57 s at 16 MB splits; round 13, VERDICT r12 item 4,
+        # derives the size from the session's expected input instead of
+        # pinning 16 MB): ~2 tasks per core over $SPARK_GRAFT_SF_DIR's
+        # parquet bytes, clamped [16 MiB, 128 MiB]. This is a LOCAL-mode
+        # default: a real cluster at 100 TB wants 128 MB+ (set
         # SPARK_FILES_MAX_PARTITION_BYTES, or pass extra_conf) — scan
         # tasks there are bounded by file/row-group layout, not by a
         # 32-core box reading one file.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_FILES_MAX_PARTITION_BYTES", "16m"),
+            os.environ.get("SPARK_FILES_MAX_PARTITION_BYTES")
+            or str(
+                auto_max_partition_bytes(
+                    _dir_parquet_bytes(
+                        os.environ.get(
+                            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+                        )
+                    ),
+                    os.cpu_count() or 32 if cpus == "*" else int(cpus),
+                )
+            ),
         )
         # Spark still defaults timestamps to deprecated INT96, which
         # carries NO parquet footer min/max — every timestamp column

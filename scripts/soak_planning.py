@@ -90,7 +90,9 @@ def build_table(root: str, n_files: int) -> ManifestTable:
     return tab
 
 
-def bench_once(spark, tab: ManifestTable, fmt: str) -> dict:
+def bench_once(
+    spark, tab: ManifestTable, fmt: str, full_frame: bool = True
+) -> dict:
     t0 = time.perf_counter()
     m = tab.manifest(tab.latest_version())
     t_load = time.perf_counter() - t0
@@ -116,10 +118,12 @@ def bench_once(spark, tab: ManifestTable, fmt: str) -> dict:
     t_pruned_scan = time.perf_counter() - t0
     assert got == 1, got
 
-    t0 = time.perf_counter()
-    full = tab._load_snapshot(spark, m, m["files"])
-    _ = full.schema  # frame construction incl. driver file index
-    t_full_frame = time.perf_counter() - t0
+    t_full_frame = None
+    if full_frame:
+        t0 = time.perf_counter()
+        full = tab._load_snapshot(spark, m, m["files"])
+        _ = full.schema  # frame construction incl. driver file index
+        t_full_frame = time.perf_counter() - t0
 
     return {
         "files": n,
@@ -129,7 +133,9 @@ def bench_once(spark, tab: ManifestTable, fmt: str) -> dict:
         "coarse_plan_ms": round(t_coarse * 1e3, 1),
         "coarse_entries": len(coarse),
         "pruned_scan_ms": round(t_pruned_scan * 1e3, 1),
-        "full_frame_ms": round(t_full_frame * 1e3, 1),
+        "full_frame_ms": (
+            round(t_full_frame * 1e3, 1) if t_full_frame is not None else None
+        ),
     }
 
 
@@ -139,8 +145,20 @@ def main() -> None:
         "--files", default="4096,16384,65536,131072",
         help="comma-separated file counts",
     )
+    ap.add_argument(
+        "--fmt", default="json,parquet",
+        help="checkpoint formats to measure (round 13: the simulated 10^6"
+             " run uses --fmt parquet — a 10^6-entry JSON checkpoint is"
+             " the O(F)-parse shape the parquet format exists to replace)",
+    )
+    ap.add_argument(
+        "--skip-full-frame", action="store_true",
+        help="skip the full-scan frame construction (O(F) by definition;"
+             " at 10^6 files it alone dominates the soak wall)",
+    )
     args = ap.parse_args()
     counts = [int(x) for x in args.files.split(",")]
+    fmts = tuple(args.fmt.split(","))
     spark = get_spark(app_name="soak-planning", shuffle_partitions=8)
     rows = []
     with tempfile.TemporaryDirectory() as td:
@@ -149,7 +167,7 @@ def main() -> None:
             t0 = time.perf_counter()
             tab = build_table(root, f)
             build_s = time.perf_counter() - t0
-            for fmt in ("json", "parquet"):
+            for fmt in fmts:
                 try:
                     fresh = ManifestTable(
                         root, stats_cols=["id"], checkpoint_interval=1,
@@ -163,7 +181,9 @@ def main() -> None:
                     )
                 if fmt == "parquet":
                     fresh._write_checkpoint(fresh.latest_version())
-                r = bench_once(spark, fresh, fmt)
+                r = bench_once(
+                    spark, fresh, fmt, full_frame=not args.skip_full_frame
+                )
                 r["build_s"] = round(build_s, 2)
                 rows.append(r)
                 print(json.dumps(r), flush=True)

@@ -118,3 +118,52 @@ def test_semdedup_neighbor_recall(corpus):
     )
     recall = len(detected & true_dups) / len(true_dups)
     assert recall >= 0.2, recall
+
+
+def test_default_lsh_candidate_fraction_pinned(corpus):
+    """VERDICT r12 item 2: recall alone can hide an ANN that 'finds' its
+    neighbors by scoring most of the corpus. The 16×4-bit default's cost
+    is now a PINNED operating point: candidate_fraction ≈ 0.63 measured
+    (scripts/ann_operating_points.py, PERF.md #68) — the ceiling fails
+    loudly if a parameter change silently buys recall with even more
+    shuffle volume."""
+    from data_lakes_tp2_student_spark.catalog.llm_ops import (
+        _LSH_PLANES,
+        _LSH_TABLES,
+    )
+    from data_lakes_tp2_student_spark.operators.similarity import (
+        lsh_candidate_pairs,
+    )
+
+    q = corpus.filter(F.col("vec_id") < N_QUERIES)
+    n = corpus.count()
+    cand = lsh_candidate_pairs(
+        corpus, q, planes=_LSH_PLANES, dim=64, tables=_LSH_TABLES
+    ).count()
+    frac = cand / (n * N_QUERIES)
+    assert frac <= 0.75, frac
+
+
+def test_ivf_dominates_lsh_on_candidate_fraction(corpus):
+    """The documented 100-TB guidance — IVF for unstructured embeddings —
+    rests on a measured dominance: at comparable recall (0.73-0.81 vs
+    0.905), IVF scores ≤ 1/4 the candidates the default LSH point does.
+    Pinning the ratio keeps the guidance honest if either side drifts."""
+    from data_lakes_tp2_student_spark.catalog.llm_ops import (
+        _LSH_PLANES,
+        _LSH_TABLES,
+    )
+    from data_lakes_tp2_student_spark.operators.similarity import (
+        ivf_candidate_pairs,
+        lsh_candidate_pairs,
+    )
+
+    q = corpus.filter(F.col("vec_id") < N_QUERIES)
+    lsh_c = lsh_candidate_pairs(
+        corpus, q, planes=_LSH_PLANES, dim=64, tables=_LSH_TABLES
+    ).count()
+    ivf_c = ivf_candidate_pairs(corpus, q, n_cells=16, nprobe=2).count()
+    assert ivf_c * 4 <= lsh_c, (ivf_c, lsh_c)
+    # and the IVF fraction itself stays near its nprobe/n_cells budget
+    n = corpus.count()
+    assert ivf_c / (n * N_QUERIES) <= 2.0 * 2 / 16, ivf_c
