@@ -74,41 +74,51 @@ HEADLINE = [
 # footnote keeps both numbers). `vs_baseline` ratios in the output divide
 # best-of-N by these; the legacy r1 rows stay in BASELINE.md for
 # cross-round comparability.
+# Round 13 (VERDICT r12 item 1b): ALL 34 rows re-recorded under the
+# CURRENT host from a clean same-HEAD capture (BENCH_local_clean_r13,
+# 2026-08-16; per-query best-of-5/8, interleaved protocol — the same
+# statistic future captures produce), paired with HOST_PROBE_REF from
+# the SAME capture so every future BENCH line's host_factor reads
+# against these numbers. The r1/r9/r10 rows are kept in BASELINE.md
+# (footnote r13 carries the old-vs-new table; the drift story: the
+# r12-r13 host runs short sub-second queries ~1.7x slower than the r9
+# recording era — i1 0.242→0.416 — while the r13 engine is FASTER on
+# the scan/agg rows — flagship 0.378→0.211, d3 0.255→0.112).
 BASELINE_GOFORWARD = {
-    "flagship_summary": 0.378,
-    "d3_group_sizes": 0.255,
-    "d7_d8_length_stats": 0.19,
-    "e2_stratified_split": 0.303,
-    "e3_window_functions": 0.49,
-    "j1_tokenize": 0.312,
-    "x1_exact_dedup": 0.221,
-    "x2_minhash_pairs": 1.167,  # r10 go-forward: LSH 4x4 / t=0.71 (r1 8x2 row 1.338, BASELINE.md r10b, PERF.md #52)
-    "x2b_jaccard_verify": 2.361,  # r10 go-forward (r1 row 3.282)
-    "x2e_dup_clusters": 2.022,  # r10 go-forward (r1 row 4.42)
-    "x2f_simhash_pairs": 1.388,  # r10 go-forward: 64-bit two-level SimHash (r1 32-bit row 1.141, BASELINE.md r10 footnote, PERF.md #50)
-    "x3_knn_bruteforce": 0.912,
-    "x3b_knn_lsh": 1.827,
-    "x3c_knn_ivf": 0.909,
-    "x4_quality_score": 0.215,
-    "x9_corpus_prep": 0.575,
-    "x6_tpch_q1": 0.759,
-    "x6_tpch_q3": 0.465,
-    "x6_tpch_q5": 0.53,
-    "x6_tpch_q6": 0.149,
-    "x6_tpch_q8": 0.734,
-    "x6_tpch_q19": 0.334,
-    "x6_tpch_q21": 1.045,  # r9 go-forward: REAL late-supplier semantics (r1 adaptation row 0.688)
-    "c7_asof_join": 0.279,  # r9 go-forward (r1 row 0.255, BASELINE.md)
-    "i1_tumbling_window": 0.242,  # r9 go-forward (r1 row 0.204)
-    "i3_session_window": 0.273,  # r9 go-forward (r1 row 0.251)
-    "x11_resample_gapfill": 0.233,  # r9 go-forward (r1 row 0.217)
-    "x12_funnel": 0.388,
-    "x13_cohort_retention": 0.209,
-    "x15_embedding_centroids": 0.127,
-    "x16_pmi_cooccurrence": 0.913,  # r9 go-forward (r1 row 0.741)
-    "x18_data_quality_audit": 0.17,
-    "e3c_ntile_buckets": 1.05,  # go-forward (r1 row was driver-RED)
-    "f6_stratified_sample": 0.104,
+    "flagship_summary": 0.211,
+    "d3_group_sizes": 0.112,
+    "d7_d8_length_stats": 0.112,
+    "e2_stratified_split": 0.251,
+    "e3_window_functions": 0.684,
+    "j1_tokenize": 0.203,
+    "x1_exact_dedup": 0.168,
+    "x2_minhash_pairs": 1.336,
+    "x2b_jaccard_verify": 2.978,
+    "x2e_dup_clusters": 2.427,
+    "x2f_simhash_pairs": 1.556,
+    "x3_knn_bruteforce": 0.572,
+    "x3b_knn_lsh": 1.14,
+    "x3c_knn_ivf": 1.088,
+    "x4_quality_score": 0.173,
+    "x9_corpus_prep": 0.682,
+    "x6_tpch_q1": 1.173,
+    "x6_tpch_q3": 0.571,
+    "x6_tpch_q5": 0.548,
+    "x6_tpch_q6": 0.211,
+    "x6_tpch_q8": 0.651,
+    "x6_tpch_q19": 0.357,
+    "x6_tpch_q21": 0.977,
+    "c7_asof_join": 0.396,
+    "i1_tumbling_window": 0.416,
+    "i3_session_window": 0.468,
+    "x11_resample_gapfill": 0.339,
+    "x12_funnel": 0.501,
+    "x13_cohort_retention": 0.315,
+    "x15_embedding_centroids": 0.207,
+    "x16_pmi_cooccurrence": 1.535,
+    "x18_data_quality_audit": 0.264,
+    "e3c_ntile_buckets": 1.083,
+    "f6_stratified_sample": 0.163,
 }
 
 # Round 13 (VERDICT r12 item 1a): a FIXED CPU+shuffle micro-task with a
@@ -118,30 +128,46 @@ BASELINE_GOFORWARD = {
 # disambiguates: every BENCH line now carries host_factor = probe_best /
 # HOST_PROBE_REF (>1 ⇒ the host is slower than when the go-forward
 # baselines were recorded; per-query ratios should be read against it).
-# The probe is pure engine work (range → modular project → 9973-key
-# shuffle → agg → noop sink): no data files, no Python rows, same
-# local[32] session as the queries. REF booked on the r13 host, the same
-# capture that re-recorded BASELINE_GOFORWARD (BASELINE.md r13 footnote).
-HOST_PROBE_REF = None  # set after first r13 calibration run
+# The probe is pure engine work: 256M-row range → 8 chained xxhash64
+# folds per row (CPU, whole-stage codegen) → 64-key groupBy bit_xor
+# (one fixed small shuffle) → noop sink. No data files, no Python rows,
+# same local[32] session as the queries. Statistic: 2 UNTIMED JIT warms
+# + min of 5 timed reps — probe-design experiments showed sub-second
+# tasks carry ±40% scheduling jitter on this host while this shape's
+# min-of-5 reproduced across sessions within 3% (1.159 / 1.194 s).
+# REF booked from the SAME capture that re-recorded BASELINE_GOFORWARD
+# (BENCH_local_clean_r13, end-probe min — the start probe of that run
+# measured 2.05 while the host was still loaded, the end probe 0.936
+# after it drained, and the per-query bests track the end state).
+# host_factor > 1 ⇒ the host is slower than at baseline-recording time;
+# read per-query ratios against it.
+HOST_PROBE_REF = 0.936
 
 
-def _host_probe(spark, reps: int = 3) -> float:
-    """Best-of-`reps` wall seconds for the fixed calibration task."""
-    best = None
-    for _ in range(reps):
-        t0 = time.perf_counter()
+def _host_probe(spark, reps: int = 5, warms: int = 2) -> float:
+    """Min-of-`reps` wall seconds for the fixed calibration task, after
+    `warms` untimed JIT warm-up executions of the same plan."""
+    expr = "id"
+    for _ in range(8):
+        expr = f"xxhash64({expr})"
+
+    def run():
         (
-            spark.range(0, 8_000_000, 1, 32)
-            .selectExpr(
-                "id % 9973 AS k",
-                "(id * 2654435761) % 1000003 AS v",
-            )
+            spark.range(0, 256_000_000, 1, 32)
+            .selectExpr(f"pmod({expr}, 64) AS k", "xxhash64(id + 3) AS v")
             .groupBy("k")
-            .agg({"v": "sum", "*": "count"})
+            .agg({"v": "bit_xor"})
             .write.format("noop")
             .mode("overwrite")
             .save()
         )
+
+    for _ in range(warms):
+        run()
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return round(best, 3)

@@ -1199,3 +1199,83 @@ def x73_parquet_ckpt_autoskip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v0 = shape(table.read(spark, version=0), "v0")
     return live.unionByName(rng).unionByName(v0)
+
+
+@register(
+    "x74_prune_in_or_partition",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(o_orderkey % 4 AS INT) AS seg,
+               CASE WHEN o_orderkey IN (32, 33)
+                    THEN o_totalprice * 2 ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey NOT IN (1, 5, 99991)
+    )
+    SELECT 'live' AS snap, o_orderkey, seg, CAST(price AS DOUBLE) AS price
+    FROM base
+    UNION ALL
+    SELECT 'part' AS snap, o_orderkey, seg, CAST(price AS DOUBLE) AS price
+    FROM base WHERE seg = 1
+    UNION ALL
+    SELECT 'prange' AS snap, o_orderkey, seg, CAST(price AS DOUBLE) AS price
+    FROM base WHERE seg BETWEEN 2 AND 3
+    """,
+)
+def x74_prune_in_or_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x74 — round 13's lake levers end-to-end under the oracle gate
+    (the x73 pattern applied to this round): on a PARTITIONED table with
+    parquet checkpoints, (1) a CoW DELETE with an IN-list predicate —
+    discovery pruned via `_cond_disjuncts` per-value branch expansion
+    (io/manifest.py), including a key absent from the table (a no-match
+    branch must lose nothing); (2) an UPDATE with a top-level OR of two
+    point predicates — discovery pruned with the UNION of branch file
+    sets; (3) a partition_filter read and a partition-RANGE read, both
+    planned through the parquet checkpoint's `part::<col>` columns (the
+    round-13 vectorized partition prune) then re-checked exactly. A hash
+    match proves the branch-union and partition prunes lose and invent
+    nothing across delete/update/read."""
+    root = os.path.join(
+        _TMP, "x74_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = ManifestTable(
+        root,
+        stats_cols=["o_orderkey"],
+        checkpoint_interval=1,
+        checkpoint_format="parquet",
+    )
+    df = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.pmod("o_orderkey", F.lit(4)).cast("int").alias("seg"),
+        )
+    )
+    table.commit_overwrite(
+        df.repartitionByRange(4, "o_orderkey"), partition_by=["seg"]
+    )
+    table.delete_where(spark, "o_orderkey IN (1, 5, 99991)")
+    table.update_where(
+        spark,
+        "(o_orderkey = 32) or (o_orderkey = 33)",
+        {"o_totalprice": "o_totalprice * 2"},
+    )
+
+    def shape(d, tag):
+        return d.select(
+            F.lit(tag).alias("snap"),
+            "o_orderkey",
+            "seg",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+
+    live = shape(table.read(spark), "live")
+    part = shape(table.read(spark, partition_filter={"seg": 1}), "part")
+    prange = shape(
+        table.read(spark, range_filter={"seg": (2, 3)}).filter(
+            "seg between 2 and 3"
+        ),
+        "prange",
+    )
+    return live.unionByName(part).unionByName(prange)

@@ -2125,6 +2125,38 @@ class ManifestTable:
                 r"\x00(\d+)\x00", lambda m: f"'{lits[int(m.group(1))]}'", b
             )
 
+        COL = r"`?[A-Za-z_]\w*`?"
+        VAL = r"(?:(?:date|timestamp)?\x00\d+\x00|[-+]?\d+(?:\.\d+)?)"
+        IN_ATOM = re.compile(
+            rf"({COL})\s+in\s*\(({VAL}(?:\s*,\s*{VAL})*)\)", re.I
+        )
+
+        def _expand_in(b: str, budget: int) -> list[str]:
+            """`k IN (v1..vn)` ≡ `k=v1 OR .. OR k=vn`: expand SMALL
+            IN-lists into per-value branches so SCATTERED lists prune
+            exactly (the [min, max] envelope `_cond_ranges` falls back
+            to spans the whole table when the values sit at opposite
+            ends). Cross-product of multiple IN atoms capped at
+            `budget` expanded branches — beyond it, the envelope still
+            applies (sound, just coarser)."""
+            mm = IN_ATOM.search(b)
+            if not mm:
+                return [b]
+            col = mm.group(1)
+            if re.fullmatch(r"not|and|or|in", col, re.I):
+                return [b]
+            toks = [t.strip() for t in mm.group(2).split(",")]
+            if len(toks) > budget:
+                return [b]
+            out2: list[str] = []
+            for t_ in toks:
+                sub = b[: mm.start()] + f" {col} = {t_} " + b[mm.end():]
+                rest = _expand_in(sub, max(1, budget // len(toks)))
+                if len(rest) * len(out2) > 32:
+                    return [b]
+                out2.extend(rest)
+            return out2 if 0 < len(out2) <= 32 else [b]
+
         out: list[dict] = []
         for b in branches:
             b = b.strip()
@@ -2140,10 +2172,11 @@ class ManifestTable:
                         break
                 else:
                     b = b[1:-1]
-            rf = ManifestTable._cond_ranges(_unquote(b))
-            if not rf:
-                return []
-            out.append(rf)
+            for eb in _expand_in(b, 32):
+                rf = ManifestTable._cond_ranges(_unquote(eb))
+                if not rf:
+                    return []
+                out.append(rf)
         return out
 
     def _auto_prune(

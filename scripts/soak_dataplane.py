@@ -177,6 +177,55 @@ def phase_delete_cow(spark, tab, n_files: int) -> dict:
     }
 
 
+def phase_delete_in_list(spark, tab, n_files: int) -> dict:
+    """Round 13 (VERDICT r12 item 5): the common retention-delete shape —
+    `DELETE WHERE id IN (a, b, c)` with SCATTERED values — must stay flat
+    in F: `_cond_disjuncts` expands the small IN-list into per-value
+    branches and the discovery scan unions exactly the hit files (the
+    [min, max] envelope would span the whole table here)."""
+    before = tab.latest_version()
+    targets = [
+        (n_files // 8) * ROWS_PER_FILE,
+        (n_files // 2) * ROWS_PER_FILE + 1,
+        (n_files - 2) * ROWS_PER_FILE + 2,
+    ]
+    _, t_del = timed(
+        tab.delete_where, spark, f"id IN ({', '.join(map(str, targets))})"
+    )
+    entry = tab._raw(tab.latest_version())
+    rewritten = len(entry.get("remove", {}).get("values", []))
+    tab.restore(before)
+    return {
+        "op": "delete_cow_in_list_3rows",
+        "files": n_files,
+        "sec": round(t_del, 3),
+        "files_rewritten": rewritten,
+        "expected": "per-value branch union; rewrite O(3 files)",
+    }
+
+
+def phase_delete_or_disjuncts(spark, tab, n_files: int) -> dict:
+    """Top-level OR of conjunctions: two point-deletes at opposite ends
+    of the key space discover against the UNION of each branch's file
+    set — 2 files, not F."""
+    before = tab.latest_version()
+    a = 1 * ROWS_PER_FILE
+    b = (n_files - 3) * ROWS_PER_FILE + 1
+    _, t_del = timed(
+        tab.delete_where, spark, f"(id = {a}) or (id = {b})"
+    )
+    entry = tab._raw(tab.latest_version())
+    rewritten = len(entry.get("remove", {}).get("values", []))
+    tab.restore(before)
+    return {
+        "op": "delete_cow_or_2branches",
+        "files": n_files,
+        "sec": round(t_del, 3),
+        "files_rewritten": rewritten,
+        "expected": "branch-union discovery; rewrite O(2 files)",
+    }
+
+
 def phase_dv_stack(spark, tab, n_files: int, depths: list[int]) -> list[dict]:
     """Stack D deletion vectors (each a distinct single-row DV delete)
     and time the full read at each depth — expected ~linear in D."""
@@ -251,6 +300,8 @@ def main() -> None:
                 phase_prune(spark, tab, f),
                 phase_merge(spark, tab, f),
                 phase_delete_cow(spark, tab, f),
+                phase_delete_in_list(spark, tab, f),
+                phase_delete_or_disjuncts(spark, tab, f),
                 *phase_dv_stack(spark, tab, f, depths),
                 phase_check_validate(spark, tab, f),
             ):

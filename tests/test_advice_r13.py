@@ -336,7 +336,20 @@ def test_cond_disjuncts():
         {"day": ("a", "a"), "id": (3, None)},
         {"day": ("b", "b")},
     ]
-    assert cd("k in (1, 5) or k = 9") == [{"k": (1, 5)}, {"k": (9, 9)}]
+    # small IN-lists expand into exact per-value branches (scattered
+    # values prune to their own files instead of the whole envelope)
+    assert cd("k in (1, 5) or k = 9") == [
+        {"k": (1, 1)},
+        {"k": (5, 5)},
+        {"k": (9, 9)},
+    ]
+    assert cd("id in (3, 5000)") == [{"id": (3, 3)}, {"id": (5000, 5000)}]
+    # over-budget lists fall back to the [min, max] envelope (sound)
+    big = "id in (" + ",".join(str(i * 100) for i in range(40)) + ")"
+    assert cd(big) == [{"id": (0, 3900)}]
+    # cross-product of two small INs, capped at 32 branches
+    r = cd("a in (1,2) and b in (10,20)")
+    assert len(r) == 4 and {"a": (1, 1), "b": (10, 10)} in r
     # plain conjunction → single branch
     assert cd("id = 7") == [{"id": (7, 7)}]
     # one unboundable branch collapses the union to no-prune
