@@ -337,6 +337,7 @@ def main() -> None:
     names = names_all
     per_query: dict[str, list[float]] = {n: [] for n in names}
     round_walls: list[float] = []
+    round_probes: list[float] = []
     for _ in range(rounds_n):
         r0 = time.perf_counter()
         for name in names:
@@ -346,6 +347,13 @@ def main() -> None:
             per_query[name].append(time.perf_counter() - t0)
             spark.catalog.clearCache()  # drop per-query persists between runs
         round_walls.append(round(time.perf_counter() - r0, 3))
+        # One probe sample per ROUND BOUNDARY (~every 30 s): this host's
+        # noisy-neighbor interference is BURSTY on a minutes timescale —
+        # a confirmation capture measured round walls 49-65 s vs 26 s
+        # clean while start/end probes both read ≈1.0×, so endpoint-only
+        # calibration can miss the burst entirely. JIT is already warm
+        # from the start probe; median-of-boundaries goes to host_factor.
+        round_probes.append(_host_probe(spark, reps=1, warms=0))
 
     # Extra best-of samples for the SHORT queries (VERDICT r7 item 2):
     # per-run scheduling jitter on this host is 50-150 ms, which is the
@@ -364,14 +372,23 @@ def main() -> None:
             spark.catalog.clearCache()
 
     probe_end = _host_probe(spark)
+    samples = sorted([probe_start, *round_probes, probe_end])
+    mid = len(samples) // 2
+    probe_med = (
+        samples[mid]
+        if len(samples) % 2
+        else (samples[mid - 1] + samples[mid]) / 2
+    )
     host_probe = {
         "start": probe_start,
+        "rounds": round_probes,
         "end": probe_end,
+        "median": round(probe_med, 3),
         "ref": HOST_PROBE_REF,
+        # median over (start, every round boundary, end): robust to a
+        # quiet endpoint bracketing a loud run and vice versa
         "factor": (
-            round(min(probe_start, probe_end) / HOST_PROBE_REF, 3)
-            if HOST_PROBE_REF
-            else None
+            round(probe_med / HOST_PROBE_REF, 3) if HOST_PROBE_REF else None
         ),
     }
 
@@ -477,7 +494,7 @@ def main() -> None:
                 "vs_baseline_total": vs_baseline_total,
                 "worst_vs_baseline": worst,
                 "host_factor": host_probe["factor"],
-                "host_probe_sec": min(probe_start, probe_end),
+                "host_probe_sec": host_probe["median"],
                 "n_queries": len(names),
                 "sf": sf,
             }
