@@ -45,7 +45,9 @@ from data_lakes_tp2_student_spark.session import get_spark  # noqa: E402
 def build_table(root: str, n_files: int) -> ManifestTable:
     """One commit of `n_files` hard-linked parquet files with synthetic
     disjoint [lo, hi] id stats, through the REAL commit machinery."""
-    tab = ManifestTable(root, stats_cols=["id"], checkpoint_interval=1)
+    # auto-checkpointing OFF during the build: the measured handles write
+    # their own checkpoint at the final version, in their own format
+    tab = ManifestTable(root, stats_cols=["id"], checkpoint_interval=0)
     txn = "0" * 32
     stage = tab.store.txn_stage_dir(txn)
     os.makedirs(stage, exist_ok=True)
@@ -85,6 +87,43 @@ def build_table(root: str, n_files: int) -> ManifestTable:
     )
     tab._commit_files(
         None, txn, entries, schema_json, None, "overwrite", "all", None, {},
+        validate=False,
+    )
+    # Round 13: plan at a SMALL v1 on top of the checkpoint, not at the
+    # giant v0 — `manifest(v)` parses v's RAW log entry first, and the
+    # fixture's single 10^6-entry commit makes that O(F) json work that
+    # NO production table pays (real commits are small deltas over a
+    # checkpointed history; the r12 10^6 row booked 5.0 s of which ~4.5 s
+    # was the v0 entry parse). v1 carries one file; planning at v1 reads
+    # v1's tiny entry + the checkpoint.
+    txn2 = "1" * 32
+    stage2 = tab.store.txn_stage_dir(txn2)
+    os.makedirs(stage2, exist_ok=True)
+    seed2 = os.path.join(stage2, "part-0000000-tail.parquet")
+    pq.write_table(
+        pa.table(
+            {"id": pa.array([n_files * 10], pa.int64()), "v": ["x"]}
+        ),
+        seed2,
+    )
+    tab._commit_files(
+        None,
+        txn2,
+        [
+            {
+                "path": f"data/txn={txn2}/part-0000000-tail.parquet",
+                "partition": {},
+                "bytes": os.path.getsize(seed2),
+                "rows": 1,
+                "stats": {"id": [n_files * 10, n_files * 10]},
+            }
+        ],
+        schema_json,
+        None,
+        "append",
+        "none",
+        None,
+        {},
         validate=False,
     )
     return tab
@@ -179,8 +218,10 @@ def main() -> None:
                     fresh = ManifestTable(
                         root, stats_cols=["id"], checkpoint_interval=1,
                     )
-                if fmt == "parquet":
-                    fresh._write_checkpoint(fresh.latest_version())
+                # each format handle checkpoints the FINAL (small) v1
+                # in its own encoding; planning then reads v1's tiny
+                # entry + this checkpoint — the production shape
+                fresh._write_checkpoint(fresh.latest_version())
                 r = bench_once(
                     spark, fresh, fmt, full_frame=not args.skip_full_frame
                 )
