@@ -172,6 +172,42 @@ def main() -> None:
     ]
     small, small_rows = run_side(spark, SMALL, names)
     big, big_rows = run_side(spark, big_dir, names)
+
+    # Round 13 (VERDICT r12 item 2): candidate FRACTION for the ANN rows
+    # at both scales — candidates / (|corpus|·|queries|), the number
+    # recall alone hides. Uses the registry queries' own configs.
+    ann_fracs: dict[str, dict] = {}
+    if {"x3b_knn_lsh", "x3c_knn_ivf"} & set(names):
+        from pyspark.sql import functions as F
+
+        from data_lakes_tp2_student_spark.catalog.llm_ops import (
+            _LSH_PLANES,
+            _LSH_TABLES,
+        )
+        from data_lakes_tp2_student_spark.operators.similarity import (
+            ivf_candidate_pairs,
+            lsh_candidate_pairs,
+        )
+
+        for side, d in (("small", SMALL), ("big", big_dir)):
+            emb = spark.read.parquet(f"{d}/embeddings.parquet")
+            q = emb.filter(F.col("vec_id") < 3)
+            denom = emb.count() * 3
+            if "x3b_knn_lsh" in names:
+                c = lsh_candidate_pairs(
+                    emb, q, planes=_LSH_PLANES, dim=64, tables=_LSH_TABLES
+                ).count()
+                ann_fracs.setdefault("x3b_knn_lsh", {})[
+                    f"candidate_fraction_{side}"
+                ] = round(c / denom, 4)
+            if "x3c_knn_ivf" in names:
+                c = ivf_candidate_pairs(
+                    emb, q, n_cells=16, nprobe=2
+                ).count()
+                ann_fracs.setdefault("x3c_knn_ivf", {})[
+                    f"candidate_fraction_{side}"
+                ] = round(c / denom, 4)
+            spark.catalog.clearCache()
     rows = []
     for n, shape in HEAVY:
         if n not in small:
@@ -207,6 +243,7 @@ def main() -> None:
                 "shape": label,
                 "expected": exp,
                 "verdict": verdict,
+                **ann_fracs.get(n, {}),
             }
         )
         print(
