@@ -447,3 +447,101 @@ def test_session_split_conf_applied(spark):
     else:
         n = int(v.rstrip("b"))
         assert 16 * (1 << 20) <= n <= 128 * (1 << 20), v
+
+
+def test_cond_ranges_between():
+    """Round 13: BETWEEN is inclusive two-sided range sugar — rewritten
+    before the AND-split (its inner 'and' would otherwise shear the
+    atom, dropping both halves)."""
+    cr = ManifestTable._cond_ranges
+    cd = ManifestTable._cond_disjuncts
+    assert cr("ts between 3 and 9") == {"ts": (3, 9)}
+    assert cr("day between '2024-01-01' and '2024-01-05'") == {
+        "day": ("2024-01-01", "2024-01-05")
+    }
+    assert cr("g = 2 and ts between 3 and 9") == {
+        "ts": (3, 9),
+        "g": (2, 2),
+    }
+    assert cr("d between date'2024-01-02' and date'2024-01-05'") == {
+        "d": ("2024-01-02", "2024-01-05")
+    }
+    # NOT BETWEEN bounds nothing
+    assert cr("ts not between 3 and 9") == {}
+    assert cd("ts between 3 and 9 or ts = 50") == [
+        {"ts": (3, 9)},
+        {"ts": (50, 50)},
+    ]
+
+
+def test_delete_between_auto_prunes(spark, tmp_path, monkeypatch):
+    tab = ManifestTable(str(tmp_path / "t"), stats_cols=["id"])
+    df = spark.createDataFrame([(i, i % 5) for i in range(60)],
+                               "id int, g int")
+    tab.commit_overwrite(df.repartitionByRange(6, "id"))
+    n_files = len(tab._snapshot_files(0))
+    assert n_files >= 4
+    seen = _spy_loads(monkeypatch)
+    tab.delete_where(spark, "id between 20 and 24")
+    monkeypatch.undo()
+    assert seen and seen[0] < n_files, (seen, n_files)
+    assert sorted(r.id for r in tab.read(spark).collect()) == [
+        i for i in range(60) if not 20 <= i <= 24
+    ]
+
+
+def test_delete_discovery_coarse_prunes_at_checkpoint(spark, tmp_path,
+                                                      monkeypatch):
+    """Round 13: row-level op discovery pre-prunes INSIDE the parquet
+    checkpoint read — the materialized manifest entry list is already
+    O(selected), not O(table files) (at 10^6 files the full dict
+    manifest alone costs 8.2 s; PERF.md #69)."""
+    tab = ManifestTable(
+        str(tmp_path / "t"), stats_cols=["id"],
+        checkpoint_interval=1, checkpoint_format="parquet",
+    )
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(60)], "id int, v string"
+    )
+    tab.commit_overwrite(df.repartitionByRange(6, "id"))
+    tab.commit_append(
+        spark.createDataFrame([(1000, "tail")], df.schema).coalesce(1)
+    )
+    v = tab.latest_version()
+    assert any(c <= v for c in tab.checkpoints())
+    n_files = len(tab._snapshot_files(v))
+
+    seen: list[int] = []
+    orig = ManifestTable.manifest
+
+    def spy(self, version, coarse_range=None, col_types=None,
+            coarse_parts=None):
+        m = orig(self, version, coarse_range, col_types, coarse_parts)
+        seen.append(len(m["files"]))
+        return m
+
+    monkeypatch.setattr(ManifestTable, "manifest", spy)
+    tab.delete_where(spark, "id = 7")
+    monkeypatch.undo()
+    assert seen and seen[0] < n_files, (seen, n_files)
+    assert sorted(r.id for r in tab.read(spark).collect()) == [
+        i for i in range(60) if i != 7
+    ] + [1000]
+
+    # non-UTC session: the coarse envelope is refused (UTC-instant
+    # normalization), discovery sees the full list, result stays exact
+    seen2: list[int] = []
+
+    def spy2(self, version, coarse_range=None, col_types=None,
+             coarse_parts=None):
+        m = orig(self, version, coarse_range, col_types, coarse_parts)
+        seen2.append(len(m["files"]))
+        return m
+
+    monkeypatch.setattr(ManifestTable, "manifest", spy2)
+    with _tz(spark, "America/New_York"):
+        tab.delete_where(spark, "id = 9")
+    monkeypatch.undo()
+    n_now = len(tab._snapshot_files(tab.latest_version()))
+    assert seen2 and seen2[0] >= n_now - 1, (seen2, n_now)
+    assert 9 not in {r.id for r in tab.read(spark).collect()}
