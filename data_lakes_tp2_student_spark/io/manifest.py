@@ -3783,8 +3783,8 @@ class MergeBuilder:
         latest = t.latest_version()
         if latest is None:
             raise FileNotFoundError(f"no committed version at {t.root}")
-        m = t.manifest(latest)
-        schema = StructType.fromJson(json.loads(t._table_schema_of(m)))
+        e0 = t._raw(latest)
+        schema = StructType.fromJson(json.loads(t._table_schema_of(e0)))
         tcols = [f.name for f in schema.fields]
         ttypes = {f.name: f.dataType for f in schema.fields}
         if self._evolve:
@@ -3822,12 +3822,12 @@ class MergeBuilder:
         # full 10^4-path frame AND a pruned one costs two driver-side
         # file-index passes: measured +60% on an unprunable merge), and
         # the prune engages only past a 10% saving for the same reason.
-        sel_files = m["files"]
         keys = [
             (tc, sc)
             for tc, sc in self._equi_keys()
             if tc in tcols and sc in src.columns
         ]
+        rf: dict = {}
         if keys and prune_ok:
             aggs = []
             for i, (_tc, sc) in enumerate(keys):
@@ -3839,31 +3839,50 @@ class MergeBuilder:
                 b = src.agg(*aggs).collect()[0]
             except Exception:
                 b = None  # un-orderable key type — skip pruning, stay sound
-            rf = {}
             if b is not None:
                 for i, (tc, _sc) in enumerate(keys):
                     lo, hi = b[f"__lo{i}"], b[f"__hi{i}"]
                     if lo is not None and hi is not None:
                         rf[tc] = (lo, hi)
-            if rf:
-                # ADVICE r11: _prune_files_range compares source bounds
-                # against stored stats with raw Python operators — a
-                # source key whose type differs from the stats domain
-                # (string source vs numeric target stats, where the Spark
-                # join would implicitly cast) raises TypeError. Pruning is
-                # an optimization: fall back to the unpruned list rather
-                # than crash a previously-working MERGE.
-                # ADVICE r12: collected timestamp bounds are naive in
-                # the SESSION timezone — only UTC sessions may compare
-                # them against the UTC-aware stored stats
-                try:
-                    pf = t._prune_files_range(
-                        m, sel_files, rf, tz_utc=_session_tz_utc(spark)
-                    )
-                except Exception:
-                    pf = sel_files
-                if len(pf) <= 0.9 * len(sel_files):
-                    sel_files = pf
+        # round 13 (the #70 lever applied to MERGE): the source bounds
+        # also pre-prune INSIDE the parquet checkpoint read, so touched-
+        # file discovery materializes O(selected) entries — gated OFF
+        # when a NOT-MATCHED-BY-SOURCE clause exists (it needs the FULL
+        # snapshot), for mapped/legacy tables, and under non-UTC
+        # sessions (collected timestamp bounds are session-zone naive)
+        coarse = ctypes = None
+        if (
+            rf
+            and not self._nms
+            and "files" not in e0
+            and not e0.get("column_mapping")
+            and _session_tz_utc(spark)
+        ):
+            coarse = rf
+            ctypes = {
+                f.name: f.dataType.simpleString() for f in schema.fields
+            }
+        m = t.manifest(latest, coarse_range=coarse, col_types=ctypes)
+        sel_files = m["files"]
+        if rf:
+            # ADVICE r11: _prune_files_range compares source bounds
+            # against stored stats with raw Python operators — a
+            # source key whose type differs from the stats domain
+            # (string source vs numeric target stats, where the Spark
+            # join would implicitly cast) raises TypeError. Pruning is
+            # an optimization: fall back to the unpruned list rather
+            # than crash a previously-working MERGE.
+            # ADVICE r12: collected timestamp bounds are naive in
+            # the SESSION timezone — only UTC sessions may compare
+            # them against the UTC-aware stored stats
+            try:
+                pf = t._prune_files_range(
+                    m, sel_files, rf, tz_utc=_session_tz_utc(spark)
+                )
+            except Exception:
+                pf = sel_files
+            if len(pf) <= 0.9 * len(sel_files):
+                sel_files = pf
         pruned_prov = t._load_snapshot(spark, m, sel_files, provenance=True)
         prov = pruned_prov if sel_files is m["files"] else None
 

@@ -545,3 +545,66 @@ def test_delete_discovery_coarse_prunes_at_checkpoint(spark, tmp_path,
     n_now = len(tab._snapshot_files(tab.latest_version()))
     assert seen2 and seen2[0] >= n_now - 1, (seen2, n_now)
     assert 9 not in {r.id for r in tab.read(spark).collect()}
+
+
+def test_merge_discovery_coarse_prunes_at_checkpoint(spark, tmp_path,
+                                                     monkeypatch):
+    """Round 13: MERGE's source-bounds skipping also pre-prunes inside
+    the parquet checkpoint read (O(selected) entry materialization) —
+    EXCEPT when a NOT-MATCHED-BY-SOURCE clause needs the full snapshot."""
+    tab = ManifestTable(
+        str(tmp_path / "t"), stats_cols=["id"],
+        checkpoint_interval=1, checkpoint_format="parquet",
+    )
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(60)], "id int, v string"
+    )
+    tab.commit_overwrite(df.repartitionByRange(6, "id"))
+    tab.commit_append(
+        spark.createDataFrame([(1000, "tail")], df.schema).coalesce(1)
+    )
+    n_files = len(tab._snapshot_files(tab.latest_version()))
+
+    seen: list[int] = []
+    orig = ManifestTable.manifest
+
+    def spy(self, version, coarse_range=None, col_types=None,
+            coarse_parts=None):
+        m = orig(self, version, coarse_range, col_types, coarse_parts)
+        seen.append(len(m["files"]))
+        return m
+
+    src = spark.createDataFrame([(7, "patched")], "id int, v string")
+    monkeypatch.setattr(ManifestTable, "manifest", spy)
+    (
+        tab.merge(spark, src, "t.id = s.id")
+        .when_matched_update(set={"v": "s.v"})
+        .execute()
+    )
+    monkeypatch.undo()
+    assert seen and seen[0] < n_files, (seen, n_files)
+    got = {r.id: r.v for r in tab.read(spark).collect()}
+    assert got[7] == "patched" and got[8] == "v8" and got[1000] == "tail"
+
+    # an NMS clause requires every target row: coarse must NOT engage
+    n_now = len(tab._snapshot_files(tab.latest_version()))
+    seen2: list[int] = []
+
+    def spy2(self, version, coarse_range=None, col_types=None,
+             coarse_parts=None):
+        m = orig(self, version, coarse_range, col_types, coarse_parts)
+        seen2.append(len(m["files"]))
+        return m
+
+    src2 = spark.createDataFrame([(8, "kept")], "id int, v string")
+    monkeypatch.setattr(ManifestTable, "manifest", spy2)
+    (
+        tab.merge(spark, src2, "t.id = s.id")
+        .when_matched_update(set={"v": "s.v"})
+        .when_not_matched_by_source_delete(condition="t.id = 3")
+        .execute()
+    )
+    monkeypatch.undo()
+    assert seen2 and seen2[0] >= n_now, (seen2, n_now)
+    ids = {r.id for r in tab.read(spark).collect()}
+    assert 3 not in ids and 8 in ids and 1000 in ids
