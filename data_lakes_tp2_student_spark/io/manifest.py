@@ -204,6 +204,66 @@ def _norm_bounds(lo, hi, sample, col_type=None, tz_utc=True):
         return None
 
 
+_REFUSE = object()  # sentinel: literal not usable in the column's domain
+
+
+def _lit_domain(v, simple_type: str):
+    """A parsed SQL literal → the committed column's COMPARISON domain,
+    or `_REFUSE` when no sound conversion exists (round 13 review: a
+    quoted literal list like `b IN ('2', '10')` on an INT column had
+    its [min, max] envelope computed in STRING order — '10' < '2' — and
+    then re-typed into numeric order, yielding an inverted or tighter-
+    than-true interval that silently pruned files holding matches).
+    None (unbounded side) passes through. Strings parse into numeric
+    domains only when the WHOLE string is the number; numeric literals
+    never enter string domains (Spark casts the COLUMN there, so string
+    stats/partition order proves nothing about the match set)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return _REFUSE
+    if simple_type in ("tinyint", "smallint", "int", "bigint"):
+        if isinstance(v, int):
+            return v
+        if isinstance(v, float):
+            return v  # float bound vs int domain: same python order
+        if isinstance(v, str):
+            try:
+                return int(v)
+            except ValueError:
+                try:
+                    return float(v)
+                except ValueError:
+                    return _REFUSE
+        return _REFUSE
+    if simple_type in ("float", "double") or simple_type.startswith(
+        "decimal"
+    ):
+        if isinstance(v, (int, float)):
+            return v
+        if isinstance(v, str):
+            try:
+                return float(v)
+            except ValueError:
+                return _REFUSE
+        return _REFUSE
+    if simple_type.startswith("string"):
+        return v if isinstance(v, str) else _REFUSE
+    if simple_type in ("date", "timestamp", "timestamp_ntz"):
+        # temporal literals stay ISO strings; their ordering as strings
+        # matches their temporal ordering within one format, and the
+        # downstream paths (_norm_bounds / _typed_part_value) finish the
+        # canonicalization. Non-strings (collected datetimes) pass too.
+        import datetime as _dt
+
+        if isinstance(v, (str, _dt.date, _dt.datetime)):
+            return v
+        return _REFUSE
+    if simple_type == "boolean":
+        return _REFUSE  # equality on bools prunes poorly; stay out
+    return v if isinstance(v, str) else _REFUSE
+
+
 def _session_tz_utc(spark) -> bool:
     """True iff `spark` evaluates naive timestamp literals as UTC
     instants (session timezone pinned to UTC). ManifestTable accepts ANY
@@ -1867,7 +1927,7 @@ class ManifestTable:
 
     def _prune_files_range(
         self, m: dict, files: list[dict], range_filter: dict,
-        tz_utc: bool = True,
+        tz_utc: bool = True, col_types: dict | None = None,
     ) -> list[dict]:
         """Manifest data skipping: drop every file whose recorded
         [min, max] (or typed partition value) cannot overlap the
@@ -1882,12 +1942,13 @@ class ManifestTable:
         # stats are keyed by PHYSICAL column name (stable across
         # renames); callers filter on logical names
         cmap = m.get("column_mapping") or {}
-        col_types = {
-            f.name: f.dataType.simpleString()
-            for f in StructType.fromJson(
-                json.loads(self._table_schema_of(m))
-            ).fields
-        }
+        if col_types is None:  # callers in a loop pass it precomputed
+            col_types = {
+                f.name: f.dataType.simpleString()
+                for f in StructType.fromJson(
+                    json.loads(self._table_schema_of(m))
+                ).fields
+            }
         part_types = {
             c: t
             for c, t in col_types.items()
@@ -1910,6 +1971,23 @@ class ManifestTable:
                 # compare TYPED ('9' < '10' numerically). NULL /
                 # unparsable values are kept (cannot prune — sound).
                 st = part_types[c]
+                # round-13 review: the tz gate applies HERE too — under
+                # a non-UTC session, collected/parsed temporal bounds
+                # are session-zone wall times while path values are the
+                # writer's UTC wall times; refuse timestamp columns and
+                # dates with time-carrying bounds (date-only↔date-only
+                # compares are instant-free and stay prunable)
+                if not tz_utc and st.startswith("timestamp"):
+                    continue
+                if not tz_utc and st == "date":
+                    def _dateonly(b):
+                        if b is None:
+                            return True
+                        s2 = str(b)
+                        return "T" not in s2 and ":" not in s2
+
+                    if not (_dateonly(lo) and _dateonly(hi)):
+                        continue
                 tlo = None if lo is None else _typed_part_value(str(lo), st)
                 thi = None if hi is None else _typed_part_value(str(hi), st)
                 if (lo is not None and tlo is None) or (
@@ -2020,11 +2098,29 @@ class ManifestTable:
                     return mm.group(0)
                 vals.append(_decode(t))
             try:
-                lo_t = toks[min(range(len(vals)), key=lambda i: vals[i])]
-                hi_t = toks[max(range(len(vals)), key=lambda i: vals[i])]
+                lo_i = min(range(len(vals)), key=lambda i: vals[i])
+                hi_i = max(range(len(vals)), key=lambda i: vals[i])
+                # round-13 review: this parser cannot see the column's
+                # type, so when EVERY literal also parses as a number
+                # the envelope is only sound if the string and numeric
+                # orders pick the SAME endpoints — `b IN ('1','9','10')`
+                # on an INT column would otherwise envelope to ('1','9')
+                # and a typed consumer would prune the file holding 10.
+                # Disagreement → leave the atom unrewritten (paren bail
+                # → no prune, sound).
+                if all(isinstance(v, str) for v in vals):
+                    try:
+                        nums = [float(v) for v in vals]
+                    except ValueError:
+                        nums = None
+                    if nums is not None:
+                        nlo = min(range(len(nums)), key=lambda i: nums[i])
+                        nhi = max(range(len(nums)), key=lambda i: nums[i])
+                        if vals[nlo] != vals[lo_i] or vals[nhi] != vals[hi_i]:
+                            return mm.group(0)
             except TypeError:
                 return mm.group(0)  # mixed literal types: unboundable
-            return f" {mm.group(1)} >= {lo_t} and {mm.group(1)} <= {hi_t} "
+            return f" {mm.group(1)} >= {toks[lo_i]} and {mm.group(1)} <= {toks[hi_i]} "
 
         s = re.sub(
             rf"{COL}\s+in\s*\(([^()]*)\)", _in_rewrite, s, flags=re.I
@@ -2227,28 +2323,43 @@ class ManifestTable:
         common = set(disjuncts[0])
         for rf in disjuncts[1:]:
             common &= set(rf)
-        env: dict = {}
-        for c in common:
-            try:
-                los = [rf[c][0] for rf in disjuncts]
-                his = [rf[c][1] for rf in disjuncts]
-                lo = None if any(v is None for v in los) else min(los)
-                hi = None if any(v is None for v in his) else max(his)
-                if lo is None and hi is None:
-                    continue
-                if lo is not None and hi is not None:
-                    lo <= hi  # noqa: B015 — domain compatibility probe
-            except TypeError:
-                continue  # mixed branch domains: no sound envelope
-            env[c] = (lo, hi)
-        if not env:
-            return None, None
         col_types = {
             f.name: f.dataType.simpleString()
             for f in StructType.fromJson(
                 json.loads(self._table_schema_of(entry))
             ).fields
         }
+        env: dict = {}
+        for c in common:
+            # normalize every branch bound into the COLUMN's comparison
+            # domain BEFORE taking the union min/max (round-13 review: a
+            # quoted int list's envelope taken in string order — e.g.
+            # {'1','9','10'} → ('1','9') — is tighter than the true
+            # numeric envelope (1, 10) and silently missed matches);
+            # an unconvertible literal makes the branch unbounded on c,
+            # so c cannot bound the union at all
+            try:
+                los = [
+                    _lit_domain(rf[c][0], col_types.get(c, ""))
+                    for rf in disjuncts
+                ]
+                his = [
+                    _lit_domain(rf[c][1], col_types.get(c, ""))
+                    for rf in disjuncts
+                ]
+                if any(v is _REFUSE for v in los + his):
+                    continue
+                lo = None if any(v is None for v in los) else min(los)
+                hi = None if any(v is None for v in his) else max(his)
+                if lo is None and hi is None:
+                    continue
+                if lo is not None and hi is not None and not (lo <= hi):
+                    continue  # cross-domain residue: refuse, stay sound
+            except TypeError:
+                continue  # mixed branch domains: no sound envelope
+            env[c] = (lo, hi)
+        if not env:
+            return None, None
         return env, col_types
 
     def _auto_prune(
@@ -2298,6 +2409,22 @@ class ManifestTable:
         def _norm_branch(rf: dict) -> dict:
             norm: dict = {}
             for c, (lo, hi) in rf.items():
+                # literals into the column's comparison domain first
+                # (round-13 review: quoted numerics on numeric columns
+                # otherwise ride string order into typed compares)
+                ct = col_types.get(c, "")
+                lo = _lit_domain(lo, ct)
+                hi = _lit_domain(hi, ct)
+                if lo is _REFUSE or hi is _REFUSE:
+                    continue
+                if (
+                    lo is not None
+                    and hi is not None
+                    and type(lo) is type(hi)
+                    and not isinstance(lo, str)
+                    and lo > hi
+                ):
+                    continue  # residual inversion: refuse, stay sound
                 if c in part_cols:
                     # typed partition compare canonicalizes its own
                     # domain — but temporal partition values under a
@@ -2305,7 +2432,6 @@ class ManifestTable:
                     # hazard, so they are gated identically (date
                     # partitions with date-only bounds stay prunable;
                     # timestamps need UTC)
-                    ct = col_types.get(c, "")
                     if not tz_utc and ct.startswith("timestamp"):
                         continue
                     norm[c] = (lo, hi)
@@ -2337,7 +2463,9 @@ class ManifestTable:
                 norm = _norm_branch(rf)
                 if not norm:
                     return files  # this branch alone can match anywhere
-                kept = self._prune_files_range(m, files, norm, tz_utc=tz_utc)
+                kept = self._prune_files_range(
+                    m, files, norm, tz_utc=tz_utc, col_types=col_types
+                )
                 surviving.update(e["path"] for e in kept)
             return [e for e in files if e["path"] in surviving]
         except Exception:
@@ -2618,8 +2746,12 @@ class ManifestTable:
         # snapshot's contemporaneous logical names — identity on tables
         # that never renamed/dropped
         mapping = m.get("column_mapping") or {}
+        # round-13 review: StructType.add parses JSON type names — "long",
+        # not "bigint" (the "bigint" spelling raised CANNOT_PARSE_DATATYPE
+        # on the empty-snapshot branch, so a fully-pruned no-match
+        # DELETE/UPDATE crashed instead of no-opping)
         prov_fields = (
-            [("_rel", "string"), ("_pos", "bigint")] if provenance else []
+            [("_rel", "string"), ("_pos", "long")] if provenance else []
         )
         if not files:
             out_schema = StructType.fromJson(

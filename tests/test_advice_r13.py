@@ -608,3 +608,125 @@ def test_merge_discovery_coarse_prunes_at_checkpoint(spark, tmp_path,
     assert seen2 and seen2[0] >= n_now, (seen2, n_now)
     ids = {r.id for r in tab.read(spark).collect()}
     assert 3 not in ids and 8 in ids and 1000 in ids
+
+
+# ---------------------------------------------------------------------------
+# round-13 review wave: cross-domain envelopes, empty-prune no-op, tz gate
+# ---------------------------------------------------------------------------
+
+
+def test_quoted_int_in_list_on_partition_column_exact(spark, tmp_path):
+    """Review finding 1 (CONFIRMED repro): `b IN ('2', '10')` on an INT
+    partition column — the [min, max] envelope taken in STRING order
+    ('10' < '2') re-typed numerically is an EMPTY interval that silently
+    pruned every matching file. Literals now normalize into the column's
+    domain before any envelope; the delete must remove ALL matches."""
+    tab = ManifestTable(
+        str(tmp_path / "t"), stats_cols=[],
+        checkpoint_interval=1, checkpoint_format="parquet",
+    )
+    df = spark.createDataFrame(
+        [(i, i % 12) for i in range(48)], "id int, b int"
+    )
+    tab.commit_overwrite(df, partition_by=["b"])
+    tab.commit_append(
+        spark.createDataFrame([(101, 2)], df.schema), partition_by=["b"]
+    )
+    tab.delete_where(spark, "b IN ('2', '10')")
+    got = sorted(r.id for r in tab.read(spark).collect())
+    assert got == [i for i in range(48) if i % 12 not in (2, 10)], got
+
+
+def test_quoted_int_in_list_stats_column_exact(spark, tmp_path):
+    """Same cross-domain hazard on a STATS column: '1','9','10' as
+    quoted literals — the string envelope ('1','9') would miss 10."""
+    tab = ManifestTable(str(tmp_path / "t"), stats_cols=["id"])
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(15)], "id int, v string"
+    )
+    tab.commit_overwrite(df.repartitionByRange(5, "id"))
+    tab.delete_where(spark, "id IN ('1', '9', '10')")
+    got = sorted(r.id for r in tab.read(spark).collect())
+    assert got == [i for i in range(15) if i not in (1, 9, 10)], got
+
+
+def test_in_rewrite_order_disagreement_refuses_envelope():
+    """The schema-blind parser refuses an IN envelope whenever the
+    string and numeric orders disagree on the endpoints (it cannot know
+    which domain the column lives in)."""
+    cr = ManifestTable._cond_ranges
+    # 33+ values forces the envelope path (expansion cap is 32)
+    vals = ", ".join(f"'{v}'" for v in list(range(100, 131)) + [1, 9])
+    assert cr(f"k in ({vals})") == {}
+    # agreeing orders still envelope ('100'..'131' share a width)
+    vals2 = ", ".join(f"'{v}'" for v in range(100, 140))
+    assert cr(f"k in ({vals2})") == {"k": ("100", "139")}
+    # duplicated endpoint values never false-refuse
+    assert cr("k in ('2', '2')") == {"k": ("2", "2")}
+
+
+def test_no_match_delete_fully_pruned_is_noop(spark, tmp_path):
+    """Review finding 2: a predicate whose bounds prune EVERY file used
+    to crash in the empty-snapshot provenance branch
+    (StructType.add('bigint') is not a JSON type name) — it must no-op."""
+    tab = ManifestTable(str(tmp_path / "t"), stats_cols=["id"])
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id int, v string"
+    )
+    v0 = tab.commit_overwrite(df.repartitionByRange(3, "id"))
+    assert tab.delete_where(spark, "id = 123456789") == v0
+    assert tab.update_where(spark, "id = 987654321", {"v": "'x'"}) == v0
+    assert tab.delete_where(spark, "id = 123456789", mode="dv") == v0
+    assert sorted(r.id for r in tab.read(spark).collect()) == list(range(20))
+
+
+def test_partition_range_tz_gate_unit():
+    """Review finding 3: _prune_files_range's typed PARTITION branch
+    honors tz_utc — timestamp partition columns refuse pruning under a
+    non-UTC session; date columns stay prunable only for date-only
+    bounds."""
+    import json as _json
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "ts", "type": "timestamp", "nullable": True,
+             "metadata": {}},
+            {"name": "d", "type": "date", "nullable": True,
+             "metadata": {}},
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    m = {
+        "schema": _json.dumps(schema),
+        "table_schema": _json.dumps(schema),
+        "partition_by": ["ts", "d"],
+        "files": [],
+    }
+    files = [
+        {"path": "a", "partition": {"ts": "2024-01-01 05:00:00",
+                                    "d": "2024-01-01"}},
+        {"path": "b", "partition": {"ts": "2024-01-03 05:00:00",
+                                    "d": "2024-01-03"}},
+    ]
+    tab = ManifestTable.__new__(ManifestTable)
+    # timestamp partition: prunes under UTC, refuses otherwise
+    kept_utc = tab._prune_files_range(
+        m, files, {"ts": ("2024-01-03", None)}, tz_utc=True
+    )
+    assert [e["path"] for e in kept_utc] == ["b"]
+    kept_local = tab._prune_files_range(
+        m, files, {"ts": ("2024-01-03", None)}, tz_utc=False
+    )
+    assert [e["path"] for e in kept_local] == ["a", "b"]
+    # date partition: date-only bounds prune under any tz; a
+    # time-carrying bound refuses when not tz_utc
+    kept_d = tab._prune_files_range(
+        m, files, {"d": ("2024-01-03", None)}, tz_utc=False
+    )
+    assert [e["path"] for e in kept_d] == ["b"]
+    kept_dt = tab._prune_files_range(
+        m, files, {"d": ("2024-01-02 10:00", None)}, tz_utc=False
+    )
+    assert [e["path"] for e in kept_dt] == ["a", "b"]
