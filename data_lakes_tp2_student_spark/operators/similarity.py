@@ -392,6 +392,27 @@ def knn_lsh(
     )
 
 
+def top_sets(df: DataFrame) -> dict:
+    """(query_id → set of neighbor_ids) from a kNN result frame — the
+    shared shape `mean_recall` consumes. Lives here (not in the tests)
+    so the gate in tests/test_ann_quality.py and the operating-point
+    script scripts/ann_operating_points.py measure the SAME quantity
+    (round-13 review: two drifting copies of the recall definition
+    would let the booked curve and the gated threshold diverge)."""
+    out: dict = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def mean_recall(truth: dict, approx: dict) -> float:
+    """Mean per-query recall of `approx` against exact `truth`
+    (both `top_sets` shapes)."""
+    return sum(
+        len(truth[q] & approx.get(q, set())) / len(truth[q]) for q in truth
+    ) / len(truth)
+
+
 def lsh_candidate_pairs(
     corpus: DataFrame,
     queries: DataFrame,

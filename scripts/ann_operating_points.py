@@ -35,24 +35,13 @@ from data_lakes_tp2_student_spark.operators.similarity import (  # noqa: E402
     knn_ivf,
     knn_lsh,
     lsh_candidate_pairs,
+    mean_recall,
+    top_sets,
 )
 from data_lakes_tp2_student_spark.session import get_spark  # noqa: E402
 
 K = 10
 N_QUERIES = 20
-
-
-def top_sets(df) -> dict:
-    out: dict = {}
-    for r in df.collect():
-        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    return out
-
-
-def mean_recall(truth: dict, approx: dict) -> float:
-    return sum(
-        len(truth[q] & approx.get(q, set())) / len(truth[q]) for q in truth
-    ) / len(truth)
 
 
 def main() -> None:

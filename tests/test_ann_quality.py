@@ -17,6 +17,8 @@ from data_lakes_tp2_student_spark.operators.similarity import (
     knn_bruteforce,
     knn_ivf,
     knn_lsh,
+    mean_recall,
+    top_sets,
 )
 
 K = 10
@@ -28,11 +30,9 @@ def corpus(spark):
     return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
 
 
-def _top_sets(df):
-    out: dict = {}
-    for r in df.collect():
-        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    return out
+# shared with scripts/ann_operating_points.py (round-13 review: one
+# recall definition for both the gate and the booked curve)
+_top_sets = top_sets
 
 
 @pytest.fixture(scope="module")
@@ -41,10 +41,7 @@ def truth(corpus):
     return _top_sets(knn_bruteforce(corpus, q, k=K))
 
 
-def _mean_recall(truth, approx):
-    return sum(
-        len(truth[q] & approx.get(q, set())) / len(truth[q]) for q in truth
-    ) / len(truth)
+_mean_recall = mean_recall
 
 
 def test_multitable_lsh_recall(corpus, truth):
