@@ -316,7 +316,8 @@ def x3b_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (6-bit/8-bit codes collapse recall faster than they shrink buckets).
     That is a property of unstructured embeddings, not a tuning miss —
     so sign-LSH here is the structured-embedding path, and IVF
-    (x3c: recall 0.73-0.81 at fraction ≈ 0.12, cells ∝ corpus) is the
+    (x3c: recall ≈ 0.805 at fraction ≈ 0.12 since the round-14 default
+    flip to 32 cells / nprobe 4, cells ∝ corpus) is the
     100-TB default for unstructured vectors. Both the fraction ceiling
     and the recall floor are gated in tests/test_ann_quality.py. The
     oracle mirrors the union with an OR-of-buckets join + DISTINCT."""
@@ -335,7 +336,7 @@ def x3b_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x3c_knn_ivf",
     oracle=f"""
     WITH cent AS (SELECT vec_id AS centroid, embedding AS cvec
-                  FROM embeddings WHERE vec_id < 16),
+                  FROM embeddings WHERE vec_id < 32),
     assigned AS (
         SELECT e.vec_id, e.embedding, c.centroid,
                row_number() OVER (
@@ -346,7 +347,7 @@ def x3b_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cells AS (SELECT vec_id, embedding, centroid FROM assigned WHERE crn = 1),
     probes AS (SELECT vec_id AS query_id, embedding AS qe, centroid
-               FROM assigned WHERE vec_id < 3 AND crn <= 2),
+               FROM assigned WHERE vec_id < 3 AND crn <= 4),
     scored AS (
         SELECT p.query_id, c.vec_id AS neighbor_id,
                {_sql_cos('c.embedding', 'p.qe')} AS cos_sim
@@ -362,13 +363,19 @@ def x3b_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x3c_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x3 scale path (IVF): 16 deterministic centroid cells, nprobe=2 —
-    candidates ∝ corpus/16 × 2 per query instead of the full corpus; exact
+    """x3 scale path (IVF): 32 deterministic centroid cells, nprobe=4 —
+    candidates ∝ corpus/32 × 4 per query instead of the full corpus; exact
     cosine only within probed cells. The inverted-file analog of x3b's LSH
-    bucketing (k-means would refine centroid positions; join shape equal)."""
+    bucketing (k-means would refine centroid positions; join shape equal).
+    Round 14 flipped the operating point from 16 cells / nprobe 2 (recall
+    0.730) to 32 / 4 (recall 0.805) — PERF.md #68's curve showed both points
+    pay the SAME candidate fraction ≈ 0.122, so the old default was
+    dominated (VERDICT r13 item 2). Semantics change ⇒ oracle regenerated
+    from the same constants and the bench row re-based (both-numbers
+    policy)."""
     emb = load(spark, sf_dir, "embeddings")
     return knn_ivf(
-        emb, emb.filter(F.col("vec_id") < 3), k=5, n_cells=16, nprobe=2
+        emb, emb.filter(F.col("vec_id") < 3), k=5, n_cells=32, nprobe=4
     )
 
 

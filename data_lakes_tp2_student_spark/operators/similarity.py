@@ -288,8 +288,8 @@ def knn_ivf(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     k: int = 5,
-    n_cells: int = 16,
-    nprobe: int = 2,
+    n_cells: int = 32,
+    nprobe: int = 4,
 ) -> DataFrame:
     """x3 scale path (IVF): corpus vectors live in their single nearest cell;
     a query probes its `nprobe` nearest cells and scores exact cosine only
@@ -298,7 +298,15 @@ def knn_ivf(
     At billion-row scale the assignment pass is one broadcast-scored scan and
     the cell table is written bucketed by cell. Each corpus vector lives in
     exactly one cell and a query's probed cells are distinct, so no
-    (query, neighbor) pair can appear twice — no dedup stage needed."""
+    (query, neighbor) pair can appear twice — no dedup stage needed.
+
+    Defaults are the MEASURED dominating operating point (round-14 flip,
+    VERDICT r13 item 2): on the sf0.01 corpus, 32 cells / nprobe 4 reaches
+    recall@10 ≈ 0.805 at candidate fraction ≈ 0.122 — the SAME fraction the
+    old 16 / 2 default paid for recall 0.730 (PERF.md #68's curve), so the
+    extra recall is free shuffle-wise. nprobe/n_cells stays 1/8 either way;
+    doubling the cell count halves each cell's population, canceling the
+    doubled probe count."""
     cent = ivf_centroids(corpus, id_col, vec_col, n_cells)
     assigned = ivf_cells(corpus, cent, id_col, vec_col, nprobe=1)
     probes = ivf_cells(queries, cent, id_col, vec_col, nprobe=nprobe).select(
@@ -413,7 +421,7 @@ def mean_recall(truth: dict, approx: dict) -> float:
     ) / len(truth)
 
 
-def lsh_candidate_pairs(
+def ann_candidate_pairs(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
@@ -432,7 +440,12 @@ def lsh_candidate_pairs(
     tests/test_ann_quality.py pins the default operating point's fraction
     alongside its recall so a recall "win" bought purely with shuffle
     volume fails loudly. Shares `lsh_buckets_batch` with knn_lsh —
-    bit-identical buckets, so the pair set IS the scored set."""
+    bit-identical buckets, so the pair set IS the scored set.
+
+    Named `ann_candidate_pairs` (round 14, VERDICT r13 item 3): this is a
+    vector-ANN measurement INSTRUMENT, distinct from the text-dedup QUERY
+    operator `operators.dedup.lsh_candidate_pairs` (MinHash band-bucket
+    pairs) which shares neither semantics nor signature."""
     per_table = [
         hyperplane_coefficients(planes, dim, table=t) for t in range(tables)
     ]
@@ -462,10 +475,10 @@ def ivf_candidate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    n_cells: int = 16,
-    nprobe: int = 2,
+    n_cells: int = 32,
+    nprobe: int = 4,
 ) -> DataFrame:
-    """IVF analog of `lsh_candidate_pairs`: the distinct pairs scored by
+    """IVF analog of `ann_candidate_pairs`: the distinct pairs scored by
     `knn_ivf` at the same (n_cells, nprobe) — expected fraction ≈
     nprobe / n_cells on balanced cells, the number the 100-TB sizing
     math uses."""

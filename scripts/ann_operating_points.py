@@ -34,7 +34,7 @@ from data_lakes_tp2_student_spark.operators.similarity import (  # noqa: E402
     knn_bruteforce,
     knn_ivf,
     knn_lsh,
-    lsh_candidate_pairs,
+    ann_candidate_pairs,
     mean_recall,
     top_sets,
 )
@@ -66,7 +66,7 @@ def main() -> None:
             ),
         )
         wall = time.perf_counter() - t0
-        cand = lsh_candidate_pairs(
+        cand = ann_candidate_pairs(
             corpus, q, planes=planes, dim=64, tables=tables
         ).count()
         row = {

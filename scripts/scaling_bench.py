@@ -62,6 +62,10 @@ SLACK = 1.5
 # SEMANTICS) is NOT declared here — the harness measures output-row
 # growth and derives it (VERDICT r10 item 4).
 HEAVY = [
+    # round 14 (VERDICT r13 item 4): the flagship scan/agg pair joins the
+    # measured set so the 100x point covers every headline family
+    ("flagship_summary", "linear"),
+    ("d3_group_sizes", "linear"),
     ("x1_exact_dedup", "linear"),
     ("x2_minhash_pairs", "linear"),
     ("x2b_jaccard_verify", "linear"),
@@ -186,7 +190,7 @@ def main() -> None:
         )
         from data_lakes_tp2_student_spark.operators.similarity import (
             ivf_candidate_pairs,
-            lsh_candidate_pairs,
+            ann_candidate_pairs,
         )
 
         for side, d in (("small", SMALL), ("big", big_dir)):
@@ -194,16 +198,15 @@ def main() -> None:
             q = emb.filter(F.col("vec_id") < 3)
             denom = emb.count() * 3
             if "x3b_knn_lsh" in names:
-                c = lsh_candidate_pairs(
+                c = ann_candidate_pairs(
                     emb, q, planes=_LSH_PLANES, dim=64, tables=_LSH_TABLES
                 ).count()
                 ann_fracs.setdefault("x3b_knn_lsh", {})[
                     f"candidate_fraction_{side}"
                 ] = round(c / denom, 4)
             if "x3c_knn_ivf" in names:
-                c = ivf_candidate_pairs(
-                    emb, q, n_cells=16, nprobe=2
-                ).count()
+                # registry defaults (32 cells / nprobe 4 since round 14)
+                c = ivf_candidate_pairs(emb, q).count()
                 ann_fracs.setdefault("x3c_knn_ivf", {})[
                     f"candidate_fraction_{side}"
                 ] = round(c / denom, 4)

@@ -5,7 +5,7 @@ Correctness of each path vs its own oracle is the differential suite's job;
 this guards the RETRIEVAL quality — an ANN that is "correct" but returns
 near-nothing (the single-table trap: measured recall@10 ≈ 0.03) is a broken
 similarity search at any scale. Thresholds sit well under measured values
-(lsh 4×4 ≈ 0.40, ivf nprobe=2 ≈ 0.73) to stay robust to parameter noise.
+(lsh 4×4 ≈ 0.40, ivf 32/4 ≈ 0.805) to stay robust to parameter noise.
 """
 
 from __future__ import annotations
@@ -76,12 +76,15 @@ def test_default_lsh_config_recall(corpus, truth):
 
 
 def test_ivf_recall(corpus, truth):
-    """x3c's registry config (n_cells=16, nprobe=2 — the knn_ivf defaults)
-    must retrieve: recall@10 >= 0.5 (measured ~0.73 at sf0.01; floor leaves
-    noise margin). VERDICT r9 item 6's pinned IVF floor."""
+    """x3c's registry config (n_cells=32, nprobe=4 — the knn_ivf defaults
+    since the round-14 flip to the dominating operating point) must
+    retrieve: recall@10 >= 0.6 (measured ~0.805 at sf0.01; floor leaves
+    noise margin, and sits ABOVE the old 16/2 default's 0.73-measured /
+    0.5-floored point so a silent revert fails). VERDICT r9 item 6's
+    pinned IVF floor, re-based per VERDICT r13 item 2."""
     q = corpus.filter(F.col("vec_id") < N_QUERIES)
-    r = _mean_recall(truth, _top_sets(knn_ivf(corpus, q, k=K, nprobe=2)))
-    assert r >= 0.5, r
+    r = _mean_recall(truth, _top_sets(knn_ivf(corpus, q, k=K)))
+    assert r >= 0.6, r
 
 
 def test_semdedup_neighbor_recall(corpus):
@@ -129,12 +132,12 @@ def test_default_lsh_candidate_fraction_pinned(corpus):
         _LSH_TABLES,
     )
     from data_lakes_tp2_student_spark.operators.similarity import (
-        lsh_candidate_pairs,
+        ann_candidate_pairs,
     )
 
     q = corpus.filter(F.col("vec_id") < N_QUERIES)
     n = corpus.count()
-    cand = lsh_candidate_pairs(
+    cand = ann_candidate_pairs(
         corpus, q, planes=_LSH_PLANES, dim=64, tables=_LSH_TABLES
     ).count()
     frac = cand / (n * N_QUERIES)
@@ -143,24 +146,24 @@ def test_default_lsh_candidate_fraction_pinned(corpus):
 
 def test_ivf_dominates_lsh_on_candidate_fraction(corpus):
     """The documented 100-TB guidance — IVF for unstructured embeddings —
-    rests on a measured dominance: at comparable recall (0.73-0.81 vs
-    0.905), IVF scores ≤ 1/4 the candidates the default LSH point does.
+    rests on a measured dominance: at comparable recall (0.805 vs 0.905),
+    IVF scores ≤ 1/4 the candidates the default LSH point does.
     Pinning the ratio keeps the guidance honest if either side drifts."""
     from data_lakes_tp2_student_spark.catalog.llm_ops import (
         _LSH_PLANES,
         _LSH_TABLES,
     )
     from data_lakes_tp2_student_spark.operators.similarity import (
+        ann_candidate_pairs,
         ivf_candidate_pairs,
-        lsh_candidate_pairs,
     )
 
     q = corpus.filter(F.col("vec_id") < N_QUERIES)
-    lsh_c = lsh_candidate_pairs(
+    lsh_c = ann_candidate_pairs(
         corpus, q, planes=_LSH_PLANES, dim=64, tables=_LSH_TABLES
     ).count()
-    ivf_c = ivf_candidate_pairs(corpus, q, n_cells=16, nprobe=2).count()
+    ivf_c = ivf_candidate_pairs(corpus, q).count()  # registry 32/4 defaults
     assert ivf_c * 4 <= lsh_c, (ivf_c, lsh_c)
     # and the IVF fraction itself stays near its nprobe/n_cells budget
     n = corpus.count()
-    assert ivf_c / (n * N_QUERIES) <= 2.0 * 2 / 16, ivf_c
+    assert ivf_c / (n * N_QUERIES) <= 2.0 * 4 / 32, ivf_c
