@@ -1279,3 +1279,64 @@ def x74_prune_in_or_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prange",
     )
     return live.unionByName(part).unionByName(prange)
+
+
+@register(
+    "x75_merged_dv_reads",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey = 7
+                    THEN o_totalprice * 2 ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey NOT IN (2, 3, 4)
+    )
+    SELECT 'dv' AS snap, o_orderkey, CAST(price AS DOUBLE) AS price
+    FROM base
+    UNION ALL
+    SELECT 'reorg' AS snap, o_orderkey, CAST(price AS DOUBLE) AS price
+    FROM base
+    UNION ALL
+    SELECT 'tt' AS snap, o_orderkey, CAST(price AS DOUBLE) AS price
+    FROM base
+    """,
+)
+def x75_merged_dv_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x75 — round 14's lake levers end-to-end under the oracle gate (the
+    x73/x74 pattern applied to this round): merge-on-read DELETEs that
+    STACK on the same data file (the second commit folds both deletion
+    vectors into one merged DV — io/manifest.py:_merge_stacked_dvs), a
+    merge-on-read UPDATE layered on top of the merged DV, then
+    `reorg(min_deleted_ratio=0.0)` materializing every DV into rewritten
+    files. Three snapshots are hashed against one oracle row set:
+    'dv' (the single-scan broadcast-anti-join read THROUGH the merged
+    DVs), 'reorg' (the purged rewrite — must be row-identical), and
+    'tt' (time travel back to the pre-reorg version, re-applying the DVs
+    after the purge commit). A hash match proves merge + single-scan
+    apply + purge lose and invent nothing."""
+    root = os.path.join(
+        _TMP, "x75_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = ManifestTable(root, stats_cols=["o_orderkey"])
+    df = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table.commit_overwrite(df.repartitionByRange(4, "o_orderkey"))
+    table.delete_where(spark, "o_orderkey IN (2, 3)", mode="dv")
+    table.delete_where(spark, "o_orderkey = 4", mode="dv")  # merges file0
+    v_dv = table.update_where(
+        spark, "o_orderkey = 7", {"o_totalprice": "o_totalprice * 2"},
+        mode="dv",
+    )
+    v_reorg = table.reorg(spark, min_deleted_ratio=0.0)
+    assert v_reorg == v_dv + 1  # the purge really committed
+
+    def shape(d, tag):
+        return d.select(
+            F.lit(tag).alias("snap"),
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+
+    dv = shape(table.read(spark, version=v_dv), "dv")
+    reorg = shape(table.read(spark, version=v_reorg), "reorg")
+    tt = shape(table.read(spark, version=v_dv), "tt")
+    return dv.unionByName(reorg).unionByName(tt)

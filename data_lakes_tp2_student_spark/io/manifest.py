@@ -710,7 +710,12 @@ def _typed_part_value(v: str | None, simple_type: str):
     space before 'T' and silently mis-prune same-day values; review
     r9 wave 2), booleans normalize. None (the NULL partition) and
     unparsable values return None — callers must treat that as
-    'cannot prune'."""
+    'cannot prune'. A tz-AWARE parse also returns None (ADVICE r13):
+    path-derived partition values are naive wall times, so an aware
+    bound (e.g. `datetime(..., tzinfo=timezone.utc)` in a
+    range_filter) would raise TypeError inside the callers' naive
+    `tlo <= pv` compares — refusing mirrors _norm_bounds' aware-offset
+    refusal and degrades to no-prune, which is always sound."""
     if v is None:
         return None
     try:
@@ -726,7 +731,8 @@ def _typed_part_value(v: str | None, simple_type: str):
             s = v.replace(" ", "T")
             if simple_type == "date" and "T" not in s:
                 return _dt.datetime.fromisoformat(s + "T00:00:00")
-            return _dt.datetime.fromisoformat(s)
+            out = _dt.datetime.fromisoformat(s)
+            return None if out.tzinfo is not None else out
         return v  # string: value order IS lexicographic order
     except ValueError:
         return None
@@ -2726,20 +2732,36 @@ class ManifestTable:
         provenance: bool = False,
     ) -> DataFrame:
         """Materialize `files` of snapshot `m` projected to its cumulative
-        table schema, applying DELETION VECTORS: a file entry carrying a
-        `dv` list (round 8 merge-on-read) has the positions recorded in
-        those DV parquets removed via a broadcast anti-join on
-        (file path, `_metadata.row_index`). Files WITHOUT a dv are read on
-        the plain path — identical plan to pre-DV reads (no `_metadata`
-        reference, so nothing blocks whole-stage codegen or column
-        pruning). With `provenance`, appends `_rel` (manifest-relative
-        file path) and `_pos` (row position within that file) — what the
-        copy-on-write rewrite and the DV writer key on.
+        table schema, applying DELETION VECTORS: positions recorded in
+        the snapshot's DV parquets are removed via ONE broadcast anti-join
+        on (file path, `_metadata.row_index`) over a SINGLE scan of all
+        files (round 14). With `provenance`, appends `_rel` (manifest-
+        relative file path) and `_pos` (row position within that file) —
+        what the copy-on-write rewrite and the DV writer key on.
 
-        Scale shape: the DV side is positions-only (two columns, bounded
-        by deleted rows, typically ≪ data) and is explicitly broadcast —
-        the fact scan never shuffles to apply its deletes, matching the
-        Delta/Iceberg merge-on-read read path."""
+        Round-14 flattening (VERDICT r13 item 1): the previous shape split
+        files into a plain branch and a DV branch and unioned two scans.
+        That split BROKE `_coalesce_dirs` — a txn dir with even one
+        DV-carrying file no longer list-matched the plain branch's subset,
+        so the plain branch fell back to per-file scan paths (~1 ms of
+        driver-side file-index work EACH): DATAPLANE_r13 measured a
+        16-DV read at 5.7× the plain read at 8192 files, growing with
+        file count. One scan over ALL live files keeps directory
+        coalescing intact (O(commits) scan paths), and the single
+        broadcast hash anti-join stays inside whole-stage codegen — rows
+        of DV-free files pay one hash probe against a relation bounded by
+        the snapshot's DELETED row count, never a shuffle.
+
+        Result-identity of the whole-scan anti-join: a DV parquet only
+        holds (file, pos) rows for files hit at its write time; any such
+        file either still references a DV containing those positions or
+        was since rewritten under a fresh `txn=<uuid>` path that cannot
+        collide — so no position of a live, DV-free file can ever match
+        the DV relation, and duplicate coverage of the same (file, pos)
+        across stacked/merged DVs is idempotent under anti-join set
+        semantics. When the snapshot has no DVs and no provenance is
+        asked, the plan is byte-identical to the pre-DV read (no
+        `_metadata` reference, nothing blocks column pruning)."""
         schema = StructType.fromJson(json.loads(self._table_schema_of(m)))
         # logical→physical resolution (round 9 column mapping): files
         # store physical names; the projection relabels to the
@@ -2812,27 +2834,20 @@ class ManifestTable:
                 ]
             return df.select(*cols)
 
-        plain = [e for e in files if not e.get("dv")]
-        dved = [e for e in files if e.get("dv")]
-        parts = []
-        if plain:
-            parts.append(load(plain, provenance))
-        if dved:
-            dv_rels = sorted({p for e in dved for p in e["dv"]})
+        dv_rels = sorted({p for e in files for p in e.get("dv", ())})
+        need_meta = provenance or bool(dv_rels)
+        out = load(files, need_meta)
+        if dv_rels:
             _, dv_paths = self.store.resolve_read(dv_rels)
             dv = spark.read.parquet(*dv_paths).select("file", "pos")
-            live = load(dved, True).join(
+            out = out.join(
                 F.broadcast(dv),
                 (F.col("_rel") == F.col("file"))
                 & (F.col("_pos") == F.col("pos")),
                 "left_anti",
             )
-            if not provenance:
-                live = live.drop("_rel", "_pos")
-            parts.append(live)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+        if need_meta and not provenance:
+            out = out.drop("_rel", "_pos")
         return out
 
     def _read_with_provenance(self, spark: SparkSession, m: dict):
@@ -2973,6 +2988,70 @@ class ManifestTable:
         )
         return f"txn={txn}", written[0], covered
 
+    def _merge_stacked_dvs(
+        self, txn: str, dv_rel: str, hit: list[str], m: dict
+    ) -> str:
+        """Fold STACKED deletion vectors at commit time (round 14, VERDICT
+        r13 item 1): when any hit file already carries DVs, their positions
+        for the hit files plus the fresh DV's rows are rewritten as ONE
+        merged DV parquet, and the caller points every hit file's `dv`
+        list at just it — a repeatedly-deleted file keeps dv depth exactly
+        1 (Delta merges its per-file DV bitmaps on every write the same
+        way). Cost is O(previously-deleted rows of the hit files), never
+        table data. Old DV parquets stay on disk for time travel (vacuum
+        collects them once no live version references them); an old rel
+        shared with a NON-hit file keeps being referenced by that file,
+        and its rows for the re-pointed hit files are harmlessly redundant
+        with the merged DV under the reader's anti-join. Returns the DV
+        rel the commit should reference; when no hit file has prior DVs
+        the fresh rel passes through untouched."""
+        merge_files = {
+            e["path"]
+            for e in m["files"]
+            if e["path"] in set(hit) and e.get("dv")
+        }
+        if not merge_files:
+            return dv_rel
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        old_rels = sorted(
+            {
+                r
+                for e in m["files"]
+                if e["path"] in merge_files
+                for r in e.get("dv", ())
+            }
+        )
+        _, old_paths = self.store.resolve_read(old_rels)
+        hit_arr = pa.array(sorted(merge_files), pa.string())
+        parts = []
+        for p in old_paths:
+            t = pq.read_table(p, columns=["file", "pos"])
+            t = t.filter(pc.is_in(t["file"], hit_arr))
+            if t.num_rows:
+                parts.append(t)
+        _, new_paths = self.store.resolve_read([dv_rel])
+        parts.append(pq.read_table(new_paths[0], columns=["file", "pos"]))
+        merged = pa.concat_tables(parts)
+        # distinct (file, pos): stacked DVs cannot repeat a position (a
+        # later DELETE evaluates over the already-DV-applied live rows),
+        # but dedup here keeps row_count's per-file subtraction exact even
+        # if an upstream invariant ever slips
+        merged = merged.group_by(["file", "pos"]).aggregate([])
+        mtxn = uuid.uuid4().hex
+        stage = self.store.txn_stage_dir(mtxn)
+        os.makedirs(stage, exist_ok=True)
+        pq.write_table(
+            merged.sort_by([("file", "ascending"), ("pos", "ascending")]),
+            os.path.join(stage, "dv-merged.parquet"),
+        )
+        written = [rel for rel, _local in self.store.finalize_txn(mtxn)]
+        # the provisional un-merged DV was never referenced by any commit
+        self.store.delete_txn_dir(txn)
+        return written[0]
+
     def _delete_where_dv(self, spark: SparkSession, condition) -> int:
         """Merge-on-read DELETE: record matched row positions in a DV
         parquet and re-publish the hit file entries with the DV attached
@@ -3014,11 +3093,10 @@ class ManifestTable:
         if not hit:
             self.store.delete_txn_dir(txn)  # empty DV: no-op, no commit
             return latest
+        dv_rel = self._merge_stacked_dvs(txn, dv_rel, hit, m)
         hitset = set(hit)
         add = [
-            dict(e, dv=list(e.get("dv", [])) + [dv_rel])
-            for e in m["files"]
-            if e["path"] in hitset
+            dict(e, dv=[dv_rel]) for e in m["files"] if e["path"] in hitset
         ]
         return self._commit_dv(latest, m, "delete_dv", add, hit)
 
@@ -3156,11 +3234,10 @@ class ManifestTable:
         _txn2, new_files = self._write_txn(
             updated, part_by, mapping=self._mapping_of(self._raw(latest))
         )
+        dv_rel = self._merge_stacked_dvs(txn, dv_rel, hit, m)
         hitset = set(hit)
         add = [
-            dict(e, dv=list(e.get("dv", [])) + [dv_rel])
-            for e in m["files"]
-            if e["path"] in hitset
+            dict(e, dv=[dv_rel]) for e in m["files"] if e["path"] in hitset
         ]
         return self._commit_dv(
             latest, m, "update_dv", add, hit, extra_add=new_files
@@ -3262,6 +3339,89 @@ class ManifestTable:
             df,
             part_by,
             "compact",
+            "files",
+            base=latest,
+            remove_paths=[e["path"] for e in chosen],
+        )
+
+    def reorg(
+        self,
+        spark: SparkSession,
+        min_deleted_ratio: float = 0.0,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """REORG TABLE ... APPLY (PURGE) analog (round 14, VERDICT r13
+        item 1): MATERIALIZE deletion vectors into rewritten data files
+        for every file whose recorded deleted-row fraction is ≥
+        `min_deleted_ratio` (0.0 = every DV-carrying file — a full purge;
+        0.3 = only files at least 30% dead, Delta's default REORG
+        threshold neighborhood). Chosen files are read DV-applied and
+        rewritten into ~target-size files; everything else carries over
+        by reference. Selection cost is O(deleted rows) — the per-file
+        dead counts come from the DV parquets themselves (positions-only,
+        bounded by deletes), never a data scan. At 100 TB this is the
+        lever that keeps the read-side anti-join relation small: without
+        it a delete-heavy table's DV relation grows until the broadcast
+        no longer fits. No DV-carrying file past the threshold → no-op
+        returning the current version. Conflict semantics match compact:
+        any racing commit aborts with ConcurrentWriteConflict."""
+        import math
+
+        import pyarrow.parquet as pq
+
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self.manifest(latest)
+        dved = [e for e in m["files"] if e.get("dv")]
+        if not dved:
+            return latest
+        if min_deleted_ratio <= 0:
+            chosen = dved  # full purge: every DV-carrying file, even
+            # legacy entries that predate the `rows` field — no need to
+            # count dead positions to select them
+        else:
+            dv_rels = sorted({r for e in dved for r in e.get("dv", ())})
+            _, dv_paths = self.store.resolve_read(dv_rels)
+            dead: dict[str, set] = {}
+            rel_of = dict(zip(dv_rels, dv_paths))
+            want = {e["path"] for e in dved}
+            ref_by: dict[str, set] = {}
+            for e in dved:
+                for r in e.get("dv", ()):
+                    ref_by.setdefault(r, set()).add(e["path"])
+            for r in dv_rels:
+                t = pq.read_table(rel_of[r], columns=["file", "pos"])
+                for f, p in zip(
+                    t["file"].to_pylist(), t["pos"].to_pylist()
+                ):
+                    # count a position only against files that actually
+                    # REFERENCE this DV (a merged rel's redundant rows
+                    # for a since-re-pointed file must not double-count)
+                    if f in want and f in ref_by.get(r, ()):
+                        dead.setdefault(f, set()).add(p)
+            chosen = [
+                e
+                for e in dved
+                if e.get("rows")
+                and len(dead.get(e["path"], ())) / e["rows"]
+                >= min_deleted_ratio
+            ]
+        if not chosen:
+            return latest
+        df = self._load_snapshot(spark, m, chosen)
+        part_by = m["partition_by"] or None
+        n = max(
+            1,
+            math.ceil(
+                sum(e.get("bytes", 0) for e in chosen) / target_file_bytes
+            ),
+        )
+        df = df.repartition(n, *part_by) if part_by else df.repartition(n)
+        return self._commit(
+            df,
+            part_by,
+            "reorg",
             "files",
             base=latest,
             remove_paths=[e["path"] for e in chosen],

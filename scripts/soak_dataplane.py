@@ -14,8 +14,11 @@ table with F tiny-but-real parquet files:
 - row-level DELETE (CoW) hit-file discovery — the driver-side collect
   at io/manifest.py:_rewrite_files is O(files), pinned here at 10^4;
 - DV-read overhead as deletion vectors STACK on one table (0/16/64
-  DVs) — the reader unions per-DV anti-joins, expected ~linear in
-  stacked DV count and bounded;
+  DVs) — since round 14 the reader is ONE directory-coalesced scan
+  plus ONE broadcast anti-join over the unioned DV relation, expected
+  ~flat in both DV count and file count (the r13 two-branch reader
+  measured 5.7× the plain read at 8192 files because the branch split
+  broke directory coalescing);
 - CHECK-constraint validation wall for an append of F_new files —
   validation reads ONLY the new files back.
 
@@ -134,7 +137,12 @@ def phase_prune(spark, tab, n_files: int) -> dict:
 
 def phase_merge(spark, tab, n_files: int) -> dict:
     """MERGE with a source updating ~1% of files' rows: discovery O(F
-    data), rewrite O(touched)."""
+    data), rewrite O(touched). Best-of-3 (round 14, VERDICT r13 item 5):
+    the r13 single-sample run booked 6.50 s at 512 files vs 4.02 s at
+    2048 — the merge wall is dominated by fixed commit/plan machinery
+    plus scheduler jitter at these tiny file sizes, so one unlucky
+    sample at a small F level inverts the apparent curve; min-of-3
+    matches how every other jittery phase here is sampled."""
     step = max(1, n_files // 100)
     touched_files = list(range(0, n_files, n_files // step))[:step]
     src_ids = [f * ROWS_PER_FILE for f in touched_files]
@@ -142,14 +150,18 @@ def phase_merge(spark, tab, n_files: int) -> dict:
         [(i, "merged") for i in src_ids], "id long, v string"
     )
     before = tab.latest_version()
-    _, t_merge = timed(
-        lambda: tab.merge(spark, src, "t.id = s.id")
-        .when_matched_update(set={"v": "s.v"})
-        .execute()
-    )
-    entry = tab._raw(tab.latest_version())
-    rewritten = len(entry.get("remove", {}).get("values", []))
-    tab.restore(before)
+    t_merge = float("inf")
+    rewritten = None
+    for _ in range(3):
+        _, t = timed(
+            lambda: tab.merge(spark, src, "t.id = s.id")
+            .when_matched_update(set={"v": "s.v"})
+            .execute()
+        )
+        t_merge = min(t_merge, t)
+        entry = tab._raw(tab.latest_version())
+        rewritten = len(entry.get("remove", {}).get("values", []))
+        tab.restore(before)
     return {
         "op": "merge_1pct",
         "files": n_files,
@@ -227,29 +239,47 @@ def phase_delete_or_disjuncts(spark, tab, n_files: int) -> dict:
 
 
 def phase_dv_stack(spark, tab, n_files: int, depths: list[int]) -> list[dict]:
-    """Stack D deletion vectors (each a distinct single-row DV delete)
-    and time the full read at each depth — expected ~linear in D."""
-    out = []
+    """Stack D deletion vectors (each a distinct single-row DV delete,
+    each in a DIFFERENT file so no commit-time merge collapses them)
+    and time the full read at each depth — expected ~FLAT since the
+    round-14 single-scan read: one directory-coalesced data scan plus
+    one broadcast anti-join whose build side is bounded by deleted
+    rows, whatever D and F are."""
     before = tab.latest_version()
     done = 0
-    base_rows = None
+    version_at: dict[int, int] = {}
     for depth in sorted(depths):
         while done < depth:
             tab.delete_where(spark, f"id = {done * ROWS_PER_FILE + 1}", mode="dv")
             done += 1
-        df, t_read = timed(lambda: tab.read(spark).count())
-        if base_rows is None:
-            base_rows = df
-        out.append(
-            {
-                "op": "read_with_stacked_dvs",
-                "files": n_files,
-                "dvs": depth,
-                "sec": round(t_read, 3),
-                "rows": df,
-                "expected": "~linear in stacked DV count",
-            }
-        )
+        version_at[depth] = tab.latest_version()
+    # INTERLEAVED best-of-3 over VERSION-PINNED reads (round 14): the
+    # depths used to be measured sequentially (all samples of depth 0,
+    # then 16, then 64), so a host burst landing on one depth's window
+    # skewed that ratio — two same-HEAD runs read 5.5 s and 9.4 s for
+    # the SAME (8192, dv64) cell. Reading each depth's committed VERSION
+    # once per rep samples all depths under the same host conditions;
+    # min-of-3 still shields point jitter.
+    best = {d: float("inf") for d in depths}
+    rows_of = {}
+    for _ in range(3):
+        for depth in sorted(depths):
+            n, t = timed(
+                lambda v=version_at[depth]: tab.read(spark, version=v).count()
+            )
+            best[depth] = min(best[depth], t)
+            rows_of[depth] = n
+    out = [
+        {
+            "op": "read_with_stacked_dvs",
+            "files": n_files,
+            "dvs": depth,
+            "sec": round(best[depth], 3),
+            "rows": rows_of[depth],
+            "expected": "~flat: single scan + one bounded anti-join",
+        }
+        for depth in sorted(depths)
+    ]
     tab.restore(before)
     return out
 

@@ -1439,7 +1439,13 @@ def test_delete_dv_stacks_and_null_predicate_keeps(spark, tab):
     # NULL-day row's predicate is NULL → survives (SQL DELETE semantics)
     assert rows(tab.read(spark)) == [(1, "a", None)]
     head = tab.manifest(tab.latest_version())["files"]
-    assert any(len(e.get("dv", [])) == 2 for e in head)  # stacked
+    # round 14: the second commit MERGES the file's stacked DVs into one
+    # (io/manifest.py:_merge_stacked_dvs) — depth stays exactly 1
+    dv_lists = [e["dv"] for e in head if e.get("dv")]
+    assert dv_lists and all(len(d) == 1 for d in dv_lists), dv_lists
+    # and the merged DV carries BOTH deletes: version 1 (one delete)
+    # still time-travels with only id=2 gone
+    assert rows(tab.read(spark, version=1)) == [(1, "a", None), (3, "c", "d1")]
 
 
 def test_delete_dv_no_match_is_noop_and_leaves_no_orphan_refs(spark, tab):

@@ -67,7 +67,10 @@ PREDICATES = [
     "p = 2 and id >= 60",
     "(p = 0 and id < 10) or (p = 4 and id > 90)",
     # mixed / degenerate
-    "id IS NOT NULL and id = 11",  # unparsed conjunct ignored, atom used
+    # _cond_disjuncts bails on the NOT token, so NO prune engages for this
+    # predicate at all (not "conjunct ignored, atom used" — ADVICE r13):
+    # the unpruned path is exact, which is what the sweep asserts
+    "id IS NOT NULL and id = 11",
     "not id = 7",  # NOT bails: no prune, exact
     "id = 7 or not g = 2",
 ]
