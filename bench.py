@@ -98,7 +98,14 @@ BASELINE_GOFORWARD = {
     "x2f_simhash_pairs": 1.556,
     "x3_knn_bruteforce": 0.572,
     "x3b_knn_lsh": 1.14,
-    "x3c_knn_ivf": 1.088,
+    # x3c re-based r14 (both-numbers policy; old row 1.088 in
+    # BASELINE.md footnote): the IVF default flip to 32 cells/nprobe 4
+    # changes the pair semantics. No conforming capture existed to
+    # re-book from (see gate note above), so the new row is the old row
+    # TRANSFERRED by a same-session interleaved measurement of the two
+    # configs (7 alternating reps at sf0.1, host conditions cancel):
+    # old best 1.087, new best 1.112, ratio 1.023 → 1.088 × 1.023.
+    "x3c_knn_ivf": 1.113,
     "x4_quality_score": 0.173,
     "x9_corpus_prep": 0.682,
     "x6_tpch_q1": 1.173,
@@ -141,7 +148,27 @@ BASELINE_GOFORWARD = {
 # after it drained, and the per-query bests track the end state).
 # host_factor > 1 ⇒ the host is slower than at baseline-recording time;
 # read per-query ratios against it.
+#
+# BOOKING GATE (round 14, ADVICE r13 — enforced by
+# tests/test_bench_gate.py): REF and BASELINE_GOFORWARD may only be
+# RE-booked from a capture whose probe samples (start, every round
+# boundary, end) agree within PROBE_AGREEMENT_TOL; every BENCH line now
+# carries "probe_agreement" (max/min over all samples) and "bookable"
+# so conformance is checkable from the artifact alone. The r13 booking
+# capture reads 2.19 on that metric — grandfathered, NOT re-booked in
+# r14 because both r14 capture attempts were themselves non-conforming
+# (agreement 1.505 / 1.54: bursty noisy-neighbor host all session;
+# their vs_baseline_total 1.09 / 1.016 at host_factor 1.31 / 1.29 says
+# the r13 numbers remain a reproducible comparison point). First
+# conforming capture re-books everything; until then the gate prevents
+# exactly the repeat of the r13 mistake.
 HOST_PROBE_REF = 0.936
+# A conforming capture's probes must agree within this factor before
+# its numbers may be booked as REF/baselines (idle-host captures on
+# this machine reproduce within ~3%; 1.25 leaves room for one mild
+# scheduler wobble while rejecting the 2.19x spread the r13 booking
+# capture had).
+PROBE_AGREEMENT_TOL = 1.25
 
 
 def _host_probe(spark, reps: int = 5, warms: int = 2) -> float:
@@ -390,6 +417,12 @@ def main() -> None:
         "factor": (
             round(probe_med / HOST_PROBE_REF, 3) if HOST_PROBE_REF else None
         ),
+        # max/min over ALL probe samples: 1.0 = perfectly uniform host.
+        # Baseline/REF re-booking requires <= PROBE_AGREEMENT_TOL
+        # (ADVICE r13 — the r13 booking capture read 2.19 here).
+        "agreement": round(samples[-1] / samples[0], 3),
+        "agreement_tol": PROBE_AGREEMENT_TOL,
+        "bookable": samples[-1] / samples[0] <= PROBE_AGREEMENT_TOL,
     }
 
     timings: dict[str, float] = {}
@@ -495,6 +528,7 @@ def main() -> None:
                 "worst_vs_baseline": worst,
                 "host_factor": host_probe["factor"],
                 "host_probe_sec": host_probe["median"],
+                "probe_agreement": host_probe["agreement"],
                 "n_queries": len(names),
                 "sf": sf,
             }
