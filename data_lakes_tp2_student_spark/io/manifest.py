@@ -2734,10 +2734,10 @@ class ManifestTable:
         """Materialize `files` of snapshot `m` projected to its cumulative
         table schema, applying DELETION VECTORS: positions recorded in
         the snapshot's DV parquets are removed via ONE broadcast anti-join
-        on (file path, `_metadata.row_index`) over a SINGLE scan of all
-        files (round 14). With `provenance`, appends `_rel` (manifest-
-        relative file path) and `_pos` (row position within that file) —
-        what the copy-on-write rewrite and the DV writer key on.
+        on (file path, `_metadata.row_index`) over the scan of the
+        DV-adjacent txn dirs (round 14). With `provenance`, appends `_rel`
+        (manifest-relative file path) and `_pos` (row position within that
+        file) — what the copy-on-write rewrite and the DV writer key on.
 
         Round-14 flattening (VERDICT r13 item 1): the previous shape split
         files into a plain branch and a DV branch and unioned two scans.
@@ -2746,11 +2746,16 @@ class ManifestTable:
         so the plain branch fell back to per-file scan paths (~1 ms of
         driver-side file-index work EACH): DATAPLANE_r13 measured a
         16-DV read at 5.7× the plain read at 8192 files, growing with
-        file count. One scan over ALL live files keeps directory
-        coalescing intact (O(commits) scan paths), and the single
-        broadcast hash anti-join stays inside whole-stage codegen — rows
-        of DV-free files pay one hash probe against a relation bounded by
-        the snapshot's DELETED row count, never a shuffle.
+        file count. The fix splits at DIRECTORY granularity instead: a
+        txn dir goes to the meta+anti-join branch only when it CONTAINS
+        a DV-carrying file, whole — so both branches keep directory
+        coalescing (O(commits) scan paths), commits untouched by deletes
+        read on the byte-identical plain path (no `_metadata`, no
+        probe), and the single broadcast hash anti-join over the
+        DV-adjacent dirs stays inside whole-stage codegen against a
+        relation bounded by the snapshot's DELETED row count — never a
+        shuffle. At 100 TB this means a table with deletes clustered in
+        a few commits pays the DV machinery only on those commits' data.
 
         Result-identity of the whole-scan anti-join: a DV parquet only
         holds (file, pos) rows for files hit at its write time; any such
@@ -2835,8 +2840,48 @@ class ManifestTable:
             return df.select(*cols)
 
         dv_rels = sorted({p for e in files for p in e.get("dv", ())})
-        need_meta = provenance or bool(dv_rels)
-        out = load(files, need_meta)
+        if provenance or not dv_rels:
+            # provenance wants meta on every row anyway; no DVs wants
+            # meta on none — either way one branch, one scan
+            out = load(files, provenance)
+            plain = None
+        else:
+            # DIR-ALIGNED split (round 14): only the txn dirs that
+            # CONTAIN a DV-carrying file pay the `_metadata` projection
+            # and the anti-join probe; dirs untouched by deletes — the
+            # bulk of a real table — read on the byte-identical plain
+            # path. Splitting at DIRECTORY granularity (never inside a
+            # dir) is what keeps `_coalesce_dirs` sound on both
+            # branches: the r13 regression came from a FILE-aligned
+            # split that left a dir's live set straddling the branches,
+            # so neither branch list-matched and planning fell back to
+            # per-file paths (PERF.md #71). Loose (non-txn-dir) files
+            # split individually — they never dir-coalesce anyway.
+            def dir_of(path: str) -> str | None:
+                parts = path.split("/")
+                if (
+                    len(parts) >= 3
+                    and parts[0] == "data"
+                    and parts[1].startswith("txn=")
+                ):
+                    return "/".join(parts[:2])
+                return None
+
+            dv_dirs = {
+                dir_of(e["path"]) for e in files if e.get("dv")
+            }
+            dved = [
+                e
+                for e in files
+                if e.get("dv") or (
+                    dir_of(e["path"]) in dv_dirs
+                    and dir_of(e["path"]) is not None
+                )
+            ]
+            dved_set = {e["path"] for e in dved}
+            plain_entries = [e for e in files if e["path"] not in dved_set]
+            out = load(dved, True)
+            plain = load(plain_entries, False) if plain_entries else None
         if dv_rels:
             _, dv_paths = self.store.resolve_read(dv_rels)
             dv = spark.read.parquet(*dv_paths).select("file", "pos")
@@ -2846,8 +2891,10 @@ class ManifestTable:
                 & (F.col("_pos") == F.col("pos")),
                 "left_anti",
             )
-        if need_meta and not provenance:
-            out = out.drop("_rel", "_pos")
+            if not provenance:
+                out = out.drop("_rel", "_pos")
+        if plain is not None:
+            out = out.unionByName(plain)
         return out
 
     def _read_with_provenance(self, spark: SparkSession, m: dict):

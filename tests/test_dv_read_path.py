@@ -109,15 +109,40 @@ def test_update_dv_merges_and_reads_exact(tab, spark):
 
 
 def test_single_scan_when_dvs_present(tab, spark):
-    """The DV-applied read plans exactly TWO parquet scans — the data
-    files (one relation) and the DV relation — never a plain/DV branch
-    union (three scans). This is the shape `_coalesce_dirs` needs to
-    keep O(commits) scan paths at high file counts."""
+    """All files in one commit dir + a DV → the whole dir rides the
+    meta branch: exactly TWO parquet scans (data + DV relation), no
+    union, never the r13 file-aligned split (three scans with the dir's
+    live set straddling branches, which broke `_coalesce_dirs`)."""
     tab.delete_where(spark, "id = 12", mode="dv")
     plan = tab.read(spark)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 2, plan
     assert "Union" not in plan, plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_dir_aligned_split_keeps_undeleted_commits_plain(spark, tmp_path):
+    """Two commits; the DV delete touches only the second: the first
+    commit's dir must read on the PLAIN branch — no `_metadata`
+    projection, no anti-join probe for its rows — while the DV'd dir
+    carries the join. Plan: 3 scans (plain dir, DV'd dir, DV relation),
+    one union, and the result is exact."""
+    t = ManifestTable(str(tmp_path / "t"), stats_cols=["id"])
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"r{i}") for i in range(lo, hi)], "id long, v string"
+    ).coalesce(1)
+    t.commit_overwrite(mk(0, 16))
+    t.commit_append(mk(16, 32))
+    t.delete_where(spark, "id = 20", mode="dv")  # second commit only
+    df = t.read(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 3, plan
+    assert plan.count("Union") == 1, plan
+    # exactly ONE anti-join, on the DV'd branch only — the plain branch
+    # is a bare scan (its rows never pay the probe)
+    assert plan.count("BroadcastHashJoin") == 1 and "LeftAnti" in plan, plan
+    assert sorted(r.id for r in df.collect()) == [
+        i for i in range(32) if i != 20
+    ]
 
 
 def test_row_count_metadata_with_merged_dvs(tab, spark):
