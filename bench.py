@@ -420,9 +420,15 @@ def main() -> None:
         # max/min over ALL probe samples: 1.0 = perfectly uniform host.
         # Baseline/REF re-booking requires <= PROBE_AGREEMENT_TOL
         # (ADVICE r13 — the r13 booking capture read 2.19 here).
+        # bookable derives from the SAME rounded value the artifact
+        # publishes, so a reader recomputing the predicate from the
+        # artifact can never disagree with the flag (review r14: a raw
+        # ratio of 1.2503 used to print agreement=1.25, bookable=false).
         "agreement": round(samples[-1] / samples[0], 3),
         "agreement_tol": PROBE_AGREEMENT_TOL,
-        "bookable": samples[-1] / samples[0] <= PROBE_AGREEMENT_TOL,
+        "bookable": (
+            round(samples[-1] / samples[0], 3) <= PROBE_AGREEMENT_TOL
+        ),
     }
 
     timings: dict[str, float] = {}

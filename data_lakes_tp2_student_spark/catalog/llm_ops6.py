@@ -1296,8 +1296,8 @@ def x74_prune_in_or_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'reorg' AS snap, o_orderkey, CAST(price AS DOUBLE) AS price
     FROM base
     UNION ALL
-    SELECT 'tt' AS snap, o_orderkey, CAST(price AS DOUBLE) AS price
-    FROM base
+    SELECT 'tt' AS snap, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders WHERE o_orderkey NOT IN (2, 3, 4)
     """,
 )
 def x75_merged_dv_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1307,12 +1307,14 @@ def x75_merged_dv_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors into one merged DV — io/manifest.py:_merge_stacked_dvs), a
     merge-on-read UPDATE layered on top of the merged DV, then
     `reorg(min_deleted_ratio=0.0)` materializing every DV into rewritten
-    files. Three snapshots are hashed against one oracle row set:
-    'dv' (the single-scan broadcast-anti-join read THROUGH the merged
-    DVs), 'reorg' (the purged rewrite — must be row-identical), and
-    'tt' (time travel back to the pre-reorg version, re-applying the DVs
-    after the purge commit). A hash match proves merge + single-scan
-    apply + purge lose and invent nothing."""
+    files. Three DISTINCT snapshots are hashed: 'dv' (the dir-aligned
+    broadcast-anti-join read THROUGH the merged DV + the update's DV,
+    read back after the purge commit exists), 'reorg' (the purged
+    rewrite — must be row-identical to 'dv'), and 'tt' (time travel two
+    commits further back, to the merged-DV version BEFORE the update —
+    deletes applied, prices untouched). A hash match proves merge +
+    dir-aligned apply + purge lose and invent nothing, at any of the
+    three versions."""
     root = os.path.join(
         _TMP, "x75_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     )
@@ -1321,13 +1323,13 @@ def x75_merged_dv_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     table.commit_overwrite(df.repartitionByRange(4, "o_orderkey"))
     table.delete_where(spark, "o_orderkey IN (2, 3)", mode="dv")
-    table.delete_where(spark, "o_orderkey = 4", mode="dv")  # merges file0
+    v_merged = table.delete_where(spark, "o_orderkey = 4", mode="dv")
     v_dv = table.update_where(
         spark, "o_orderkey = 7", {"o_totalprice": "o_totalprice * 2"},
         mode="dv",
     )
     v_reorg = table.reorg(spark, min_deleted_ratio=0.0)
-    assert v_reorg == v_dv + 1  # the purge really committed
+    assert v_merged < v_dv < v_reorg  # all three commits really landed
 
     def shape(d, tag):
         return d.select(
@@ -1338,5 +1340,5 @@ def x75_merged_dv_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dv = shape(table.read(spark, version=v_dv), "dv")
     reorg = shape(table.read(spark, version=v_reorg), "reorg")
-    tt = shape(table.read(spark, version=v_dv), "tt")
+    tt = shape(table.read(spark, version=v_merged), "tt")
     return dv.unionByName(reorg).unionByName(tt)

@@ -2867,19 +2867,21 @@ class ManifestTable:
                     return "/".join(parts[:2])
                 return None
 
+            # one dir_of per entry: this loop runs on the driver over
+            # the FULL file list, the same planning path the round
+            # keeps at O(commits) cost
+            dirs = {e["path"]: dir_of(e["path"]) for e in files}
             dv_dirs = {
-                dir_of(e["path"]) for e in files if e.get("dv")
-            }
-            dved = [
-                e
+                d
                 for e in files
-                if e.get("dv") or (
-                    dir_of(e["path"]) in dv_dirs
-                    and dir_of(e["path"]) is not None
-                )
-            ]
-            dved_set = {e["path"] for e in dved}
-            plain_entries = [e for e in files if e["path"] not in dved_set]
+                if e.get("dv") and (d := dirs[e["path"]]) is not None
+            }
+            dved, plain_entries = [], []
+            for e in files:
+                if e.get("dv") or dirs[e["path"]] in dv_dirs:
+                    dved.append(e)
+                else:
+                    plain_entries.append(e)
             out = load(dved, True)
             plain = load(plain_entries, False) if plain_entries else None
         if dv_rels:
@@ -3082,10 +3084,14 @@ class ManifestTable:
         _, new_paths = self.store.resolve_read([dv_rel])
         parts.append(pq.read_table(new_paths[0], columns=["file", "pos"]))
         merged = pa.concat_tables(parts)
-        # distinct (file, pos): stacked DVs cannot repeat a position (a
-        # later DELETE evaluates over the already-DV-applied live rows),
-        # but dedup here keeps row_count's per-file subtraction exact even
-        # if an upstream invariant ever slips
+        # distinct (file, pos) — LOAD-BEARING, not defensive (review
+        # r14): a prior merge leaves a merged rel whose rows for file A
+        # duplicate A's rows in an older shared rel that file C still
+        # references; when a later delete hits A and C together, BOTH
+        # rels land in old_rels and their A-rows concatenate twice.
+        # The reader's anti-join is set-semantics either way, but
+        # row_count()'s per-file position subtraction would
+        # over-subtract on duplicates.
         merged = merged.group_by(["file", "pos"]).aggregate([])
         mtxn = uuid.uuid4().hex
         stage = self.store.txn_stage_dir(mtxn)
@@ -3447,11 +3453,22 @@ class ManifestTable:
                     # for a since-re-pointed file must not double-count)
                     if f in want and f in ref_by.get(r, ()):
                         dead.setdefault(f, set()).add(p)
+            # legacy entries without the r9 `rows` field fall back to
+            # one footer read — same policy as row_count(); without it
+            # a 100%-dead legacy file could never pass the threshold
+            # and its DV would bloat the read-side relation forever
+            # (review r14)
+            def rows_of(e: dict) -> int:
+                if "rows" in e:
+                    return e["rows"]
+                _b, paths = self.store.resolve_read([e["path"]])
+                return pq.ParquetFile(paths[0]).metadata.num_rows
+
             chosen = [
                 e
                 for e in dved
-                if e.get("rows")
-                and len(dead.get(e["path"], ())) / e["rows"]
+                if (n_rows := rows_of(e))
+                and len(dead.get(e["path"], ())) / n_rows
                 >= min_deleted_ratio
             ]
         if not chosen:
@@ -3461,7 +3478,17 @@ class ManifestTable:
         n = max(
             1,
             math.ceil(
-                sum(e.get("bytes", 0) for e in chosen) / target_file_bytes
+                sum(
+                    # size recorded at commit; backend stat only for
+                    # legacy entries (same fallback as compact —
+                    # review r14: a missing `bytes` summed as 0 would
+                    # collapse a large purge into one output file)
+                    e["bytes"]
+                    if "bytes" in e
+                    else self.store.file_size(e["path"])
+                    for e in chosen
+                )
+                / target_file_bytes
             ),
         )
         df = df.repartition(n, *part_by) if part_by else df.repartition(n)

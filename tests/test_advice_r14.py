@@ -13,8 +13,9 @@
    `_cond_disjuncts` bails on the NOT token so no prune engages).
 3. (low) bench.py booked HOST_PROBE_REF + the 34 go-forward baselines
    from a capture whose start/end probes disagreed 2.05 vs 0.936 —
-   baseline booking is now gated on probe agreement (see bench.py
-   `--rebase` and tests below).
+   baseline booking is now gated on probe agreement (bench.py
+   `PROBE_AGREEMENT_TOL` + the provenance pins in
+   tests/test_bench_gate.py).
 
 Reference tie-in: the reference reads whole objects eagerly
 (/root/reference/src/preprocess_to_staging.py) — the pruning layer that
