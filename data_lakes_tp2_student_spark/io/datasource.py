@@ -245,10 +245,17 @@ class ManifestBatchReader(DataSourceReader):
         # logical→physical resolution for projection and stats skipping
         # (round 9 column mapping); {} = identity
         self._mapping = m.get("column_mapping") or {}
-        # small-file coalescing knob (round 9): N files per input
-        # partition; default 1 keeps file-per-task granularity
-        self._files_per_partition = max(
-            1, int(options.get("filesperpartition", 1))
+        # small-file coalescing knob (round 9; auto since round 15):
+        # N files per input partition, or "auto" (the default) to pack
+        # by SIZE the way Spark's own FilePartition planner does —
+        # DATAPLANE_r14 measured the per-input-partition Python-worker
+        # round-trip at a ~1 s floor for file-per-task scans of
+        # many-small-file tables (format path 0.92-3.5 s vs native
+        # 0.06-0.34 s), which is pure partition-count overhead, not IO.
+        # An explicit integer keeps the old fixed-k behavior.
+        fpp = str(options.get("filesperpartition", "auto")).lower()
+        self._files_per_partition = (
+            None if fpp == "auto" else max(1, int(fpp))
         )
         # pushed-filter pruning state: {col: set of partition strings}
         # and {col: [lo, hi]} range bounds (None = unbounded side)
@@ -380,9 +387,45 @@ class ManifestBatchReader(DataSourceReader):
             )
             structs.append((p, e["path"], e["partition"], dv_paths))
         k = self._files_per_partition
+        if k is not None:
+            return [
+                _ScanPartition(*chunk[0], more=tuple(chunk[1:]))
+                for chunk in (
+                    structs[i : i + k] for i in range(0, len(structs), k)
+                )
+            ]
+        # "auto" (round 15, VERDICT r14 item 2): size-packed bins,
+        # mirroring Spark's FilePartition planning so the rule stays
+        # correct at any scale — partition count grows with DATA SIZE,
+        # never with file count. maxSplitBytes =
+        # min(maxPartitionBytes, max(openCost, totalCost/parallelism)):
+        # big tables split at 128 MB like a native scan; small
+        # many-file tables still spread across the available cores
+        # instead of collapsing to one task. Parallelism proxy:
+        # SPARK_GRAFT_CPUS (partitions() runs in a driver-side Python
+        # worker with no JVM gateway, so sc.defaultParallelism is
+        # unreachable), falling back to the machine's cores.
+        open_cost = 4 * 1024 * 1024  # Spark's files.openCostInBytes
+        max_part = 128 * 1024 * 1024  # Spark's files.maxPartitionBytes
+        costs = [
+            (e.get("bytes") or open_cost) + open_cost for e in files
+        ]
+        par = max(
+            1, int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+        )
+        max_split = min(max_part, max(open_cost, sum(costs) // par + 1))
+        parts, cur, acc = [], [], 0
+        for s, c in zip(structs, costs):
+            if cur and acc + c > max_split:
+                parts.append(cur)
+                cur, acc = [], 0
+            cur.append(s)
+            acc += c
+        if cur:
+            parts.append(cur)
         return [
             _ScanPartition(*chunk[0], more=tuple(chunk[1:]))
-            for chunk in (structs[i : i + k] for i in range(0, len(structs), k))
+            for chunk in parts
         ]
 
     def read(self, partition: _ScanPartition):

@@ -744,6 +744,22 @@ def _part_key(partition: dict) -> tuple:
     return tuple(sorted(partition.items(), key=lambda kv: kv[0]))
 
 
+def _txn_dir_of(rel: str) -> str | None:
+    """The txn DIRECTORY (`data/txn=<id>`) a manifest-relative data path
+    belongs to, or None for loose/non-standard paths. This is THE
+    grouping rule shared by `_coalesce_dirs` (which collapses per-file
+    scan paths into dirs) and `_load_snapshot`'s DV branch split (which
+    must split at exactly the same granularity — ADVICE r14: the two
+    previously duplicated the rule inline, so editing one without the
+    other would silently desynchronize the split from coalescing and
+    reintroduce the r13 per-file-path planning regression without a
+    loud failure)."""
+    parts = rel.split("/")
+    if len(parts) >= 3 and parts[0] == "data" and parts[1].startswith("txn="):
+        return "/".join(parts[:2])
+    return None
+
+
 class ManifestTable:
     """A versioned parquet table at `root` with snapshot-isolated commits.
 
@@ -2701,13 +2717,9 @@ class ManifestTable:
         groups: dict[str, list[str]] = defaultdict(list)
         loose: list[str] = []
         for r in rels:
-            parts = r.split("/")
-            if (
-                len(parts) >= 3
-                and parts[0] == "data"
-                and parts[1].startswith("txn=")
-            ):
-                groups["/".join(parts[:2])].append(r)
+            d = _txn_dir_of(r)
+            if d is not None:
+                groups[d].append(r)
             else:
                 loose.append(r)
         out = list(loose)
@@ -2857,20 +2869,13 @@ class ManifestTable:
             # so neither branch list-matched and planning fell back to
             # per-file paths (PERF.md #71). Loose (non-txn-dir) files
             # split individually — they never dir-coalesce anyway.
-            def dir_of(path: str) -> str | None:
-                parts = path.split("/")
-                if (
-                    len(parts) >= 3
-                    and parts[0] == "data"
-                    and parts[1].startswith("txn=")
-                ):
-                    return "/".join(parts[:2])
-                return None
-
-            # one dir_of per entry: this loop runs on the driver over
-            # the FULL file list, the same planning path the round
+            # Grouping rule is the SHARED `_txn_dir_of` (also used by
+            # `_coalesce_dirs`), so the split can never desynchronize
+            # from what coalescing groups (ADVICE r14).
+            # one _txn_dir_of per entry: this loop runs on the driver
+            # over the FULL file list, the same planning path the round
             # keeps at O(commits) cost
-            dirs = {e["path"]: dir_of(e["path"]) for e in files}
+            dirs = {e["path"]: _txn_dir_of(e["path"]) for e in files}
             dv_dirs = {
                 d
                 for e in files
@@ -3037,6 +3042,19 @@ class ManifestTable:
         )
         return f"txn={txn}", written[0], covered
 
+    def _drop_uncommitted_dv(self, dv_rel: str) -> None:
+        """Best-effort delete of the txn dir holding a staged DV parquet
+        that a pre-publish commit abort left unreferenced (ADVICE r14).
+        Best-effort: a failed delete only re-creates the orphan vacuum
+        would have swept anyway."""
+        d = _txn_dir_of(dv_rel)
+        if d is None:
+            return
+        try:
+            self.store.delete_txn_dir(d.split("/", 1)[1])
+        except OSError:
+            pass  # vacuum's min-age orphan sweep remains the backstop
+
     def _merge_stacked_dvs(
         self, txn: str, dv_rel: str, hit: list[str], m: dict
     ) -> str:
@@ -3083,7 +3101,12 @@ class ManifestTable:
                 parts.append(t)
         _, new_paths = self.store.resolve_read([dv_rel])
         parts.append(pq.read_table(new_paths[0], columns=["file", "pos"]))
-        merged = pa.concat_tables(parts)
+        # permissive: DV parquets from different writers may disagree on
+        # field NULLABILITY (Spark writes provenance-derived file/pos as
+        # required; a sessionless commit-callback writer stages nullable
+        # by pyarrow default) — unify instead of ArrowInvalid (surfaced
+        # by the r15 cross-process DV race worker)
+        merged = pa.concat_tables(parts, promote_options="permissive")
         # distinct (file, pos) — LOAD-BEARING, not defensive (review
         # r14): a prior merge leaves a merged rel whose rows for file A
         # duplicate A's rows in an older shared rel that file C still
@@ -3151,7 +3174,20 @@ class ManifestTable:
         add = [
             dict(e, dv=[dv_rel]) for e in m["files"] if e["path"] in hitset
         ]
-        return self._commit_dv(latest, m, "delete_dv", add, hit)
+        try:
+            return self._commit_dv(latest, m, "delete_dv", add, hit)
+        except ConcurrentWriteConflict:
+            # ADVICE r14: a conflict abort is definitively pre-publish
+            # (raised by _check_conflicts before _publish runs), so the
+            # staged DV dir — fresh or merged — is unreferenced by any
+            # commit and only this process knows its uuid: delete it
+            # instead of stranding an orphan until vacuum's min-age
+            # sweep. Other failure modes (ambiguous _publish IO errors)
+            # deliberately leave the dir for vacuum — deleting on an
+            # ambiguous failure could tear a commit that actually
+            # landed.
+            self._drop_uncommitted_dv(dv_rel)
+            raise
 
     def _commit_dv(
         self,
@@ -3292,9 +3328,21 @@ class ManifestTable:
         add = [
             dict(e, dv=[dv_rel]) for e in m["files"] if e["path"] in hitset
         ]
-        return self._commit_dv(
-            latest, m, "update_dv", add, hit, extra_add=new_files
-        )
+        try:
+            return self._commit_dv(
+                latest, m, "update_dv", add, hit, extra_add=new_files
+            )
+        except ConcurrentWriteConflict:
+            # ADVICE r14 (same rationale as the delete path): a conflict
+            # abort is pre-publish, so both staged dirs — the DV parquet
+            # and the fresh updated-row data files — are unreferenced;
+            # drop them rather than strand orphans for vacuum.
+            self._drop_uncommitted_dv(dv_rel)
+            if new_files:
+                d = _txn_dir_of(new_files[0]["path"])
+                if d is not None:
+                    self.store.delete_txn_dir(d.split("/", 1)[1])
+            raise
 
     def _read_schema_names(self) -> set:
         latest = self.latest_version()

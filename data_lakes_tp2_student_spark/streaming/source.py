@@ -223,7 +223,13 @@ class ManifestStreamReader(DataSourceStreamReader):
                 ):
                     continue  # nothing moved — nothing to stream
                 if self._skip_changes:
-                    continue  # Delta's skipChangeCommits: drop the rewrite
+                    # Delta's skipChangeCommits: drop the rewrite. For a
+                    # DV commit this means the stream KEEPS the
+                    # pre-delete adds it already emitted — downstream
+                    # may still see deleted rows (Delta's documented
+                    # may-see-deleted-rows semantics); changes_since()
+                    # is the CDC escape hatch that reflects the delete.
+                    continue
                 raise ValueError(
                     f"manifest stream at {self._root}: version {v} is a "
                     f"data-changing commit ({action}) — an append-only "

@@ -82,6 +82,49 @@ def stage(
     return txn, entries
 
 
+def dv_stage(
+    table: ManifestTable, m: dict, positions: list[int]
+) -> tuple[str, str, list[str]]:
+    """Sessionless analog of `_write_dv` (VERDICT r14 item 5): stage a
+    positions-only DV parquet marking `positions` of the table's FIRST
+    data file (lexicographic — stable across DV commits, which never
+    move data files). Returns (txn dir name, dv rel, hit list) in the
+    same shape `_write_dv` hands `_merge_stacked_dvs`."""
+    target = sorted(e["path"] for e in m["files"])[0]
+    txn = uuid.uuid4().hex
+    stage_dir = table.store.txn_stage_dir(txn)
+    os.makedirs(stage_dir, exist_ok=True)
+    # non-nullable fields to match the Spark-written DV parquet schema
+    # (_write_dv's file/pos derive from provenance columns, which Spark
+    # writes as required; a merge concatenates both and pyarrow refuses
+    # mixed nullability)
+    dv_schema = pa.schema(
+        [
+            pa.field("file", pa.string(), nullable=False),
+            pa.field("pos", pa.int64(), nullable=False),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "file": [target] * len(positions),
+                "pos": list(positions),
+            },
+            schema=dv_schema,
+        ),
+        os.path.join(stage_dir, f"dv-{txn[:8]}.parquet"),
+    )
+    written = [rel for rel, _local in table.store.finalize_txn(txn)]
+    return f"txn={txn}", written[0], [target]
+
+
+def _wait_for(path: str) -> None:
+    import time as _time
+
+    while not os.path.exists(path):
+        _time.sleep(0.01)
+
+
 def main() -> None:
     cfg = json.loads(sys.argv[1])
     table = open_table(cfg)
@@ -112,6 +155,65 @@ def main() -> None:
                 validate=False,
             )
             out.append(v)
+    elif cfg["mode"] == "dv_delete":
+        # cross-process DV-delete race (VERDICT r14 item 5): each
+        # position set is the production `_delete_where_dv` tail —
+        # fresh snapshot → stage DV → `_merge_stacked_dvs` (which READS
+        # any DV parquet a racing process committed meanwhile — exactly
+        # the supersede window the verdict names) → `_commit_dv`; a
+        # ConcurrentWriteConflict cleans the staged dirs via the same
+        # `_drop_uncommitted_dv` the production abort path uses, then
+        # the whole derivation retries from the NEW snapshot.
+        if cfg.get("barrier"):
+            _wait_for(cfg["barrier"])
+        conflicts = 0
+        versions: list[int] = []
+        for positions in cfg["position_sets"]:
+            for _attempt in range(80):
+                latest = table.latest_version()
+                m = table.manifest(latest)
+                txn, dv_rel, hit = dv_stage(table, m, positions)
+                dv_rel = table._merge_stacked_dvs(txn, dv_rel, hit, m)
+                hitset = set(hit)
+                add = [
+                    dict(e, dv=[dv_rel])
+                    for e in m["files"]
+                    if e["path"] in hitset
+                ]
+                try:
+                    versions.append(
+                        table._commit_dv(latest, m, "delete_dv", add, hit)
+                    )
+                    break
+                except ConcurrentWriteConflict:
+                    conflicts += 1
+                    table._drop_uncommitted_dv(dv_rel)
+            else:
+                raise RuntimeError("dv_delete never landed in 80 attempts")
+        out = {"versions": versions, "conflicts": conflicts}
+    elif cfg["mode"] == "dv_staged_commit":
+        # deterministic-window variant: derive + stage + merge from the
+        # CURRENT snapshot, report STAGED, then hold the commit until
+        # the parent creates the barrier file (behind which it lands a
+        # conflicting commit — e.g. a reorg that rewrites the very file
+        # this DV marks). The held commit must abort LOUDLY, and the
+        # abort must leave no staged orphan.
+        latest = table.latest_version()
+        m = table.manifest(latest)
+        txn, dv_rel, hit = dv_stage(table, m, cfg["positions"])
+        dv_rel = table._merge_stacked_dvs(txn, dv_rel, hit, m)
+        print(json.dumps({"staged": True}), flush=True)
+        _wait_for(cfg["barrier"])
+        hitset = set(hit)
+        add = [
+            dict(e, dv=[dv_rel]) for e in m["files"] if e["path"] in hitset
+        ]
+        try:
+            v = table._commit_dv(latest, m, "delete_dv", add, hit)
+            out = {"result": v}
+        except ConcurrentWriteConflict:
+            table._drop_uncommitted_dv(dv_rel)
+            out = {"result": "conflict"}
     elif cfg["mode"] == "torn":
         # kill-9 torn-commit fixture (VERDICT r11 item 5): stage the
         # PUTs of a commit, optionally finalize them into the backend,

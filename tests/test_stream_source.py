@@ -413,3 +413,55 @@ def test_starting_timestamp_option(spark, tmp_path):
             q.processAllAvailable()
         finally:
             q.stop()
+
+
+def test_dv_delete_is_a_change_commit(spark, tmp_path):
+    """VERDICT r14 item 6: deletion-vector commits and the stream.
+
+    A merge-on-read delete (`delete_dv`) changes data without touching
+    files, so an append-only stream cannot represent it — Delta parity:
+
+    - default: the stream fails LOUDLY at the DV commit;
+    - skipChangeCommits=true: the stream keeps the PRE-DELETE adds it
+      already streamed and skips the DV commit entirely — downstream
+      MAY still see the deleted rows (documented may-see-deleted-rows
+      semantics, same as Delta's skipChangeCommits over a DV'd table);
+    - `changes_since` is the CDC escape hatch that DOES reflect the
+      delete (the removed row arrives as a delete event).
+    """
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    root = str(tmp_path / "tab")
+    tab = ManifestTable(root)
+    tab.commit_overwrite(_df(spark, [(1, "a", "d1"), (2, "b", "d1")]))
+    v0 = tab.latest_version()
+    tab.delete_where(spark, "id = 2", mode="dv")  # v1: DV, no rewrite
+
+    # default stream: loud failure at the DV commit
+    q = _start(spark, root, "src_dv_loud")
+    try:
+        with pytest.raises(
+            StreamingQueryException, match="data-changing|append-only"
+        ):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # skipChangeCommits: pre-delete adds keep streaming — id=2 is STILL
+    # emitted even though the table's batch read no longer returns it
+    tab.commit_append(_df(spark, [(3, "c", "d2")]))
+    q = _start(spark, root, "src_dv_skip", skipChangeCommits="true")
+    try:
+        q.processAllAvailable()
+        assert _rows(spark, "src_dv_skip") == [
+            (1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")
+        ]
+    finally:
+        q.stop()
+    batch_ids = sorted(r.id for r in tab.read(spark).collect())
+    assert batch_ids == [1, 3]  # the stream saw a row the table lost
+
+    # CDC escape hatch: changes_since reflects the DV delete
+    cdc = tab.changes_since(spark, v0, ["id"]).collect()
+    ops = {(r.id, r.change_type) for r in cdc}
+    assert any(i == 2 and "delete" in op for i, op in ops), ops
