@@ -79,53 +79,55 @@ HEADLINE = [
 # 2026-08-16; per-query best-of-5/8, interleaved protocol — the same
 # statistic future captures produce), paired with HOST_PROBE_REF from
 # the SAME capture so every future BENCH line's host_factor reads
-# against these numbers. The r1/r9/r10 rows are kept in BASELINE.md
-# (footnote r13 carries the old-vs-new table; the drift story: the
-# r12-r13 host runs short sub-second queries ~1.7x slower than the r9
-# recording era — i1 0.242→0.416 — while the r13 engine is FASTER on
-# the scan/agg rows — flagship 0.378→0.211, d3 0.255→0.112).
+# against these numbers.
+# Round 15 (VERDICT r14 item 1): ALL 34 rows re-booked from the FIRST
+# capture ever to pass the probe-agreement gate —
+# BENCH_local_clean_r15.json (2026-08-16, probe_agreement 1.231 <=
+# 1.25, bookable: true; probes start 1.112 / boundaries
+# 0.954-1.174 / end 0.968, min-of-2 boundary statistic per ADVICE
+# r14). The r13 rows were booked under a 2.19x probe spread
+# (grandfathered through r14 because every capture attempt since read
+# 1.5-2.3); these rows carry a MEASURED-uniform host. The r13 rows
+# move to BASELINE.md footnote r15 (both-numbers policy; the r15/r13
+# ratios sit at 1.0-1.37, median ~1.10 — consistent with the capture's
+# own host_factor 1.179 vs the r13 reference state, i.e. plan-neutral
+# host drift, no per-query regression story). x3c's r14
+# transfer-based row is superseded by a directly captured one.
 BASELINE_GOFORWARD = {
-    "flagship_summary": 0.211,
-    "d3_group_sizes": 0.112,
-    "d7_d8_length_stats": 0.112,
-    "e2_stratified_split": 0.251,
-    "e3_window_functions": 0.684,
+    "flagship_summary": 0.25,
+    "d3_group_sizes": 0.122,
+    "d7_d8_length_stats": 0.126,
+    "e2_stratified_split": 0.257,
+    "e3_window_functions": 0.707,
     "j1_tokenize": 0.203,
-    "x1_exact_dedup": 0.168,
-    "x2_minhash_pairs": 1.336,
-    "x2b_jaccard_verify": 2.978,
-    "x2e_dup_clusters": 2.427,
-    "x2f_simhash_pairs": 1.556,
-    "x3_knn_bruteforce": 0.572,
-    "x3b_knn_lsh": 1.14,
-    # x3c re-based r14 (both-numbers policy; old row 1.088 in
-    # BASELINE.md footnote): the IVF default flip to 32 cells/nprobe 4
-    # changes the pair semantics. No conforming capture existed to
-    # re-book from (see gate note above), so the new row is the old row
-    # TRANSFERRED by a same-session interleaved measurement of the two
-    # configs (7 alternating reps at sf0.1, host conditions cancel):
-    # old best 1.087, new best 1.112, ratio 1.023 → 1.088 × 1.023.
-    "x3c_knn_ivf": 1.113,
-    "x4_quality_score": 0.173,
-    "x9_corpus_prep": 0.682,
-    "x6_tpch_q1": 1.173,
-    "x6_tpch_q3": 0.571,
-    "x6_tpch_q5": 0.548,
-    "x6_tpch_q6": 0.211,
-    "x6_tpch_q8": 0.651,
-    "x6_tpch_q19": 0.357,
-    "x6_tpch_q21": 0.977,
-    "c7_asof_join": 0.396,
-    "i1_tumbling_window": 0.416,
-    "i3_session_window": 0.468,
-    "x11_resample_gapfill": 0.339,
-    "x12_funnel": 0.501,
-    "x13_cohort_retention": 0.315,
-    "x15_embedding_centroids": 0.207,
-    "x16_pmi_cooccurrence": 1.535,
-    "x18_data_quality_audit": 0.264,
-    "e3c_ntile_buckets": 1.083,
-    "f6_stratified_sample": 0.163,
+    "x1_exact_dedup": 0.186,
+    "x2_minhash_pairs": 1.638,
+    "x2b_jaccard_verify": 3.625,
+    "x2e_dup_clusters": 3.321,
+    "x2f_simhash_pairs": 1.612,
+    "x3_knn_bruteforce": 0.583,
+    "x3b_knn_lsh": 1.214,
+    "x3c_knn_ivf": 1.21,
+    "x4_quality_score": 0.186,
+    "x9_corpus_prep": 0.73,
+    "x6_tpch_q1": 1.244,
+    "x6_tpch_q3": 0.689,
+    "x6_tpch_q5": 0.647,
+    "x6_tpch_q6": 0.225,
+    "x6_tpch_q8": 0.775,
+    "x6_tpch_q19": 0.362,
+    "x6_tpch_q21": 1.139,
+    "c7_asof_join": 0.392,
+    "i1_tumbling_window": 0.409,
+    "i3_session_window": 0.525,
+    "x11_resample_gapfill": 0.349,
+    "x12_funnel": 0.586,
+    "x13_cohort_retention": 0.376,
+    "x15_embedding_centroids": 0.215,
+    "x16_pmi_cooccurrence": 1.557,
+    "x18_data_quality_audit": 0.28,
+    "e3c_ntile_buckets": 1.189,
+    "f6_stratified_sample": 0.164,
 }
 
 # Round 13 (VERDICT r12 item 1a): a FIXED CPU+shuffle micro-task with a
@@ -143,26 +145,24 @@ BASELINE_GOFORWARD = {
 # tasks carry ±40% scheduling jitter on this host while this shape's
 # min-of-5 reproduced across sessions within 3% (1.159 / 1.194 s).
 # REF booked from the SAME capture that re-recorded BASELINE_GOFORWARD
-# (BENCH_local_clean_r13, end-probe min — the start probe of that run
-# measured 2.05 while the host was still loaded, the end probe 0.936
-# after it drained, and the per-query bests track the end state).
+# (round 15: BENCH_local_clean_r15.json, probe MEDIAN over start +
+# round boundaries + end — the statistic host_factor divides, so a
+# future capture under identical conditions reads factor 1.0).
 # host_factor > 1 ⇒ the host is slower than at baseline-recording time;
 # read per-query ratios against it.
 #
 # BOOKING GATE (round 14, ADVICE r13 — enforced by
 # tests/test_bench_gate.py): REF and BASELINE_GOFORWARD may only be
 # RE-booked from a capture whose probe samples (start, every round
-# boundary, end) agree within PROBE_AGREEMENT_TOL; every BENCH line now
+# boundary, end) agree within PROBE_AGREEMENT_TOL; every BENCH line
 # carries "probe_agreement" (max/min over all samples) and "bookable"
-# so conformance is checkable from the artifact alone. The r13 booking
-# capture reads 2.19 on that metric — grandfathered, NOT re-booked in
-# r14 because both r14 capture attempts were themselves non-conforming
-# (agreement 1.505 / 1.54: bursty noisy-neighbor host all session;
-# their vs_baseline_total 1.09 / 1.016 at host_factor 1.31 / 1.29 says
-# the r13 numbers remain a reproducible comparison point). First
-# conforming capture re-books everything; until then the gate prevents
-# exactly the repeat of the r13 mistake.
-HOST_PROBE_REF = 0.936
+# so conformance is checkable from the artifact alone. History: the
+# r13 booking capture read 2.19 on that metric and every r14 attempt
+# read 1.5-2.3 (bursty noisy-neighbor host), so the r13 numbers stood
+# grandfathered for one round; round 15's first capture CONFORMED
+# (1.231) and everything is now booked from it — the gate has admitted
+# a capture and the grandfather clause is retired.
+HOST_PROBE_REF = 1.104
 # A conforming capture's probes must agree within this factor before
 # its numbers may be booked as REF/baselines (idle-host captures on
 # this machine reproduce within ~3%; 1.25 leaves room for one mild
@@ -380,7 +380,14 @@ def main() -> None:
         # clean while start/end probes both read ≈1.0×, so endpoint-only
         # calibration can miss the burst entirely. JIT is already warm
         # from the start probe; median-of-boundaries goes to host_factor.
-        round_probes.append(_host_probe(spark, reps=1, warms=0))
+        # min-of-2 (ADVICE r14): the start/end probes are min-of-5, so a
+        # 1-rep boundary sample mixed statistics of different variance —
+        # one 50-150 ms scheduler blip on a single boundary rep could
+        # push max/min past the tol and flip bookable=false on an
+        # otherwise-idle capture. Two reps damp the single-sample blip
+        # while still catching a real multi-minute burst (which inflates
+        # both reps); cost is ~1 s per round boundary.
+        round_probes.append(_host_probe(spark, reps=2, warms=0))
 
     # Extra best-of samples for the SHORT queries (VERDICT r7 item 2):
     # per-run scheduling jitter on this host is 50-150 ms, which is the

@@ -8,13 +8,14 @@ baseline recorded under non-uniform host conditions.
 
 Round 14 could not cure it — both r14 capture attempts were themselves
 non-conforming (probe agreement 1.505 / 1.54 on the bursty
-noisy-neighbor host) — so the r13 numbers stand, grandfathered, and
-the gate is made STRUCTURAL for the future instead: every capture now
-publishes `probe_agreement`/`bookable`, and these tests pin the booked
-numbers to their documented provenance so a silent re-book from a
-non-conforming capture fails the suite. The one r14 change, x3c, was
-re-based by a same-session interleaved TRANSFER (old/new configs
-alternated 7×, host cancels), not from a capture — pinned below.
+noisy-neighbor host) — so the r13 numbers stood grandfathered for one
+round. Round 15's first capture CONFORMED (BENCH_local_clean_r15.json,
+agreement 1.231 <= 1.25, bookable: true) and everything — REF (now the
+capture's probe MEDIAN, the statistic host_factor divides) plus all 34
+go-forward rows — is booked from it; the r14 x3c transfer row is
+superseded by a directly captured one. These tests pin the booked
+numbers to that artifact so a silent re-book from a non-conforming
+capture fails the suite.
 """
 
 from __future__ import annotations
@@ -30,16 +31,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # BASELINE_GOFORWARD rows were booked from (named in bench.py's
 # HOST_PROBE_REF comment). Update BOTH places on any re-book, and only
 # from a capture whose computed agreement is <= PROBE_AGREEMENT_TOL.
-BOOKING_CAPTURE = "BENCH_local_clean_r13.json"
-# documented agreement of the grandfathered booking capture — if this
-# file ever changes to a capture with WORSE agreement, fail
-GRANDFATHERED_AGREEMENT = 2.19
+BOOKING_CAPTURE = "BENCH_local_clean_r15.json"
 # rows NOT booked from the capture, with their documented provenance
-TRANSFER_BASED = {
-    # old row 1.088 × same-session interleaved ratio 1.023 (r14 flip
-    # to 32 cells / nprobe 4 — see the BASELINE_GOFORWARD comment)
-    "x3c_knn_ivf": 1.113,
-}
+# (empty since the r15 re-book: every row comes from the capture)
+TRANSFER_BASED = {}
 
 
 def _capture():
@@ -52,17 +47,20 @@ def _agreement(hp: dict) -> float:
     return max(samples) / min(samples)
 
 
-def test_booking_capture_agreement_documented():
-    """The booking capture's probe spread must never silently worsen:
-    re-booking from a capture less uniform than the grandfathered r13
-    one is exactly what the gate exists to prevent."""
-    agreement = _agreement(_capture()["host_probe"])
-    assert agreement <= GRANDFATHERED_AGREEMENT + 0.01, agreement
+def test_booking_capture_conforms():
+    """The booking capture must PASS the gate it exists to enforce —
+    since the r15 re-book there is no grandfather clause: re-booking
+    from a non-conforming capture fails here."""
+    hp = _capture()["host_probe"]
+    agreement = _agreement(hp)
+    assert agreement <= bench.PROBE_AGREEMENT_TOL + 0.001, agreement
+    assert hp.get("bookable") is True
 
 
 def test_probe_ref_matches_booking_capture():
-    """REF is the booking capture's drained end-probe (its documented
-    provenance); a conforming capture books its median instead."""
+    """REF is the conforming booking capture's probe MEDIAN — the same
+    statistic host_factor divides by, so identical conditions read
+    factor 1.0."""
     hp = _capture()["host_probe"]
     booked = hp["median"] if "median" in hp else hp["end"]
     assert abs(bench.HOST_PROBE_REF - booked) <= 0.01, (
