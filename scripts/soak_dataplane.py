@@ -118,13 +118,20 @@ def phase_prune(spark, tab, n_files: int) -> dict:
         df, t = timed(tab.read, spark, range_filter={"id": (lo, hi)})
         t_native = min(t_native, t)
     n_native = df.count()
-    # registered format: pushFilters prunes the same stats
+    # registered format: pushFilters prunes the same stats. Best-of-3
+    # (round 15, VERDICT r14 item 2): the single-sample r14 row mixed
+    # the Python-DataSource first-call session cost (3.48 s at 512
+    # files) into the steady-state number; min-of-3 reads the steady
+    # state, same statistic as the native path above.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    fdf = (
-        spark.read.format("manifest").option("path", tab.root).load()
-        .filter(f"id >= {lo}")
-    )
-    _, t_format = timed(fdf.count)
+    t_format = float("inf")
+    for _ in range(3):
+        fdf = (
+            spark.read.format("manifest").option("path", tab.root).load()
+            .filter(f"id >= {lo}")
+        )
+        _, t = timed(fdf.count)
+        t_format = min(t_format, t)
     return {
         "op": "prune_read",
         "files": n_files,
@@ -293,7 +300,19 @@ def phase_check_validate(spark, tab, n_files: int) -> dict:
     df = spark.range(total, total + n_new * ROWS_PER_FILE).selectExpr(
         "id", "'new' AS v"
     ).repartition(n_new)
-    _, t_commit = timed(tab.commit_append, df)
+    # Best-of-3 (round 15, VERDICT r14 item 4): the r14 single-sample
+    # rows read 0.66 s at 512 vs 12.97 s at 8192 — 16x the new files
+    # for ~20x the cost — and the superlinear residue needed jitter
+    # ruled out before being called a trend. Each rep restores the
+    # pre-append version so every sample validates the same F-file
+    # table + n_new files (the appended files stay on disk
+    # unreferenced; vacuum is not in the timed region).
+    before = tab.latest_version()
+    t_commit = float("inf")
+    for _ in range(3):
+        _, t = timed(tab.commit_append, df)
+        t_commit = min(t_commit, t)
+        tab.restore(before)
     tab.drop_check_constraint("pos_id")
     return {
         "op": "check_validated_append",
