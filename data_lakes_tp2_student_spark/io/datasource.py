@@ -215,6 +215,41 @@ def _project(arrow_table, want, partition: dict | None = None, mapping: dict | N
     return pa.table(dict(zip(want.names, cols)), schema=want)
 
 
+def pack_by_size(sizes: list) -> list[list[int]]:
+    """Spark FilePartition-style size packing, shared by the batch scan
+    and the streaming source (round 15, VERDICT r14 item 2): group file
+    indices into bins of at most maxSplitBytes = min(maxPartitionBytes,
+    max(openCost, totalCost/parallelism)) — big tables split at 128 MB
+    like a native scan; small many-file tables spread across the
+    available cores instead of one Python-worker round-trip per FILE
+    (DATAPLANE_r14 measured that floor at ~1 s for 512-8192-file
+    tables; DATAPLANE_r15 reads flat ~0.55-0.86 s after packing).
+    `sizes` entries may be None (legacy manifest entries without
+    `bytes`) — costed at openCost like Spark costs unknown smalls.
+    Parallelism proxy: SPARK_GRAFT_CPUS (this runs in a driver-side
+    Python worker with no JVM gateway, so sc.defaultParallelism is
+    unreachable), falling back to the machine's cores."""
+    open_cost = 4 * 1024 * 1024  # Spark's files.openCostInBytes
+    max_part = 128 * 1024 * 1024  # Spark's files.maxPartitionBytes
+    costs = [(s or open_cost) + open_cost for s in sizes]
+    par = max(
+        1, int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    )
+    max_split = min(max_part, max(open_cost, sum(costs) // par + 1))
+    bins: list[list[int]] = []
+    cur: list[int] = []
+    acc = 0
+    for i, c in enumerate(costs):
+        if cur and acc + c > max_split:
+            bins.append(cur)
+            cur, acc = [], 0
+        cur.append(i)
+        acc += c
+    if cur:
+        bins.append(cur)
+    return bins
+
+
 class _ScanPartition(InputPartition):
     """One or more data files read by a single task: absolute path,
     manifest-relative path (the DV join key), the entry's partition
@@ -394,38 +429,13 @@ class ManifestBatchReader(DataSourceReader):
                     structs[i : i + k] for i in range(0, len(structs), k)
                 )
             ]
-        # "auto" (round 15, VERDICT r14 item 2): size-packed bins,
-        # mirroring Spark's FilePartition planning so the rule stays
-        # correct at any scale — partition count grows with DATA SIZE,
-        # never with file count. maxSplitBytes =
-        # min(maxPartitionBytes, max(openCost, totalCost/parallelism)):
-        # big tables split at 128 MB like a native scan; small
-        # many-file tables still spread across the available cores
-        # instead of collapsing to one task. Parallelism proxy:
-        # SPARK_GRAFT_CPUS (partitions() runs in a driver-side Python
-        # worker with no JVM gateway, so sc.defaultParallelism is
-        # unreachable), falling back to the machine's cores.
-        open_cost = 4 * 1024 * 1024  # Spark's files.openCostInBytes
-        max_part = 128 * 1024 * 1024  # Spark's files.maxPartitionBytes
-        costs = [
-            (e.get("bytes") or open_cost) + open_cost for e in files
-        ]
-        par = max(
-            1, int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-        )
-        max_split = min(max_part, max(open_cost, sum(costs) // par + 1))
-        parts, cur, acc = [], [], 0
-        for s, c in zip(structs, costs):
-            if cur and acc + c > max_split:
-                parts.append(cur)
-                cur, acc = [], 0
-            cur.append(s)
-            acc += c
-        if cur:
-            parts.append(cur)
+        # "auto" (round 15, VERDICT r14 item 2): size-packed bins via
+        # the shared pack_by_size rule (also used by the streaming
+        # source) — partition count grows with DATA SIZE, never with
+        # file count.
         return [
-            _ScanPartition(*chunk[0], more=tuple(chunk[1:]))
-            for chunk in parts
+            _ScanPartition(*structs[bin[0]], more=tuple(structs[i] for i in bin[1:]))
+            for bin in pack_by_size([e.get("bytes") for e in files])
         ]
 
     def read(self, partition: _ScanPartition):

@@ -4,9 +4,10 @@ Delta parity: `spark.readStream.format("delta")` turns a lake table into
 an unbounded stream of its committed appends. This module gives the
 manifest table the same role through Spark 4's Python Data Source API
 (SPARK-44076, public): offsets ARE commit versions, each micro-batch is
-exactly the data files ADDED by versions (start, end], and every file is
-one input partition — so the read parallelizes file-per-task like any
-parquet scan, and the exactly-once contract falls out of the offset log
+exactly the data files ADDED by versions (start, end], size-packed into
+input partitions by the shared pack_by_size rule (round 15) — so the
+read parallelizes by data size like a native parquet scan, never one
+task per small file, and the exactly-once contract falls out of the offset log
 (Spark checkpoints the last processed version; a restart resumes from
 it; replays re-read the same immutable files).
 
@@ -24,7 +25,7 @@ this is the subscribe-to-the-table form that replaces that polling.
 
 Scale shape: offset resolution and partition planning are driver-side
 O(Δ versions) metadata ops on the JSON log; the data path is
-file-per-partition pyarrow batch reads (Arrow all the way into Spark),
+size-binned pyarrow batch reads (Arrow all the way into Spark),
 no driver materialization. The local LogStore serves files in place;
 object-store tables stream through the store's immutable-file cache.
 """
@@ -59,7 +60,9 @@ _METADATA_ACTIONS = {
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, partition: dict, mapping: dict):
+    def __init__(
+        self, path: str, partition: dict, mapping: dict, more: tuple = ()
+    ):
         self.path = path
         # the entry's partition values: Hive-layout data files don't
         # store partition columns — a plain file read would stream them
@@ -70,6 +73,11 @@ class _FilePartition(InputPartition):
         # the driver resolves the mapping, but partitions are pickled
         # fresh each micro-batch
         self.mapping = mapping
+        # additional (path, partition) pairs this task also reads
+        # (round 15: micro-batch file list is size-packed by the shared
+        # pack_by_size rule, so a commit that added thousands of small
+        # files no longer costs one Python-worker round-trip per file)
+        self.more = more
 
 
 def _open_table(options: dict):
@@ -120,6 +128,13 @@ class ManifestStreamReader(DataSourceStreamReader):
         # UNPACED (full drain, one batch per trigger semantics intact)
         # and use processing-time triggers when pacing matters.
         self._max_versions = int(options.get("maxversionspertrigger", 0))
+        # batch-reader parity (round 15): "auto" (default) size-packs a
+        # micro-batch's files via the shared pack_by_size rule; an
+        # explicit integer pins fixed-k files per input partition
+        fpp = str(options.get("filesperpartition", "auto")).lower()
+        self._files_per_partition = (
+            None if fpp == "auto" else max(1, int(fpp))
+        )
         self._paced_backfill = str(
             options.get("pacedinitialbackfill", "false")
         ).lower() in ("true", "1")
@@ -237,14 +252,39 @@ class ManifestStreamReader(DataSourceStreamReader):
                     f"true to stream only appends, or consume "
                     f"changes_since() for CDC semantics."
                 )
-            rels.extend((e["path"], e["partition"]) for e in adds)
+            rels.extend(
+                (e["path"], e["partition"], e.get("bytes")) for e in adds
+            )
         if rels:
+            from ..io.datasource import pack_by_size
+
             _base, paths = self._table.store.resolve_read(
-                [r for r, _p in rels]
+                [r for r, _p, _b in rels]
+            )
+            structs = [
+                (p, part) for p, (_r, part, _b) in zip(paths, rels)
+            ]
+            # size-packed bins (round 15, shared rule with the batch
+            # scan): task count follows the micro-batch's DATA size,
+            # not its file count — a backfill batch spanning thousands
+            # of small-file commits reads in ~core-count tasks instead
+            # of one Python-worker round-trip per file
+            k = self._files_per_partition
+            bins = (
+                pack_by_size([b for _r, _p, b in rels])
+                if k is None
+                else [
+                    list(range(i, min(i + k, len(structs))))
+                    for i in range(0, len(structs), k)
+                ]
             )
             parts = [
-                _FilePartition(p, part, self._mapping)
-                for p, (_r, part) in zip(paths, rels)
+                _FilePartition(
+                    *structs[bin[0]],
+                    self._mapping,
+                    more=tuple(structs[i] for i in bin[1:]),
+                )
+                for bin in bins
             ]
         return parts
 
@@ -260,14 +300,19 @@ class ManifestStreamReader(DataSourceStreamReader):
 
         from ..io.datasource import _project
 
-        out = _project(
-            pq.read_table(partition.path),
-            to_arrow_schema(self._schema),
-            partition.partition,
-            partition.mapping,
-        )
-        for batch in out.to_batches():
-            yield batch
+        arrow_schema = to_arrow_schema(self._schema)
+        for path, part in (
+            (partition.path, partition.partition),
+            *partition.more,
+        ):
+            out = _project(
+                pq.read_table(path),
+                arrow_schema,
+                part,
+                partition.mapping,
+            )
+            for batch in out.to_batches():
+                yield batch
 
     def commit(self, end: dict) -> None:
         # durable progress lives in Spark's offset checkpoint; remember

@@ -465,3 +465,105 @@ def test_dv_delete_is_a_change_commit(spark, tmp_path):
     cdc = tab.changes_since(spark, v0, ["id"]).collect()
     ops = {(r.id, r.change_type) for r in cdc}
     assert any(i == 2 and "delete" in op for i, op in ops), ops
+
+
+def test_micro_batch_partitions_are_size_packed(spark, tmp_path, monkeypatch):
+    """Round 15 (shared pack_by_size rule with the batch scan): a
+    micro-batch spanning a many-small-file commit plans SIZE-packed
+    input partitions — task count follows data size, not file count —
+    and the stream still yields every row exactly once."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructType
+
+    from data_lakes_tp2_student_spark.streaming.source import (
+        ManifestStreamReader,
+    )
+
+    root = str(tmp_path / "tab")
+    tab = ManifestTable(root)
+    # exactly 12 tiny files in ONE commit, staged deterministically
+    # (a Spark repartition(12) write may produce empty partitions and
+    # fewer/unequal files — hash skew made the bin count flaky)
+    txn = _uuid.uuid4().hex
+    stage = tab.store.txn_stage_dir(txn)
+    _os.makedirs(stage, exist_ok=True)
+    entries = []
+    for i in range(12):
+        local = _os.path.join(stage, f"p{i:02d}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([i], pa.int32()),
+                    # fixed-width values: equal file sizes, so the
+                    # exact-half split is deterministic (a 9-byte size
+                    # skew legitimately spills a file to a third bin —
+                    # Spark's planner has the same boundary behavior)
+                    "v": pa.array([f"r{i:02d}"], pa.string()),
+                    "day": pa.array(["d1"], pa.string()),
+                }
+            ),
+            local,
+        )
+        entries.append(
+            {
+                "path": f"data/txn={txn}/p{i:02d}.parquet",
+                "partition": {},
+                "bytes": _os.path.getsize(local),
+                "rows": 1,
+            }
+        )
+    schema_json = (
+        '{"type":"struct","fields":['
+        '{"name":"id","type":"integer","nullable":true,"metadata":{}},'
+        '{"name":"v","type":"string","nullable":true,"metadata":{}},'
+        '{"name":"day","type":"string","nullable":true,"metadata":{}}]}'
+    )
+    tab._commit_files(
+        None, txn, entries, schema_json, None, "overwrite", "all", None,
+        {}, validate=False,
+    )
+    schema = StructType.fromJson(_json.loads(schema_json))
+
+    # par=2: 12 open-cost-dominated files pack into exactly 2 bins of 6
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "2")
+    r = ManifestStreamReader(schema, {"path": root})
+    parts = r.partitions({"version": -1}, {"version": 0})
+    assert len(parts) == 2
+    assert sorted(1 + len(p.more) for p in parts) == [6, 6]
+    # executor-side read over a packed partition yields every file's rows
+    got = sorted(
+        i
+        for p in parts
+        for b in r.read(p)
+        for i in b.column(0).to_pylist()
+    )
+    assert got == list(range(12))
+
+    # high parallelism spreads back out to ~file-per-task
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "64")
+    wide = ManifestStreamReader(schema, {"path": root})
+    assert len(wide.partitions({"version": -1}, {"version": 0})) == 12
+
+    # explicit integer keeps the fixed-k contract (batch-reader parity)
+    fixed = ManifestStreamReader(
+        schema, {"path": root, "filesperpartition": "4"}
+    )
+    assert [
+        1 + len(p.more)
+        for p in fixed.partitions({"version": -1}, {"version": 0})
+    ] == [4, 4, 4]
+
+    # end-to-end through the registered format: exactly-once, all rows
+    q = _start(spark, root, "src_packed")
+    try:
+        q.processAllAvailable()
+        assert _rows(spark, "src_packed") == [
+            (i, f"r{i:02d}", "d1") for i in range(12)
+        ]
+    finally:
+        q.stop()
