@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.compute import eager, spread
 from ..operators.dedup import (
+    distinct_shingles,
     exact_dedup,
     exploded_shingles,
     jaccard_verify,
@@ -168,14 +169,20 @@ def x2b_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify joins — the explosion (the pipeline's most expensive stage) runs
     once, as it would at 100 TB."""
     docs = load(spark, sf_dir, "documents")
-    sh = eager(exploded_shingles(spread(docs), "doc_id", "text"))
+    # ONE distinct shingle table, hash-partitioned by doc_id, feeds both the
+    # signature mins (duplicates never change a min) and the verify joins —
+    # shingle once, dedup once, every downstream per-doc aggregation reuses
+    # the cached partitioning (round 15; operators/dedup.py:distinct_shingles).
+    sh = eager(distinct_shingles(docs, "doc_id", "text"))
     sigs = minhash_signatures(
         docs, "doc_id", "text", num_hashes=_N_HASHES, shingles=sh
     )
     pairs = lsh_candidate_pairs(
         sigs, "doc_id", bands=_N_BANDS, rows_per_band=_ROWS_PER_BAND
     )
-    return jaccard_verify(pairs, docs, "doc_id", "text", shingles=sh)
+    return jaccard_verify(
+        pairs, docs, "doc_id", "text", shingles=sh, shingles_are_distinct=True
+    )
 
 
 # Shared by x2c (fingerprints) and llm_ops2's x2f (hamming-banded pairs).

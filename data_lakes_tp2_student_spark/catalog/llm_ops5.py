@@ -563,20 +563,25 @@ def x44_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment_verify)."""
     from ..operators.dedup import (
         containment_verify,
+        distinct_shingles,
         lsh_candidate_pairs,
         minhash_signatures,
     )
-    from ..functions.compute import eager, spread
+    from ..functions.compute import eager
 
     docs = load(spark, sf_dir, "documents")
-    sh = eager(exploded_shingles(spread(docs), "doc_id", "text"))
+    # Shared distinct shingle table, hash-partitioned by doc_id (round 15;
+    # see x2b / operators/dedup.py:distinct_shingles for the reuse argument).
+    sh = eager(distinct_shingles(docs, "doc_id", "text"))
     sigs = minhash_signatures(
         docs, "doc_id", "text", num_hashes=_N_HASHES, shingles=sh
     )
     pairs = lsh_candidate_pairs(
         sigs, "doc_id", bands=_N_BANDS, rows_per_band=_ROWS_PER_BAND
     )
-    return containment_verify(pairs, docs, "doc_id", "text", shingles=sh)
+    return containment_verify(
+        pairs, docs, "doc_id", "text", shingles=sh, shingles_are_distinct=True
+    )
 
 
 # -------------------------------- x45 sweep-line interval concurrency

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.compute import spread_if_underparallel
 from ..functions.money import SQL_CHARGE, SQL_DISC_PRICE, charge, dec2, disc_price
 from ..registry import load, register
 
@@ -467,8 +468,12 @@ def h5_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x6_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x6 — TPC-H Q1 pricing summary (adapted to driver schema); money math
-    in exact decimal (functions.money) so sums are partition-order-proof."""
-    li = load(spark, sf_dir, "lineitem")
+    in exact decimal (functions.money) so sums are partition-order-proof.
+    The scan feeds the whole aggregation map-side, so a single-row-group
+    input file would run it one-tasked — `spread_if_underparallel`
+    repartitions first ONLY in that case (no-op on a multi-split table;
+    round 15, see functions/compute.py)."""
+    li = spread_if_underparallel(load(spark, sf_dir, "lineitem"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")

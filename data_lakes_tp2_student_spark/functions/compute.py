@@ -20,6 +20,29 @@ def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+def spread_if_underparallel(df: DataFrame, factor: int = 2) -> DataFrame:
+    """`spread`, but ONLY when the plan's current partitioning cannot keep
+    the cluster busy (round 15, guide §2.5 "input skew: one huge
+    unsplittable file").
+
+    The bench tables are single-row-group parquet files, so a scan-heavy
+    aggregation (TPC-H Q1's decimal sums over lineitem) runs its entire
+    map side in ONE task regardless of `maxPartitionBytes` — a split below
+    one row group buys nothing. Repartitioning first costs one exchange of
+    the scan output but parallelizes the aggregation across every core
+    (measured at sf0.1: Q1 1.03 s → 0.85 s, results identical).
+
+    The condition keeps the rewrite honest at scale: a 100 TB table scans
+    as thousands of splits, `getNumPartitions >= cores/factor` holds, and
+    the function is a no-op — the extra full-table exchange only ever
+    happens where it is profitable (a table too small or too unsplittable
+    to occupy the cluster, where the exchange is correspondingly cheap)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() * factor >= sc.defaultParallelism:
+        return df
+    return spread(df)
+
+
 def eager(df: DataFrame) -> DataFrame:
     """Persist AND materialize now.
 

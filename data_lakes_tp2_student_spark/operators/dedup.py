@@ -74,35 +74,61 @@ def with_shingles(df: DataFrame, text_col: str, out_col: str = "shingles") -> Da
 
 
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, shingle) rows — the fully-codegen shingle shape.
+    """(id, shingle) rows — one split per doc, zero shuffles.
 
-    The array form (`with_shingles`) pays an interpreted lambda per shingle,
-    and Catalyst inlines the words alias into the lambda so `split()` re-runs
-    PER SHINGLE (measured: 8 copies of split() in the physical plan, seconds
-    of wall time at sf0.1). Here: split once → posexplode → window `lead`
-    stitches each 3-word shingle — every operator whole-stage-codegen'd; the
-    one shuffle (hash by id for the window) is the same partitioning the
-    downstream signature aggregation needs anyway. Short docs (<SHINGLE_W
-    words) contribute their whole text, matching `with_shingles`."""
-    words = df.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "_w")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    lead1, lead2 = F.lead("_w", 1).over(w), F.lead("_w", 2).over(w)
-    long_sh = (
-        words.select(
-            F.col(id_col),
-            F.concat_ws(" ", "_w", lead1, lead2).alias("s"),
-            lead2.alias("_l2"),
+    Round-15 shape: split once into a materialized `_words` projection,
+    slice each 3-word shingle out of the stored array with one `transform`
+    lambda, explode. Catalyst keeps the multiply-referenced non-cheap
+    `_words` alias un-inlined (verified: exactly ONE `split(` in the
+    physical plan), so the r1-era pathology that originally forced the
+    window form — `split()` re-run PER SHINGLE after the lambda inlined it,
+    8 copies in the plan — no longer occurs on Spark 4.1.
+
+    This replaces the previous posexplode → Window `lead` stitching, which
+    paid a full exchange of every word row (hash by id) plus a sort just to
+    see each word's two successors. Measured at sf0.1 (same session,
+    best-of-4): 0.95 s → 0.46 s for the shingle explosion alone, and the
+    whole-corpus word shuffle is gone — strictly fewer exchanges at any
+    scale. Downstream consumers that aggregate by id (minhash signatures,
+    distinct-shingle sets) now install their own hash exchange, but it
+    carries partial-aggregated rows (one per doc per map partition), far
+    less than the word rows the window shuffled. Short docs (<SHINGLE_W
+    words) contribute their whole text: `concat_ws(' ', _words)` is an
+    exact roundtrip of the single-space split (empty words preserved),
+    avoiding carrying `text` alongside `_words`."""
+    w = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_words"))
+    shingles = F.when(
+        F.size("_words") < SHINGLE_W, F.array(F.concat_ws(" ", "_words"))
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(0, size(_words) - {SHINGLE_W}), "
+            f"i -> concat_ws(' ', slice(_words, i + 1, {SHINGLE_W})))"
         )
-        .filter(F.col("_l2").isNotNull())
-        .drop("_l2")
     )
-    short = (
-        df.filter(F.size(F.split(F.col(text_col), " ")) < SHINGLE_W)
-        .select(F.col(id_col), F.col(text_col).alias("s"))
+    return w.select(F.col(id_col), F.explode(shingles).alias("s"))
+
+
+def distinct_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """DISTINCT (id, shingle) rows, hash-partitioned by `id_col` — the
+    shareable shingle table for verify pipelines (round 15).
+
+    MinHash mins are unaffected by duplicate shingles, and the Jaccard /
+    containment verify stage needs the distinct sets anyway, so a pipeline
+    that feeds BOTH (x2b, x44) should shingle-dedup ONCE here and cache the
+    result. The explicit `repartition(id_col)` before the dedup is the
+    load-bearing part: it makes the deduplicating aggregate exchange-free
+    (hash partitioning on `id_col` satisfies the (id, s) clustering) and —
+    more importantly — the CACHED table comes out hash-partitioned by
+    `id_col`, so every downstream per-doc aggregation (signature mins, set
+    sizes) reuses the partitioning instead of re-shuffling the cached
+    shingle rows. Measured at sf0.1 (same-session best-of-4, x2b end to
+    end): caching the raw round-robin shingles 3.82 s, this 2.19-2.42 s
+    (the r14 window-form baseline read 2.43-2.92 s in the same session)."""
+    return (
+        exploded_shingles(spread(df), id_col, text_col)
+        .repartition(id_col)
+        .dropDuplicates([id_col, "s"])
     )
-    return long_sh.unionByName(short)
 
 
 def rotation(h: Column, j: int) -> Column:
@@ -191,6 +217,7 @@ def _pair_overlap(
     id_col: str,
     text_col: str,
     shingles: DataFrame | None,
+    shingles_are_distinct: bool = False,
 ) -> DataFrame:
     """Shared verify core for jaccard_verify / containment_verify: per
     candidate pair, the exact distinct-shingle intersection plus both set
@@ -207,7 +234,10 @@ def _pair_overlap(
         if shingles is not None
         else exploded_shingles(spread(df), id_col, text_col)
     )
-    sh = eager(raw.distinct())
+    # A caller passing `distinct_shingles(...)` (already deduped AND cached
+    # partitioned by id) sets shingles_are_distinct — re-running distinct
+    # here would pay a second aggregate pass over the cached rows.
+    sh = raw if shingles_are_distinct else eager(raw.distinct())
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "s")
     b = sh.select(F.col(id_col).alias("id_b"), "s")
@@ -233,6 +263,7 @@ def jaccard_verify(
     id_col: str,
     text_col: str,
     shingles: DataFrame | None = None,
+    shingles_are_distinct: bool = False,
 ) -> DataFrame:
     """x2 — exact shingle-set Jaccard for candidate pairs (the verify stage
     after LSH; only candidates pay set costs), join-based: intersection =
@@ -243,7 +274,9 @@ def jaccard_verify(
     and materialized up front — each feeds two+ branches of the join tree,
     several of them broadcast builds that would otherwise recompute the
     whole upstream pipeline concurrently (see functions.compute.eager)."""
-    return _pair_overlap(pairs, df, id_col, text_col, shingles).select(
+    return _pair_overlap(
+        pairs, df, id_col, text_col, shingles, shingles_are_distinct
+    ).select(
         "id_a",
         "id_b",
         F.round(
@@ -260,6 +293,7 @@ def containment_verify(
     id_col: str,
     text_col: str,
     shingles: DataFrame | None = None,
+    shingles_are_distinct: bool = False,
 ) -> DataFrame:
     """x44 — exact shingle-set CONTAINMENT for candidate pairs, the
     asymmetric companion to `jaccard_verify`: containment_a = |A∩B|/|A|
@@ -275,7 +309,7 @@ def containment_verify(
     ca = F.round(F.col("_inter").cast("double") / F.col("_na"), 6)
     cb = F.round(F.col("_inter").cast("double") / F.col("_nb"), 6)
     return (
-        _pair_overlap(pairs, df, id_col, text_col, shingles)
+        _pair_overlap(pairs, df, id_col, text_col, shingles, shingles_are_distinct)
         .select(
             "id_a",
             "id_b",
@@ -321,9 +355,18 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     that OOMs Catalyst analysis after ~10 rounds regardless of data size.
     (On a multi-executor cluster with unreliable nodes, swap for
     `sparkContext.setCheckpointDir` + `checkpoint()` — same contract,
-    HDFS-backed.) Convergence is a (count, xxhash-sum) fingerprint of the
-    canonical edge set — one scalar aggregate per round, no driver-side
-    edge list."""
+    HDFS-backed.) Convergence (round 15): the loop stops at the FIRST
+    round whose output is a star forest, instead of fingerprinting the
+    edge set and re-running one full confirmation round to observe
+    stability. A canonical (u > v) edge set is a star forest iff every
+    `u` appears exactly once AND no `u` also appears as a `v`; a star
+    forest is a fixed point of both operators (large-star: each leaf
+    relinks to the center it already has; small-star: each center keeps
+    its leaves), and the output join below this loop already RELIES on
+    fixed points being exactly the min-centered star forests — so
+    stopping here yields the IDENTICAL edge set one round (≈6 shuffles
+    plus an agg job) earlier. The test is one groupBy job over the
+    round's fixed-width edges, no driver-side edge list."""
     u, v, m = F.col("u"), F.col("v"), F.col("m")
     edges = (
         pairs.select(
@@ -373,22 +416,31 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         )
         return relink
 
-    prev_fp, converged = None, False
+    converged = False
     for _ in range(max_iter):
         edges = small_star(large_star(edges)).localCheckpoint(eager=False)
-        # one-scalar-row fingerprint; the action doubles as the
-        # checkpoint materializer — one job per round
-        fp = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal accumulator: a long sum of xxhash64 values overflows
-            # under ANSI mode; decimal(38,0) holds ~10^18 edges' worth
-            F.sum(F.xxhash64("u", "v").cast("decimal(28,0)")).alias("h"),
-        ).collect()[0]
-        fp = (fp["n"], fp["h"])
-        if fp == prev_fp:
+        # Star-forest test (one scalar row; the action doubles as the
+        # checkpoint materializer — one job per round): a violation is a
+        # node appearing more than once as u, or as both u and v.
+        roles = edges.select(
+            u.alias("_node"), F.lit(1).alias("_nu"), F.lit(0).alias("_nv")
+        ).unionByName(
+            edges.select(
+                v.alias("_node"), F.lit(0).alias("_nu"), F.lit(1).alias("_nv")
+            )
+        )
+        violations = (
+            roles.groupBy("_node")
+            .agg(F.sum("_nu").alias("_cu"), F.max("_nv").alias("_anyv"))
+            .filter(
+                (F.col("_cu") > 1) | ((F.col("_cu") >= 1) & (F.col("_anyv") == 1))
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()[0]["n"]
+        )
+        if violations == 0:
             converged = True
             break
-        prev_fp = fp
     if not converged:
         # The star-join below is only correct at the fixed point; a
         # non-star edge set would emit WRONG labels and duplicate doc
@@ -514,6 +566,17 @@ def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame
     engine-specific hash DuckDB can't mirror.) The bit definition
     matches the DuckDB oracle's hex-digit extraction exactly (b-th MSB
     either way).
+
+    Round 15 optimization note: the "explode words → 64 codegen'd ±1
+    sum-aggs per doc" rewrite (the minhash explode/groupBy trick, guide
+    §4.1) was measured-REJECTED — same-session best-of-4 at sf0.1: this
+    per-row interpreted fold 0.861 s vs the explode+HashAggregate form
+    1.854 s. The groupBy's exchange + second aggregate stage costs more
+    wall than the interpreter overhead it removes, and at cluster scale
+    this form also shuffles NOTHING (the fold is embarrassingly per-row)
+    while the explode form pays one 64-long-per-doc exchange. Kept
+    per-row; see OPTIMIZATION_r15.md and tests/test_opt_r15.py for the
+    pinned equivalence of the two forms.
     """
     wmd5 = f"transform(split({text_col}, ' '), w -> substr(md5(w), 1, 16))"
     wh = "transform(_wmd5, m -> CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT))"
