@@ -244,11 +244,15 @@ def x22_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter of benchmark shingles in front of the join; the join shape is
     already the right one. Reuses `exploded_shingles` (the x2 pipeline's
     shingle operator), distinct-ed to set semantics."""
-    from ..functions.compute import spread
     from ..operators.dedup import exploded_shingles
 
     docs = load(spark, sf_dir, "documents")
-    sh = exploded_shingles(spread(docs), "doc_id", "text").distinct()
+    # hash-partition the docs by id before exploding (round 15): Generate
+    # preserves partitioning, so the distinct AND the final per-doc
+    # aggregation below run exchange-free — one exchange of doc rows total
+    sh = exploded_shingles(
+        docs.repartition("doc_id"), "doc_id", "text"
+    ).distinct()
     bench = sh.filter(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("bench_id"), "s"
     )

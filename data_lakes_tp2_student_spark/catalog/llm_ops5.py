@@ -280,7 +280,10 @@ def x37_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     large the benchmark suite grows — the x22 broadcast-set path's scale
     successor (operators/bloom.py)."""
     docs = load(spark, sf_dir, "documents")
-    sh = exploded_shingles(docs, "doc_id", "text")
+    # repartition docs by id before exploding (round 15): parallelizes the
+    # explosion off the single-file scan and makes bloom_probe's per-doc
+    # aggregation exchange-free (Generate preserves partitioning)
+    sh = exploded_shingles(docs.repartition("doc_id"), "doc_id", "text")
     bitmap = bloom_build(sh.filter(F.col("doc_id") % 50 == 0))
     train = sh.filter(F.col("doc_id") % 50 != 0)
     return bloom_probe(train, bitmap, "doc_id")

@@ -123,12 +123,18 @@ def distinct_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sizes) reuses the partitioning instead of re-shuffling the cached
     shingle rows. Measured at sf0.1 (same-session best-of-4, x2b end to
     end): caching the raw round-robin shingles 3.82 s, this 2.19-2.42 s
-    (the r14 window-form baseline read 2.43-2.92 s in the same session)."""
-    return (
-        exploded_shingles(spread(df), id_col, text_col)
-        .repartition(id_col)
-        .dropDuplicates([id_col, "s"])
-    )
+    (the r14 window-form baseline read 2.43-2.92 s in the same session).
+
+    The repartition runs on the DOCS, before the explosion: Generate
+    preserves its child's partitioning, so the exploded shingle rows come
+    out hash-clustered by id without ever shuffling a shingle — ONE
+    exchange of document rows total, and hash-by-id distributes documents
+    across the cluster just as well as a round-robin spread would
+    (measured: cache build 0.77-0.99 s → 0.48-0.56 s when the
+    spread + post-explode repartition pair collapsed into this)."""
+    return exploded_shingles(
+        df.repartition(id_col), id_col, text_col
+    ).dropDuplicates([id_col, "s"])
 
 
 def rotation(h: Column, j: int) -> Column:
@@ -158,11 +164,17 @@ def minhash_signatures(
     Pass a precomputed ``shingles`` (id, s) table to share the explosion
     with other stages (e.g. jaccard_verify) — one shingle scan feeding the
     whole near-dup pipeline is the 100 TB shape.
+
+    The default path hash-partitions the DOCS by id before exploding
+    (round 15): Generate preserves partitioning, so the signature
+    aggregation below is exchange-free — one exchange of document rows is
+    the whole pipeline's shuffle (x2 end-to-end 1.67 s → 1.15 s at sf0.1
+    when this replaced round-robin spread + a post-aggregation exchange).
     """
     ex = (
         shingles
         if shingles is not None
-        else exploded_shingles(spread(df), id_col, text_col)
+        else exploded_shingles(df.repartition(id_col), id_col, text_col)
     )
     h = ex.select(id_col, F.md5("s").alias("_h"))
     aggs = [F.min(rotation(F.col("_h"), j)).alias(f"_s{j}") for j in range(num_hashes)]
@@ -232,7 +244,7 @@ def _pair_overlap(
     raw = (
         shingles
         if shingles is not None
-        else exploded_shingles(spread(df), id_col, text_col)
+        else exploded_shingles(df.repartition(id_col), id_col, text_col)
     )
     # A caller passing `distinct_shingles(...)` (already deduped AND cached
     # partitioned by id) sets shingles_are_distinct — re-running distinct

@@ -201,31 +201,32 @@ def windowed_fingerprints(
     whole documents, these make every SUBSTRING of `width` words joinable
     across documents.
 
-    Shape (same as `dedup.exploded_shingles`, generalized to any width):
-    split once → posexplode → `lead` stitches each window — every operator
-    whole-stage-codegen'd, and the one shuffle (hash by id for the window
-    function) is the partitioning the caller's downstream per-doc work
-    wants anyway. Docs shorter than `width` words emit no windows (they
-    are whole-doc territory — x1/x2 cover them). Returns (id, pos, h)."""
-    from pyspark.sql import Window
-
-    words = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "_w"),
+    Shape (round 15, same rewrite as `dedup.exploded_shingles`): split once
+    into a materialized `_words` projection, slice every `width`-word
+    window out of the stored array with one `transform`, posexplode — the
+    posexplode position IS the window's word position. This drops the
+    previous posexplode→Window-`lead` stitching and with it the full
+    exchange + sort of every word row (hash by id) that the window
+    demanded. The `spread` keeps the explosion parallel off a
+    single-file scan (downstream x32 work joins on the window HASH, so
+    no keyed partitioning helps here — round-robin is the right call;
+    omitting it re-serialized the 100c explosion into the 2-3 scan
+    tasks, 115 s vs ~35 s). Docs shorter than `width` words emit no
+    windows (they are whole-doc territory — x1/x2 cover them): the
+    explicit `when` guard matters because `sequence(0, size-width)` with a
+    negative stop would generate a DESCENDING sequence, not an empty one.
+    Returns (id, pos, h)."""
+    wins = F.when(
+        F.size("_words") >= width,
+        F.expr(
+            f"transform(sequence(0, size(_words) - {width}), "
+            f"i -> concat_ws(' ', slice(_words, i + 1, {width})))"
+        ),
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("_w", k).over(w) for k in range(1, width)]
-    # width=1 degenerates to one md5 per word: there is no lead, the
-    # window IS the word (review r6: leads[-1] raised IndexError)
-    last = leads[-1] if leads else F.col("_w")
     return (
-        words.select(
-            F.col(id_col),
-            F.col("pos"),
-            F.concat_ws(" ", F.col("_w"), *leads).alias("_win"),
-            last.alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
+        spread(df.select(id_col, text_col))
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("_words"))
+        .select(F.col(id_col), F.posexplode(wins).alias("pos", "_win"))
         .select(F.col(id_col), "pos", F.md5("_win").alias("h"))
     )
 
