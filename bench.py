@@ -171,6 +171,38 @@ HOST_PROBE_REF = 1.104
 PROBE_AGREEMENT_TOL = 1.25
 
 
+def final_line_payload(
+    total: float,
+    bests: dict[str, float],
+    total_best: float,
+    vs_baseline: dict[str, float],
+    vs_baseline_total: float | None,
+    host_probe: dict,
+    sf: float,
+) -> dict:
+    """The driver-facing FINAL stdout line (VERDICT r15 item 1): must
+    carry the per-query best map as "queries" so the driver's PERF
+    comparison can populate per_query/geomean, while staying small
+    enough for the driver's stdout tail-capture window (~1.5 KB for 34
+    queries; the r9 overflow line carried TWO 34-entry dicts plus
+    spreads)."""
+    worst = dict(sorted(vs_baseline.items(), key=lambda kv: -kv[1])[:3])
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": bests,
+        "total_best": total_best,
+        "vs_baseline_total": vs_baseline_total,
+        "worst_vs_baseline": worst,
+        "host_factor": host_probe["factor"],
+        "host_probe_sec": host_probe["median"],
+        "probe_agreement": host_probe["agreement"],
+        "n_queries": len(bests),
+        "sf": sf,
+    }
+
+
 def _host_probe(spark, reps: int = 5, warms: int = 2) -> float:
     """Min-of-`reps` wall seconds for the fixed calibration task, after
     `warms` untimed JIT warm-up executions of the same plan."""
@@ -524,27 +556,25 @@ def main() -> None:
     # FINAL compact line (VERDICT r9 item 2): the full line above outgrew
     # the driver's stdout tail-capture window in r9 ("parsed": null in
     # BENCH_r09.json — 34 queries x two dicts). The LAST printed line is
-    # guaranteed small (~250 B) so whatever window the driver captures,
-    # the final complete JSON line always parses and carries the headline
-    # numbers. Full per-query detail: the line above + BENCH_detail_last.json.
-    worst = dict(
-        sorted(vs_baseline.items(), key=lambda kv: -kv[1])[:3]
-    )
+    # guaranteed small so whatever window the driver captures, the final
+    # complete JSON line always parses and carries the headline numbers.
+    # Round 16 (VERDICT r15 item 1): the driver's per-query comparison
+    # reads THIS line's "queries" map — omitting it left PERF per_query
+    # empty and prev/now_bench_ok false for two rounds. One 34-entry dict
+    # (~1.2 KB; per-query best-of-N, the documented per-query statistic)
+    # fits the tail window that truncated r9's TWO-dict line; everything
+    # else stays in the line above + BENCH_detail_last.json.
     print(
         json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "total_best": total_best,
-                "vs_baseline_total": vs_baseline_total,
-                "worst_vs_baseline": worst,
-                "host_factor": host_probe["factor"],
-                "host_probe_sec": host_probe["median"],
-                "probe_agreement": host_probe["agreement"],
-                "n_queries": len(names),
-                "sf": sf,
-            }
+            final_line_payload(
+                total,
+                bests,
+                total_best,
+                vs_baseline,
+                vs_baseline_total,
+                host_probe,
+                sf,
+            )
         )
     )
 

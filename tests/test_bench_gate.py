@@ -102,6 +102,28 @@ def test_capture_artifacts_carry_agreement():
     )
 
 
+def test_final_line_carries_per_query_map():
+    """VERDICT r15 item 1: the driver parses the LAST stdout line and
+    reads its "queries" map for per-query regression/scaling analysis.
+    PERF was blind (per_query: {}, now_bench_ok: false) for two rounds
+    because the final line carried only aggregates. Pin that the payload
+    carries the map AND stays small enough for the driver's tail-capture
+    window (the r9 overflow that motivated the compact line was a
+    ~4.5 KB two-dict line; the window demonstrably holds ~3 KB)."""
+    bests = {n: 1.234 for n in bench.HEADLINE}
+    vs_b = {n: 1.01 for n in bench.HEADLINE}
+    hp = {"factor": 1.0, "median": 1.104, "agreement": 1.1}
+    payload = bench.final_line_payload(
+        30.0, bests, 26.0, vs_b, 1.0, hp, 0.1
+    )
+    assert payload["queries"] == bests
+    assert payload["metric"] == "headline_queries_total_wall"
+    assert payload["unit"] == "sec"
+    assert payload["n_queries"] == len(bench.HEADLINE)
+    line = json.dumps(payload)
+    assert len(line) < 2600, len(line)
+
+
 def test_headline_set_covered_by_baselines():
     """Every headline query that exists in the registry has a go-forward
     baseline row — a new headline entry without a booked row would
