@@ -208,7 +208,13 @@ def e3c_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).cast("int")
     banded = o.crossJoin(F.broadcast(stats)).withColumn("_band", band)
-    # Tiny: (band, group) row counts -> cumulative offset per band.
+    # Tiny: (band, group) row counts -> cumulative offset per band, and
+    # the group totals off the SAME window pass (round 16, guide §2.4):
+    # the two frames share one partitionBy, so both window functions ride
+    # one exchange+sort of the ~(slices × |priorities|)-row aggregate —
+    # the previous separate `totals` branch recomputed the whole
+    # banded→pc chain (scan + two exchanges) and paid a second broadcast
+    # join below.
     pc = banded.groupBy("_band", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("_cnt")
     )
@@ -217,12 +223,13 @@ def e3c_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("_band")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    w_tot = Window.partitionBy("o_orderpriority")
     offsets = pc.select(
         "_band",
         "o_orderpriority",
         F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(w_tot).alias("_n"),
     )
-    totals = pc.groupBy("o_orderpriority").agg(F.sum("_cnt").alias("_n"))
     # Local sort covers only one band (bands are disjoint and monotone in
     # the total order, so offset + local row_number is the exact global
     # rank; a same-price tie can never straddle bands).
@@ -232,7 +239,6 @@ def e3c_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         banded.withColumn("_lrn", F.row_number().over(w_local))
         .join(F.broadcast(offsets), ["_band", "o_orderpriority"])
-        .join(F.broadcast(totals), ["o_orderpriority"])
         .withColumn("_rn", F.col("_off") + F.col("_lrn"))
     )
     # ntile(k): first (n % k) buckets hold ceil(n/k) rows, the rest floor.
@@ -407,16 +413,27 @@ def x16_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     double divide + ln, so it is engine- and partitioning-portable.
 
     Persisting the multiply-referenced subtrees here was measured-REJECTED
-    (PERF.md #17): both `eager(w)` and `persist(words)+eager(w)` variants
-    ran SLOWER than the plain plan at sf0.1 over 8 warm reps (best-of:
-    1.33 s / 1.47 s vs 1.16 s plain) — the recomputed explode+distinct is
+    (PERF.md #17, re-confirmed round 16: `eager(words)` best 1.55 s vs
+    1.20 s plain in the same session) — the recomputed explode+distinct is
     cheaper than the cache write+read+materialize round-trip at this
     shape, and the r4 ">2× baseline" flag was median-vs-best-of bias, not
-    a plan defect (best-of 1.16 s vs the 0.72 s best-of-2 baseline row)."""
+    a plan defect (best-of 1.16 s vs the 0.72 s best-of-2 baseline row).
+
+    Round 16 (guide §2.4, the r15 one-exchange shingle trick): the DOCS
+    are hash-partitioned by doc_id BEFORE the explode — Generate preserves
+    partitioning, so the (doc_id, word) dedup aggregates exchange-free and
+    each copy of the subtree exchanges document rows, not word rows. The
+    wa⋈wb self-join on doc_id then sees two co-partitioned children and
+    plans with ZERO extra exchange (plan: the word-row hash exchanges are
+    gone; sf0.1 a wash — best 1.20 vs 1.19 s — but the 10× fixture reads
+    best 3.57 → 1.69 s, and at 100 TB the self-join no longer reshuffles
+    the exploded corpus)."""
     docs = load(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).distinct()
+    words = (
+        docs.repartition("doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .dropDuplicates(["doc_id", "word"])
+    )
     dfreq = words.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     vocab = dfreq.orderBy(F.desc("df"), "word").limit(100)
     w = words.join(F.broadcast(vocab), "word")

