@@ -6,11 +6,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.compute import eager, spread
+from ..functions.compute import eager
 from ..operators.dedup import (
     distinct_shingles,
     exact_dedup,
-    exploded_shingles,
     jaccard_verify,
     lsh_candidate_pairs,
     minhash_signatures,

@@ -36,7 +36,13 @@ def spread_if_underparallel(df: DataFrame, factor: int = 2) -> DataFrame:
     as thousands of splits, `getNumPartitions >= cores/factor` holds, and
     the function is a no-op — the extra full-table exchange only ever
     happens where it is profitable (a table too small or too unsplittable
-    to occupy the cluster, where the exchange is correspondingly cheap)."""
+    to occupy the cluster, where the exchange is correspondingly cheap).
+
+    Cost note (ADVICE r15): `df.rdd.getNumPartitions()` forces full
+    physical planning plus a DataFrame→RDD conversion on the driver, and
+    reads the PRE-AQE scan split count — a few ms for the plain scans
+    this is applied to, but do not reuse it inside per-query hot paths or
+    on frames with deep plans; probe the scan's split count instead."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() * factor >= sc.defaultParallelism:
         return df

@@ -32,6 +32,8 @@ documented contract.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.compute import eager, spread
@@ -223,6 +225,20 @@ def lsh_candidate_pairs(
     )
 
 
+def _input_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for `df` (file-index bytes for scans) — a
+    pure driver-side scale probe, no Spark job, any storage backend.
+    Frames without real statistics (createDataFrame/RDD-backed) carry
+    Catalyst's defaultSizeInBytes = Long.MAX and therefore read as huge;
+    0 (small) only on probe failure."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 0
+
+
 def _pair_overlap(
     pairs: DataFrame,
     df: DataFrame,
@@ -239,17 +255,59 @@ def _pair_overlap(
     Both the pairs and the distinct-shingle table persist+materialize up
     front — each feeds two+ branches, several broadcast builds, which
     would otherwise recompute the upstream pipeline concurrently (see
-    functions.compute.eager)."""
+    functions.compute.eager).
+
+    Round 16 (guide §3.2 semi-join reduction): only ids that appear in a
+    candidate pair can influence the output (every consumer below joins
+    back to `pairs`), so on corpora past SPARK_GRAFT_VERIFY_CUT_MIN_BYTES
+    of input the shingle table is cut to candidate ids with one left-semi
+    join BEFORE the intersection joins and the set-size aggregation. At
+    LSH-selective duplicate rates the verify stage then touches a
+    candidate-sized table instead of the whole corpus three times — the
+    100 TB shape; the semi probe itself is exchange-free on the shingle
+    side (the cached table is hash-partitioned by id, and the id set
+    broadcasts while it fits, degrading to a shuffle of ids only). The
+    cut costs two fixed jobs (id-set build + materializing the cut
+    table), so below the threshold — where the whole verify is a few
+    hundred ms and the avoided scans are tiny — it is skipped (measured
+    at sf0.1/5k docs: cut 2.16 s vs plain 1.84 s best; at the
+    100c/500k-doc fixture the cut reads median 22.2 s vs 24.3 s with a
+    far tighter spread). The decision reads Catalyst's size estimate on
+    the driver — no job, independent of the data values; frames without
+    real statistics (in-memory test frames) read as huge and take the
+    cut path, which is always result-identical."""
     pairs = eager(pairs)
     raw = (
         shingles
         if shingles is not None
         else exploded_shingles(df.repartition(id_col), id_col, text_col)
     )
-    # A caller passing `distinct_shingles(...)` (already deduped AND cached
-    # partitioned by id) sets shingles_are_distinct — re-running distinct
-    # here would pay a second aggregate pass over the cached rows.
-    sh = raw if shingles_are_distinct else eager(raw.distinct())
+    if shingles_are_distinct and shingles is not None and not shingles.is_cached:
+        # The flag's contract (ADVICE r15): 'distinct AND cached'. An
+        # uncached frame would silently recompute the whole shingle
+        # pipeline per broadcast build below — fail loudly instead.
+        raise ValueError(
+            "shingles_are_distinct=True requires a persisted "
+            "distinct-shingle table (e.g. eager(distinct_shingles(...)))"
+        )
+    if _input_bytes(df) >= int(
+        os.environ.get("SPARK_GRAFT_VERIFY_CUT_MIN_BYTES", str(32 << 20))
+    ):
+        pair_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .dropDuplicates([id_col])
+        )
+        cut = raw.join(pair_ids, id_col, "left_semi")
+        # dedup AFTER the cut: only candidate docs pay the distinct (the
+        # semi preserves the id partitioning, so it stays exchange-free)
+        sh = eager(cut if shingles_are_distinct else cut.distinct())
+    else:
+        # A caller passing `distinct_shingles(...)` (already deduped AND
+        # cached partitioned by id) sets shingles_are_distinct — re-running
+        # distinct here would pay a second aggregate pass over the cached
+        # rows.
+        sh = raw if shingles_are_distinct else eager(raw.distinct())
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "s")
     b = sh.select(F.col(id_col).alias("id_b"), "s")
@@ -467,6 +525,15 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     # At the fixed point every component is a star centered on its minimum:
     # non-root nodes appear exactly once as `u` with `v` = root; roots only
     # as `v`. Left join + coalesce folds roots back in as their own label.
+    #
+    # Round 16 measured-and-REJECTED: broadcasting the relabel map here
+    # (exact row count piggybacked on the convergence aggregate, hinted
+    # when provably tiny) read SLOWER at the 100c fixture in BOTH
+    # interleave orders (on 27.4/28.8 vs off 25.4/25.9 best/median, and
+    # 23.7/24.3 vs 21.7/23.2) and a wash at sf0.1 — the SMJ's probe-side
+    # exchange is already shared with the `nodes` distinct, so the hint
+    # only replaces one small star-side exchange with a driver
+    # collect+broadcast build job. The planner-chosen join stands.
     return nodes.join(
         edges.select(u.alias("id"), v.alias("cluster_id")), "id", "left"
     ).select(

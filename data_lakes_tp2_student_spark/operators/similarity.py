@@ -268,6 +268,10 @@ def ivf_cells(
     """Assign each vector to its `nprobe` nearest cells (by cosine to the
     centroid, deterministic tie-break on centroid id). Centroids are always
     broadcast — they are bounded by n_cells. One row per (vector, cell).
+    `id_col` must be UNIQUE in `df`: the winners join back by id below, so
+    a duplicated id would cross-multiply rows (the pre-r15 window form
+    emitted exactly nprobe rows per INPUT row instead). Every caller in
+    this package feeds vec_id-keyed frames, which are unique by schema.
 
     Round-15 shape (guide §2.3 "shuffle keys and metadata instead of
     payloads"): the rank-per-vector window used to run over the full

@@ -109,11 +109,14 @@ def test_dup_clusters_non_convergence_still_raises(spark):
 
 
 def test_ivf_cells_zero_vector_assigns_first_centroid(spark):
-    # Round-15 ivf_cells argmax path: a zero vector's sims are NULL against
-    # every centroid (0/0 crosses Arrow as NULL); the assignment must fall
-    # back to the FIRST centroid — the rank window's all-ties ordering —
-    # and non-degenerate vectors must pick their true cell. Also pins the
-    # element_at(arr, NULL) quirk workaround (it does NOT return NULL).
+    # Shipped round-15 ivf_cells window path: a zero vector's sims are NULL
+    # against every centroid (0/0 crosses Arrow as NULL); NULLs sort LAST
+    # under desc(_cent_sim), so every centroid ties and the deterministic
+    # tie-break (ascending centroid id) must pick centroid 0, while
+    # non-degenerate vectors pick their true cell. (The element_at(arr,
+    # NULL) quirk — it returns the LAST element, not NULL — belongs to the
+    # measured-REJECTED matrix rewrite and is documented in ivf_cells'
+    # docstring; this test pins the window form's NULL ordering instead.)
     from data_lakes_tp2_student_spark.operators.similarity import (
         ivf_cells,
         ivf_centroids,
