@@ -214,6 +214,26 @@ def test_x16_partitioned_dedup_matches_global_distinct(spark, tmp_path):
     assert got == want
 
 
+def test_auto_shuffle_partitions_sizing():
+    """Round-16 scale-adaptive shuffle-partition default: ~2 MiB of input
+    per reduce partition, clamped to [max(4, cores//4), 64*cores] — small
+    sessions stop paying 32-way fan-out, big fixtures still spread."""
+    from data_lakes_tp2_student_spark.session import auto_shuffle_partitions
+
+    _MIB = 1 << 20
+    # sf0.1 (~25 MiB) at 32 cores: a dozen partitions, not 32
+    assert auto_shuffle_partitions(25 * _MIB, 32) == 12
+    # cores-independent in the byte-driven regime: the 8-core scaling run
+    # sees the same plan shape as the 32-core one
+    assert auto_shuffle_partitions(25 * _MIB, 8) == 12
+    # tiny input: floor keeps minimum concurrency (cores//4, at least 4)
+    assert auto_shuffle_partitions(0, 32) == 8
+    assert auto_shuffle_partitions(0, 8) == 4
+    # big local fixture grows linearly until the cores-aware ceiling
+    assert auto_shuffle_partitions(1700 * _MIB, 32) == 850
+    assert auto_shuffle_partitions(10**13, 32) == 64 * 32
+
+
 def test_e3c_merged_window_matches_plain_ntile(spark, tmp_path):
     d = str(tmp_path / "e3cfx")
     rows = [
